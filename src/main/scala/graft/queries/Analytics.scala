@@ -1,0 +1,388 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.source.Tables
+
+/** The batch analytics layer (SURVEY.md §7.2 M1/M4): the reference's four
+  * pipeline semantics re-expressed over the driver's `events` table, plus
+  * the relational query layer (joins / sorts / top-k / window functions /
+  * set ops / rollup) that the reference's intended dashboard implies.
+  *
+  * Scale discipline, applied throughout:
+  *  - aggregations rely on partial (map-side) aggregation — grouping keys
+  *    are low-cardinality, so shuffles carry aggregated rows only;
+  *  - dimension tables (region, nation, part, supplier) are broadcast
+  *    explicitly; fact-to-fact joins shuffle on the join key and are left
+  *    to AQE (skew handling, partition coalescing);
+  *  - filters sit directly on the scan so they push into parquet
+  *    (`PushedFilters`), and only referenced columns are read.
+  */
+object Analytics {
+
+  // ---- oracle-determinism helpers (see Registry.scala contract) ----
+  /** Exact decimal view of a 2-dp double measure (order-independent sums). */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  /** Exact decimal sum surfaced as double — bit-identical to DuckDB's. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  private def sec(c: Column): Column = date_trunc("second", c)
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    // ================= relational layer (TPC-H-ish) =================
+
+    Q("q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) *
+            (lit(1) - col("l_discount").cast("decimal(4,2)")).cast("decimal(5,2)"))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    Q("q3_top_orders",
+      """SELECT o_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+         o_orderdate
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-01'
+           AND l_shipdate > TIMESTAMP '1998-06-01'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""") { (s, dir) =>
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-06-01")))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-06-01")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1) - col("l_discount").cast("decimal(4,2)")).cast("decimal(5,2)"))
+          .cast("double").as("revenue"))
+        .select(col("o_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    },
+
+    Q("q4_returned_priority",
+      """SELECT o_orderpriority, COUNT(*) AS n
+         FROM orders WHERE EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+      // EXISTS as a left-semi join: no duplication of the probe side and
+      // the build side is pre-filtered + deduplicated before the shuffle.
+      t(s, dir, "orders")
+        .join(
+          t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey")).distinct(),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    Q("q5_region_revenue",
+      """SELECT r_name,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_orders
+         FROM region JOIN nation ON n_regionkey = r_regionkey
+                     JOIN customer ON c_nationkey = n_nationkey
+                     JOIN orders ON o_custkey = c_custkey
+         GROUP BY r_name ORDER BY r_name""") { (s, dir) =>
+      // region/nation are tiny dims → broadcast; orders⨝customer is the
+      // only shuffle and it carries pre-projected columns.
+      val geo = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name"))
+      t(s, dir, "orders").join(geo, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("r_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"))
+    },
+
+    Q("q6_revenue_forecast",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.03 AND l_discount <= 0.08 AND l_quantity < 25""") { (s, dir) =>
+      // Pure scan-filter-agg: every predicate pushes into the parquet scan.
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.08 &&
+          col("l_quantity") < 25)
+        .agg(
+          sum(dec(col("l_extendedprice")) * col("l_discount").cast("decimal(4,2)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    Q("top_customers",
+      """SELECT c_custkey, c_name,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name
+         ORDER BY revenue DESC, c_custkey LIMIT 10""") { (s, dir) =>
+      // Aggregate the fact table BEFORE joining the dimension: the join
+      // then sees one row per customer, not one per order.
+      t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(10)
+    },
+
+    Q("order_rank_window",
+      """SELECT c, o_orderkey, o_totalprice, rnk FROM (
+           SELECT o_custkey AS c, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           FROM orders) WHERE rnk <= 3 ORDER BY c, rnk""") { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey").as("c"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("c"), col("rnk"))
+    },
+
+    Q("rollup_revenue",
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    Q("customer_intersect",
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+         INTERSECT SELECT o_custkey FROM orders
+         ORDER BY c_custkey""") { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+        .orderBy(col("c_custkey"))
+    },
+
+    Q("brand_part_stats",
+      """SELECT p_brand, COUNT(*) AS n_items,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         COUNT(DISTINCT l_suppkey) AS n_suppliers
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("l_suppkey")).as("n_suppliers"))
+        .orderBy(col("p_brand"))
+    },
+
+    // ============ clickstream semantics over the events table ============
+    // (batch twins of ops.Pipelines; same shapes the streaming queries emit)
+
+    // A1 analog: tumbling 1-minute view counts.
+    Q("ev_minutely_views",
+      """SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+         CAST(date_trunc('minute', ts) + INTERVAL 1 MINUTE AS TIMESTAMP) AS window_end,
+         COUNT(*) AS view_count
+         FROM events WHERE event_type = 'view'
+         GROUP BY 1, 2 ORDER BY 1""") { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "view")
+        .groupBy(window(col("ts"), "1 minute"))
+        .count()
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("count").as("view_count"))
+        .orderBy(col("window_start"))
+    },
+
+    // A2 analog: per-user rollup with deterministic CSV of event types.
+    Q("ev_user_rollup",
+      """SELECT user_id,
+         CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS first_seen,
+         CAST(date_trunc('second', MAX(ts)) AS TIMESTAMP) AS last_seen,
+         COUNT(*) AS event_count,
+         array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types
+         FROM events GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sec(min(col("ts"))).as("first_seen"),
+          sec(max(col("ts"))).as("last_seen"),
+          count(lit(1)).as("event_count"),
+          array_join(sort_array(collect_set(col("event_type"))), ",").as("event_types"))
+        .orderBy(col("user_id"))
+    },
+
+    // A3 analog: hourly purchase revenue with exact distinct buyers.
+    Q("ev_hourly_revenue",
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+         COUNT(*) AS purchase_count,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue,
+         COUNT(DISTINCT user_id) AS unique_buyers
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1, 2 ORDER BY 1""") { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("purchase_count"),
+          dsum(col("value")).as("total_revenue"),
+          countDistinct(col("user_id")).as("unique_buyers"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("purchase_count"), col("total_revenue"), col("unique_buyers"))
+        .orderBy(col("window_start"))
+    },
+
+    // A4 analog: hourly stats by a JSON-derived dimension (P2/P6 analog:
+    // semi-structured payload field promoted to a grouping key).
+    Q("ev_hourly_bucket_stats",
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         CAST(json_extract_string(props, '$.k') AS INT) % 3 AS bucket,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS unique_users
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          window(col("ts"), "1 hour"),
+          (get_json_object(col("props"), "$.k").cast("int") % 3).as("bucket"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("unique_users"))
+        .select(col("window.start").as("window_start"), col("bucket"),
+          col("n"), col("unique_users"))
+        .orderBy(col("window_start"), col("bucket"))
+    },
+
+    // A5 analog / top-k: event type popularity.
+    Q("ev_top_types",
+      """SELECT event_type, COUNT(*) AS n FROM events
+         GROUP BY event_type ORDER BY n DESC, event_type""") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type"))
+    },
+
+    // Funnel: view → click → purchase (conditional aggregation, two levels).
+    Q("ev_funnel",
+      """WITH u AS (SELECT user_id,
+           MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+           FROM events GROUP BY user_id)
+         SELECT CAST(SUM(v) AS BIGINT) AS users_view,
+                CAST(SUM(v * c) AS BIGINT) AS users_view_click,
+                CAST(SUM(v * c * p) AS BIGINT) AS users_view_click_purchase
+         FROM u""") { (s, dir) =>
+      val flag = (et: String) =>
+        max(when(col("event_type") === et, 1).otherwise(0))
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(flag("view").as("v"), flag("click").as("c"), flag("purchase").as("p"))
+        .agg(
+          sum(col("v")).as("users_view"),
+          sum(col("v") * col("c")).as("users_view_click"),
+          sum(col("v") * col("c") * col("p")).as("users_view_click_purchase"))
+    },
+
+    // User journeys: first five events per user, in event-time order.
+    Q("ev_journeys",
+      """WITH r AS (SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events)
+         SELECT user_id, COUNT(*) AS n_events,
+           string_agg(event_type, ',' ORDER BY rn) AS journey
+         FROM r WHERE rn <= 5 GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 5)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_join(
+            transform(sort_array(collect_list(struct(col("rn"), col("event_type")))),
+              _.getField("event_type")), ",").as("journey"))
+        .orderBy(col("user_id"))
+    },
+
+    // Batch sessionization: split a user's events at >30-minute gaps
+    // (the batch analog of session_window; see Pipelines.sessionsWindowed).
+    Q("ev_sessionized",
+      """WITH g AS (SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (SELECT user_id, ts,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_idx
+           FROM g)
+         SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+           CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS sess_start,
+           CAST(date_trunc('second', MAX(ts)) AS TIMESTAMP) AS sess_end,
+           COUNT(*) AS n_events
+         FROM sess GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""") { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(lag(col("ts"), 1).over(w).isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))) > 1800, 1)
+            .otherwise(0).as("brk"))
+        .select(col("user_id"), col("ts"),
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("sess_idx"))
+        .groupBy(col("user_id"), col("sess_idx"))
+        .agg(sec(min(col("ts"))).as("sess_start"), sec(max(col("ts"))).as("sess_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sess_idx"), col("sess_start"), col("sess_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("sess_idx"))
+    },
+
+    // Exact streaming-dedup analog: distinct (user_id, event_type) pairs.
+    Q("ev_dedup_pairs",
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""") { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // A6: HLL++ distinct (the reference's approx_count_distinct) — estimate
+    // values are engine-specific, so no SQL oracle; the ScalaTest spec
+    // checks the estimates against exact counts within the configured rsd.
+    Q.unchecked("ev_hll_users") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))
+    })
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.mm.Multimodal
+import graft.sim.Similarity
+import graft.source.Tables
+import graft.text.{Dedup, Text}
+
+/** Driver-checkable queries over the corpus tables (`documents`,
+  * `embeddings`): dedup, text analysis, similarity search, multimodal
+  * plumbing — the training-data-pipeline surface (SURVEY.md §7.2 M5).
+  */
+object CorpusQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup via content fingerprint (hash-groupBy; text never shuffles).
+    Q("doc_exact_dedup",
+      """SELECT md5(text) AS fingerprint, MIN(doc_id) AS canonical_id,
+         COUNT(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      Dedup.exact(Tables(s, dir, "documents")).orderBy(col("fingerprint"))
+    },
+
+    // Token statistics per (lang, source) stratum.
+    Q("doc_token_stats",
+      """SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+         FROM documents GROUP BY lang, source ORDER BY lang, source""") { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+
+    // Per-document quality features (ratios are int/int → exact doubles).
+    Q("doc_quality",
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS distinct_tokens,
+         len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS distinct_ratio,
+         len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) / len(string_split(text, ' ')) AS stopword_ratio
+         FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val stops = array(lit("the"), lit("a"))
+      Tables(s, dir, "documents").select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("distinct_tokens"),
+          (size(array_distinct(toks)) / size(toks)).as("distinct_ratio"),
+          (size(filter(toks, w => array_contains(stops, w))) / size(toks))
+            .as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Exact word-set Jaccard near-dup pairs, blocked on (lang, source).
+    Q("doc_jaccard_pairs",
+      """WITH d AS (SELECT doc_id, lang, source,
+           list_distinct(string_split(text, ' ')) AS w FROM documents)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           len(list_intersect(a.w, b.w)) /
+             (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
+         FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+           AND a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.w, b.w)) /
+             (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+         ORDER BY a_id, b_id""") { (s, dir) =>
+      Dedup.jaccardPairs(Tables(s, dir, "documents"),
+          blockCols = Seq("lang", "source"), threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // MinHash+LSH near-dup pairs — banded bucket join, no SQL oracle
+    // (minhash permutations are engine-side); DedupSpec checks candidates
+    // against exact shingle Jaccard.
+    Q.unchecked("doc_minhash_pairs") { (s, dir) =>
+      Dedup.minhashPairs(Tables(s, dir, "documents"), threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // SimHash near-dup pairs (Hamming ≤ 3 on 64-bit signatures).
+    Q.unchecked("doc_simhash_pairs") { (s, dir) =>
+      Dedup.simhashPairs(Tables(s, dir, "documents"), maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Language ID + quality score (heuristic models — spec-verified).
+    Q.unchecked("doc_langid") { (s, dir) =>
+      Tables(s, dir, "documents").select(
+          col("doc_id"), col("lang").as("labeled_lang"),
+          Text.langId(col("text")).as("predicted_lang"),
+          Text.qualityScore(col("text")).as("quality"),
+          Text.bpeTokenCount(col("text")).as("bpe_tokens"),
+          Text.rollingFingerprint(col("text")).as("rolling_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- similarity search over embeddings ----
+
+    Q("emb_label_counts",
+      """SELECT label, COUNT(*) AS n FROM embeddings
+         GROUP BY label ORDER BY label""") { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .groupBy(col("label")).agg(count(lit(1)).as("n")).orderBy(col("label"))
+    },
+
+    // Brute-force exact top-10 cosine neighbors for the first 20 vectors.
+    // Float cosine ranking is engine-precision-sensitive → no SQL oracle;
+    // SimilaritySpec verifies against an independent in-memory computation.
+    Q.unchecked("ann_brute_topk") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // LSH-bucketed ANN for the same queries (recall measured in the spec).
+    Q.unchecked("ann_lsh_topk") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // Embedding-cosine near-duplicate pairs (LSH-bucketed). The fixture
+    // embeddings are i.i.d. random (max pairwise cosine ≈ 0.48), so the
+    // threshold is set low enough to surface candidates; production use
+    // would run ≥0.9 with coarser chunks.
+    Q.unchecked("emb_dup_pairs") { (s, dir) =>
+      Similarity.cosineDupPairs(Tables(s, dir, "embeddings"), threshold = 0.3,
+          chunkBits = 4)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ---- multimodal plumbing (deterministic fake payloads) ----
+
+    // Binary-column metadata: byte length and logical frame count.
+    Q("mm_media_stats",
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+         CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
+         FROM documents ORDER BY media_id""") { (s, dir) =>
+      Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+        .select(col("media_id"), length(col("media")).as("n_bytes"),
+          ceil(length(col("media")) / lit(64.0)).cast("int").as("n_frames"))
+        .orderBy(col("media_id"))
+    },
+
+    // Decode-stub features via batch-shaped mapPartitions (no SQL oracle —
+    // the codec is engine-side; MultimodalSpec pins its outputs).
+    Q.unchecked("mm_decoded_features") { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeFeatures(media).toDF().orderBy(col("media_id"))
+    })
+}

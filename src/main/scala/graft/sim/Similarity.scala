@@ -1,0 +1,118 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Kernels are higher-order array expressions (codegen'd,
+  * no UDFs). Two paths:
+  *
+  *  - brute force: every (query, candidate) pair — exact, O(|Q|·|N|); right
+  *    when |Q| is small (queries broadcast) or as the rerank stage;
+  *  - random-hyperplane LSH: sign-bit signatures bucketed by chunk, exact
+  *    rerank inside buckets — the scale path: candidate generation is a
+  *    bucket join, never a cross product.
+  */
+object Similarity {
+
+  // SQL-function forms of the bit shifts (the Scala DSL overloads only
+  // accept Int bit counts, not Columns).
+  private def shr(c: Column, bits: Column): Column = call_function("shiftright", c, bits)
+
+  /** dot(a, b) in double precision (floats promote exactly). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` is
+    * expected to be small (it is broadcast); ranking is deterministic
+    * (score desc, then neighbor id).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (seeded). */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH signature: bit i = sign(dot(v, plane_i)). Returned as a
+    * Long (nPlanes <= 63).
+    */
+  def lshSignature(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val ps = planes(nPlanes, dim, seed)
+    val bits = ps.zipWithIndex.map { case (p, i) =>
+      val pcol = array(p.map(lit): _*)
+      when(aggregate(zip_with(vec, pcol, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: signature chunks → bucket join → exact cosine rerank
+    * within buckets → top-k. Recall < 1 by construction; `nChunks` trades
+    * recall for candidate volume (a pair is compared if it collides on at
+    * least one chunk of `chunkBits` sign bits).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              nPlanes: Int = 32, chunkBits: Int = 8, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              seed: Long = 42L): DataFrame = {
+    val nChunks = nPlanes / chunkBits
+    val mask = (1L << chunkBits) - 1
+    def chunked(df: DataFrame, role: String): DataFrame =
+      df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
+          lshSignature(col(vecCol), nPlanes, dim, seed).as("sig"))
+        .select(col(s"${role}_id"), col(s"${role}_vec"),
+          explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
+            struct(c.as("chunk"),
+              shr(col("sig"), c * chunkBits).bitwiseAND(mask).as("ch"))))
+            .as("ck"))
+        .select(col(s"${role}_id"), col(s"${role}_vec"), col("ck.chunk"), col("ck.ch"))
+    val cand = chunked(corpus, "n").join(chunked(queries, "q"), Seq("chunk", "ch"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cand.select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed
+    * (the embedding flavor of Dedup: same shape as minhashPairs).
+    */
+  def cosineDupPairs(corpus: DataFrame, threshold: Double = 0.95,
+                     nPlanes: Int = 32, chunkBits: Int = 8, dim: Int = 64,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nChunks = nPlanes / chunkBits
+    val mask = (1L << chunkBits) - 1
+    val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        lshSignature(col(vecCol), nPlanes, dim).as("sig"))
+      .select(col("id"), col("vec"),
+        explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
+          struct(c.as("chunk"),
+            shr(col("sig"), c * chunkBits).bitwiseAND(mask).as("ch")))).as("ck"))
+      .select(col("id"), col("vec"), col("ck.chunk"), col("ck.ch"))
+    val a = sigs.toDF("a_id", "a_vec", "chunk", "ch")
+    val b = sigs.toDF("b_id", "b_vec", "chunk", "ch")
+    a.join(b, Seq("chunk", "ch")).filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"), cosine(col("a_vec"), col("b_vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.source
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+
+/** Batch table loaders for the driver test data
+  * (`/root/testdata/sf{N}/{name}.parquet`, see /root/repo/TESTDATA.md).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case n        => spark.read.parquet(s"$dir/$n.parquet")
+    }
+
+  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as Long and
+    * convert with exact integer math (`div 1000`) — a double-based division
+    * would lose precision at 2024-epoch nanosecond magnitudes (~1.7e18).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
+
+/** Kafka source config. The reference hardcodes broker/topic at
+  * `spark_processor/stream_processor.py:113-114` despite loading env config
+  * (`config.py:12-13`); we honor the config, and wire `maxOffsetsPerTrigger`
+  * (`config.py:53`) which the reference declares but never applies.
+  */
+final case class KafkaSourceConfig(
+    bootstrapServers: String = sys.env.getOrElse("KAFKA_BOOTSTRAP_SERVERS", "localhost:9092"),
+    topic: String = sys.env.getOrElse("KAFKA_TOPIC", "clickstream"),
+    startingOffsets: String = "latest",
+    maxOffsetsPerTrigger: Option[Long] = Some(10000L))
+
+/** The streaming source boundary: raw Kafka-shaped frames → typed events.
+  *
+  * `decode` is the pure part (reference `stream_processor.py:120-126`):
+  * cast key/value binary→string, `from_json` against the declared schema
+  * (PERMISSIVE: corrupt rows → null struct), star-expand the payload.
+  * It is source-agnostic so tests can drive it from MemoryStream or files.
+  */
+object ClickstreamSource {
+
+  /** S1: the Kafka streaming source (requires the kafka connector jar on
+    * the cluster classpath; not present in this container — exercised only
+    * through `decode` + MemoryStream in tests).
+    */
+  def kafka(spark: SparkSession, cfg: KafkaSourceConfig = KafkaSourceConfig()): DataFrame = {
+    val r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
+      .option("subscribe", cfg.topic)
+      .option("startingOffsets", cfg.startingOffsets)
+    decode(cfg.maxOffsetsPerTrigger
+      .fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString)).load())
+  }
+
+  /** P1+P2+P3: `(key, value, timestamp)` frame → flattened typed events with
+    * `kafka_key` / `kafka_timestamp` envelope columns
+    * (reference `stream_processor.py:120-126`).
+    */
+  def decode(raw: DataFrame): DataFrame =
+    raw.select(
+        col("key").cast("string").as("kafka_key"),
+        from_json(col("value").cast("string"), Schemas.event).as("data"),
+        col("timestamp").as("kafka_timestamp"))
+      .select(col("kafka_key"), col("data.*"), col("kafka_timestamp"))
+
+  /** Batch twin: parse a Dataset of raw JSON strings (no Kafka envelope). */
+  def decodeJson(json: DataFrame, valueCol: String = "value"): DataFrame = {
+    val parsed = json.select(from_json(col(valueCol).cast("string"), Schemas.event).as("data"))
+    parsed.select(col("data.*"))
+  }
+}

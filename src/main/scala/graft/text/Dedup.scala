@@ -1,0 +1,148 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication at scale: exact, MinHash+LSH, SimHash, and n-gram
+  * Jaccard. All candidate generation is *bucketed* (band/chunk join) so the
+  * cost is O(candidates), never O(n²) — the property that matters at 100 TB.
+  * Verification of candidates is exact and happens only within buckets.
+  *
+  * Hash functions are Spark builtins (`xxhash64`) inside higher-order array
+  * expressions — deterministic across runs/executors and codegen-friendly.
+  */
+object Dedup {
+
+  // shiftleft/shiftright in the Scala DSL only take Int bit counts; these
+  // call the SQL functions, which accept a Column on both sides.
+  private def shr(c: Column, bits: Column): Column = call_function("shiftright", c, bits)
+  private def shl(c: Column, bits: Column): Column = call_function("shiftleft", c, bits)
+
+  /** Exact dedup: hash-groupBy on a content fingerprint. One shuffle of
+    * (fingerprint, id) pairs — text itself never moves.
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** `w`-word shingles of a text column, deduplicated, as 64-bit hashes. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = split(text, "\\s+")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - w, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w))))))
+  }
+
+  // MinHash permutation parameters: h_i(x) = (a_i * x + b_i) mod p over a
+  // Mersenne prime; seeded deterministically. p is 2^31-1 so a*h stays
+  // within 63 bits (Spark 4 runs ANSI mode: long overflow would throw).
+  private val MinhashPrime = 2147483647L // 2^31 - 1
+  private def perms(numHashes: Int, seed: Long): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    def draw() = (rnd.nextLong().abs % (MinhashPrime - 1)) + 1
+    (Seq.fill(numHashes)(draw()), Seq.fill(numHashes)(draw()))
+  }
+
+  /** MinHash signature (array of `numHashes` minima over shingle hashes). */
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleW: Int = 3,
+                       seed: Long = 42L): Column = {
+    val (as, bs) = perms(numHashes, seed)
+    val sh = shingles(text, shingleW)
+    transform(sequence(lit(0), lit(numHashes - 1)), i => {
+      val a = element_at(array(as.map(lit): _*), i + 1)
+      val b = element_at(array(bs.map(lit): _*), i + 1)
+      array_min(transform(sh, h => pmod(pmod(h, lit(MinhashPrime)) * a + b,
+        lit(MinhashPrime))))
+    })
+  }
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * signature → `bands` bands of `numHashes/bands` rows → explode to
+    * (band_idx, band_hash) buckets → self-join per bucket → exact Jaccard
+    * on shingle sets for surviving candidates. Only bucket-mates are ever
+    * compared; band count tunes the recall/cost curve (match probability
+    * ≈ 1-(1-s^r)^b for Jaccard s).
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.7,
+                   numHashes: Int = 64, bands: Int = 16, shingleW: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = docs.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleW).as("sh"),
+      minhashSignature(col(textCol), numHashes, shingleW).as("sig"))
+    val buckets = withSig.select(col("id"), col("sh"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))
+            .as("bh")))).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.bh"))
+    val a = buckets.toDF("a_id", "a_sh", "band", "bh")
+    val b = buckets.toDF("b_id", "b_sh", "band", "bh")
+    val cand = a.join(b, Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .dropDuplicates("a_id", "b_id")
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    cand
+      .select(col("a_id"), col("b_id"),
+        (inter / (size(col("a_sh")) + size(col("b_sh")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-token xxhash64, each bit
+    * votes ±1, fingerprint takes the sign. Built entirely from higher-order
+    * expressions (zip_with over a 64-wide accumulator).
+    */
+  def simhash(text: Column): Column = {
+    val zeros = array_repeat(lit(0), 64)
+    val votes = aggregate(split(text, "\\s+"), zeros, (acc, w) =>
+      zip_with(acc, transform(sequence(lit(0), lit(63)),
+          j => when(shr(xxhash64(w), j).bitwiseAND(1) === 1, 1).otherwise(-1)),
+        (x, y) => x + y))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, j) => when(v > 0, shl(lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** SimHash near-dup pairs: bucket by 16-bit chunks (pigeonhole: any pair
+    * within Hamming distance 3 shares at least one of 4 chunks), verify
+    * with `bit_count(xor) <= maxHamming`.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val chunked = sh.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)), c =>
+        struct(c.as("chunk"),
+          shr(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("ch")))).as("ck"))
+      .select(col("id"), col("sig"), col("ck.chunk"), col("ck.ch"))
+    val a = chunked.toDF("a_id", "a_sig", "chunk", "ch")
+    val b = chunked.toDF("b_id", "b_sig", "chunk", "ch")
+    a.join(b, Seq("chunk", "ch"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact word-set Jaccard within a blocking key — the verification
+    * kernel, also usable standalone when a natural blocking key exists.
+    */
+  def jaccardPairs(docs: DataFrame, blockCols: Seq[String], threshold: Double,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val d = docs.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        array_distinct(split(col(textCol), "\\s+")).as("w"): _*)
+    val a = d.toDF("a_id" +: blockCols :+ "a_w": _*)
+    val b = d.toDF("b_id" +: blockCols :+ "b_w": _*)
+    val inter = size(array_intersect(col("a_w"), col("b_w")))
+    a.join(b, blockCols)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (inter / (size(col("a_w")) + size(col("b_w")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

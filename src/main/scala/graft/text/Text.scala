@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text analysis for large-scale corpus pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. Everything is
+  * built from codegen'd builtins (string + higher-order array functions) —
+  * no UDFs — so the expressions stay inside WholeStageCodegen and scale
+  * linearly with executors.
+  */
+object Text {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword pieces: letter runs, digits, or single non-space
+    * symbols — the shape GPT-style pre-tokenizers produce. Counted via a
+    * regex that mirrors `[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]`.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Share of tokens found in `stopwords` (language-bound quality signal). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), w => array_contains(stops, w))) / tokenCount(text)
+  }
+
+  /** Share of distinct tokens — low values flag boilerplate/spam. */
+  def distinctRatio(text: Column): Column =
+    size(array_distinct(tokens(text))) / tokenCount(text)
+
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))) / length(text)
+
+  def digitRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))) / length(text)
+
+  def meanTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      tokenCount(text)
+
+  /** Composite quality score in [0,1]: penalizes extreme lengths, low
+    * lexical diversity, and punctuation/digit noise. Weights are heuristic;
+    * the point is a cheap, fully-vectorized scorer.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text) / lit(64.0), lit(1.0))
+    val divScore = least(distinctRatio(text) * 2.0, lit(1.0))
+    val noise = punctRatio(text) + digitRatio(text)
+    greatest(lit(0.0), least(lit(1.0),
+      lenScore * 0.4 + divScore * 0.4 + (lit(1.0) - noise) * 0.2))
+  }
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "en", "por"))
+
+  /** Language ID: pick the profile with the most stopword hits; `und`
+    * (undetermined) when nothing matches. CJK short-circuit via a Unicode
+    * range test (no stopwords to count). Pure expression — argmax is done
+    * with a sorted array of (hits, lang) structs.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = array(langProfiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      val stopArr = array(stops.map(lit): _*)
+      struct(size(filter(toks, w => array_contains(stopArr, w))).as("hits"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = element_at(reverse(array_sort(scored)), 1)
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(best.getField("hits") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: polynomial rolling hash over characters (base
+    * 1000003, modulo the Mersenne prime 2^31-1 so products fit in a Long —
+    * Spark 4 runs ANSI mode, where silent overflow is an error), computed
+    * with a higher-order `aggregate` — order-sensitive, unlike a
+    * bag-of-words hash.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L), (acc, ch) =>
+      pmod(acc * lit(1000003L) + coalesce(ascii(ch).cast("long"), lit(0L)),
+        lit(2147483647L)))
+
+  /** Stable 128-bit fingerprint (hex) for exact dedup. */
+  def fingerprint(text: Column): Column = md5(text)
+}
