@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-hashing kernels for the dedup pipeline. These are
+  * `CodegenFallback` (one interpreted call per ROW), but their `eval` is a
+  * single tight loop over the token array — unlike the higher-order-
+  * function formulation, which pays an interpreted expression-tree walk
+  * per ELEMENT (and per hash permutation). Hashes match the builtin
+  * `xxhash64(...)` (same XxHash64Function, seed 42).
+  */
+object HashExpressions {
+
+  private val XxSeed = 42L
+
+  /** Hashes of the `w`-token shingles of a token array → array<long>
+    * (deduplicated). Shingle text is the space-joined token run, matching
+    * `xxhash64(concat_ws(" ", slice(tokens, i, w)))`.
+    */
+  case class ShingleHashes(child: Expression, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(w >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes"
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val count = math.max(n - w + 1, if (n == 0) 0 else 1)
+      val seen = new java.util.HashSet[Long]()
+      val out = new Array[Long](count)
+      var k = 0
+      var i = 0
+      while (i < count) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < w && i + j < n) {
+          if (j > 0) sb.append(' ')
+          val t = toks.getUTF8String(i + j)
+          if (t != null) sb.append(t.toString)
+          j += 1
+        }
+        val h = XxHash64Function.hash(UTF8String.fromString(sb.toString), StringType, XxSeed)
+        if (seen.add(h)) { out(k) = h; k += 1 }
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 64-bit SimHash over a token array: per-token xxhash64, each bit votes
+    * ±1, fingerprint takes the sign bit.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val t = toks.getUTF8String(i)
+        if (t != null) {
+          val h = XxHash64Function.hash(t, StringType, XxSeed)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
+        }
+        i += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // ---- Column API ----
+
+  def shingleHashes(tokens: Column, w: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), w))
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+}

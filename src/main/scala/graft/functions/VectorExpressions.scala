@@ -1,0 +1,200 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector kernels on the ANN hot path.
+  *
+  * Spark's higher-order array functions (`aggregate`, `zip_with`, …) are
+  * `CodegenFallback`: every element access walks an interpreted expression
+  * tree. For an O(pairs · dim) kernel that overhead dominates, so these
+  * expressions implement both `eval` and `doGenCode` as tight loops over
+  * the unsafe array data — constant work per element either way.
+  */
+object VectorExpressions {
+
+  private def elemGetter(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(FloatType, _)  => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case other => throw new IllegalArgumentException(s"unsupported array type $other")
+  }
+
+  private def javaGetter(dt: DataType, arr: String, i: String): String = dt match {
+    case ArrayType(FloatType, _)  => s"(double)$arr.getFloat($i)"
+    case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
+    case other => throw new IllegalArgumentException(s"unsupported array type $other")
+  }
+
+  /** dot(a, b) over float/double arrays, accumulated in double. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    // Input typing is enforced by elemGetter (float/double arrays only);
+    // ExpectsInputTypes is private[sql] in Spark 4, so no analyzer hook.
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot"
+
+    @transient private lazy val getL = elemGetter(left.dataType)
+    @transient private lazy val getR = elemGetter(right.dataType)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += getL(x, i) * getR(y, i); i += 1 }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += ${javaGetter(left.dataType, a, i)} * ${javaGetter(right.dataType, b, i)};
+        }
+        ${ev.value} = $s;
+        """
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Random-hyperplane sign signature: bit i of the result Long is
+    * sign(dot(vec, planes[i·dim .. i·dim+dim))). The plane matrix is a
+    * constructor constant (row-major), not a child — one fused loop nest,
+    * no per-plane expression trees.
+    */
+  case class LshSignBits(child: Expression, planes: Array[Double],
+                         nPlanes: Int, dim: Int)
+      extends UnaryExpression {
+    require(nPlanes <= 63 && planes.length == nPlanes * dim)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "lsh_sign_bits"
+
+    @transient private lazy val get = elemGetter(child.dataType)
+
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val d = math.min(dim, x.numElements())
+      var sig = 0L
+      var i = 0
+      while (i < nPlanes) {
+        var s = 0.0
+        var j = 0
+        val base = i * dim
+        while (j < d) { s += get(x, j) * planes(base + j); j += 1 }
+        if (s > 0) sig |= (1L << i)
+        i += 1
+      }
+      sig
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val d = ctx.freshName("d")
+        val sig = ctx.freshName("sig")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val s = ctx.freshName("s")
+        s"""
+        int $d = java.lang.Math.min($dim, $v.numElements());
+        long $sig = 0L;
+        for (int $i = 0; $i < $nPlanes; $i++) {
+          double $s = 0.0;
+          for (int $j = 0; $j < $d; $j++) {
+            $s += ${javaGetter(child.dataType, v, j)} * $planesRef[$i * $dim + $j];
+          }
+          if ($s > 0) $sig |= (1L << $i);
+        }
+        ${ev.value} = $sig;
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** MinHash signature over pre-hashed shingles: out[i] =
+    * min over h of ((h mod p)·a[i] + b[i]) mod p. One fused loop nest.
+    */
+  case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long], prime: Long)
+      extends UnaryExpression {
+    require(a.length == b.length)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+
+    override def nullSafeEval(v: Any): Any = {
+      val hs = v.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val k = a.length
+      val out = new Array[Long](k)
+      java.util.Arrays.fill(out, prime)
+      var j = 0
+      while (j < n) {
+        val h = ((hs.getLong(j) % prime) + prime) % prime
+        var i = 0
+        while (i < k) {
+          val p = (h * a(i) + b(i)) % prime
+          if (p < out(i)) out(i) = p
+          i += 1
+        }
+        j += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val n = ctx.freshName("n")
+        val k = ctx.freshName("k")
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val h = ctx.freshName("h")
+        val p = ctx.freshName("p")
+        s"""
+        int $n = $v.numElements();
+        int $k = $aRef.length;
+        long[] $out = new long[$k];
+        java.util.Arrays.fill($out, ${prime}L);
+        for (int $j = 0; $j < $n; $j++) {
+          long $h = (($v.getLong($j) % ${prime}L) + ${prime}L) % ${prime}L;
+          for (int $i = 0; $i < $k; $i++) {
+            long $p = ($h * $aRef[$i] + $bRef[$i]) % ${prime}L;
+            if ($p < $out[$i]) $out[$i] = $p;
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // ---- Column API ----
+
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(expr(a), expr(b)))
+
+  def lshSignBits(vec: Column, planes: Array[Double], nPlanes: Int, dim: Int): Column =
+    ColumnBridge.column(LshSignBits(expr(vec), planes, nPlanes, dim))
+
+  def minhashSig(shingleHashes: Column, a: Array[Long], b: Array[Long], prime: Long): Column =
+    ColumnBridge.column(MinHashSig(expr(shingleHashes), a, b, prime))
+}

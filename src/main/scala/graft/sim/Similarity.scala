@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorExpressions
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`). Kernels are higher-order array expressions (codegen'd,
   * no UDFs). Two paths:
@@ -19,11 +21,13 @@ object Similarity {
   // SQL-function forms of the bit shifts (the Scala DSL overloads only
   // accept Int bit counts, not Columns).
   private def shr(c: Column, bits: Column): Column = call_function("shiftright", c, bits)
+  private def shl(c: Column, bits: Column): Column = call_function("shiftleft", c, bits)
 
-  /** dot(a, b) in double precision (floats promote exactly). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b) in double precision (floats promote exactly) — native
+    * codegen'd kernel, not a higher-order function (HOFs are interpreted
+    * per-element).
+    */
+  def dot(a: Column, b: Column): Column = VectorExpressions.vecDot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -35,11 +39,14 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    // Norms are computed once per vector (O(n)), never per pair (O(n·q)).
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_norm"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        cosine(col("q_vec"), col("n_vec")).as("cos"))
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
@@ -52,17 +59,12 @@ object Similarity {
   }
 
   /** Sign-bit LSH signature: bit i = sign(dot(v, plane_i)). Returned as a
-    * Long (nPlanes <= 63).
+    * Long (nPlanes <= 63). One fused native kernel over the constant plane
+    * matrix (see graft.functions.VectorExpressions.LshSignBits).
     */
-  def lshSignature(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    val ps = planes(nPlanes, dim, seed)
-    val bits = ps.zipWithIndex.map { case (p, i) =>
-      val pcol = array(p.map(lit): _*)
-      when(aggregate(zip_with(vec, pcol, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshSignature(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    VectorExpressions.lshSignBits(vec,
+      planes(nPlanes, dim, seed).flatten.toArray, nPlanes, dim)
 
   /** LSH-bucketed ANN: signature chunks → bucket join → exact cosine rerank
     * within buckets → top-k. Recall < 1 by construction; `nChunks` trades
@@ -77,18 +79,21 @@ object Similarity {
     val mask = (1L << chunkBits) - 1
     def chunked(df: DataFrame, role: String): DataFrame =
       df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
+          l2Norm(col(vecCol)).as(s"${role}_norm"),
           lshSignature(col(vecCol), nPlanes, dim, seed).as("sig"))
-        .select(col(s"${role}_id"), col(s"${role}_vec"),
+        .select(col(s"${role}_id"), col(s"${role}_vec"), col(s"${role}_norm"),
           explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
             struct(c.as("chunk"),
               shr(col("sig"), c * chunkBits).bitwiseAND(mask).as("ch"))))
             .as("ck"))
-        .select(col(s"${role}_id"), col(s"${role}_vec"), col("ck.chunk"), col("ck.ch"))
+        .select(col(s"${role}_id"), col(s"${role}_vec"), col(s"${role}_norm"),
+          col("ck.chunk"), col("ck.ch"))
     val cand = chunked(corpus, "n").join(chunked(queries, "q"), Seq("chunk", "ch"))
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    cand.select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
+    cand.select(col("q_id"), col("n_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cos"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
   }
@@ -102,17 +107,19 @@ object Similarity {
     val nChunks = nPlanes / chunkBits
     val mask = (1L << chunkBits) - 1
     val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        l2Norm(col(vecCol)).as("norm"),
         lshSignature(col(vecCol), nPlanes, dim).as("sig"))
-      .select(col("id"), col("vec"),
+      .select(col("id"), col("vec"), col("norm"),
         explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
           struct(c.as("chunk"),
             shr(col("sig"), c * chunkBits).bitwiseAND(mask).as("ch")))).as("ck"))
-      .select(col("id"), col("vec"), col("ck.chunk"), col("ck.ch"))
-    val a = sigs.toDF("a_id", "a_vec", "chunk", "ch")
-    val b = sigs.toDF("b_id", "b_vec", "chunk", "ch")
+      .select(col("id"), col("vec"), col("norm"), col("ck.chunk"), col("ck.ch"))
+    val a = sigs.toDF("a_id", "a_vec", "a_norm", "chunk", "ch")
+    val b = sigs.toDF("b_id", "b_vec", "b_norm", "chunk", "ch")
     a.join(b, Seq("chunk", "ch")).filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
-      .select(col("a_id"), col("b_id"), cosine(col("a_vec"), col("b_vec")).as("cos"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -3,6 +3,8 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{HashExpressions, VectorExpressions}
+
 /** Corpus deduplication at scale: exact, MinHash+LSH, SimHash, and n-gram
   * Jaccard. All candidate generation is *bucketed* (band/chunk join) so the
   * cost is O(candidates), never O(n²) — the property that matters at 100 TB.
@@ -25,13 +27,11 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
-  /** `w`-word shingles of a text column, deduplicated, as 64-bit hashes. */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = split(text, "\\s+")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - w, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w))))))
-  }
+  /** `w`-word shingles of a text column, deduplicated, as 64-bit hashes
+    * (native kernel; hashes match `xxhash64(concat_ws(" ", …))`).
+    */
+  def shingles(text: Column, w: Int = 3): Column =
+    HashExpressions.shingleHashes(split(text, "\\s+"), w)
 
   // MinHash permutation parameters: h_i(x) = (a_i * x + b_i) mod p over a
   // Mersenne prime; seeded deterministically. p is 2^31-1 so a*h stays
@@ -43,17 +43,16 @@ object Dedup {
     (Seq.fill(numHashes)(draw()), Seq.fill(numHashes)(draw()))
   }
 
-  /** MinHash signature (array of `numHashes` minima over shingle hashes). */
-  def minhashSignature(text: Column, numHashes: Int = 64, shingleW: Int = 3,
+  /** MinHash signature (array of `numHashes` minima) over an
+    * already-materialized shingle-hash array column — a single fused
+    * native kernel (see graft.functions.VectorExpressions.MinHashSig);
+    * the higher-order-function formulation re-walks an interpreted
+    * expression tree per element per permutation.
+    */
+  def minhashSignature(shingleHashes: Column, numHashes: Int = 64,
                        seed: Long = 42L): Column = {
     val (as, bs) = perms(numHashes, seed)
-    val sh = shingles(text, shingleW)
-    transform(sequence(lit(0), lit(numHashes - 1)), i => {
-      val a = element_at(array(as.map(lit): _*), i + 1)
-      val b = element_at(array(bs.map(lit): _*), i + 1)
-      array_min(transform(sh, h => pmod(pmod(h, lit(MinhashPrime)) * a + b,
-        lit(MinhashPrime))))
-    })
+    VectorExpressions.minhashSig(shingleHashes, as.toArray, bs.toArray, MinhashPrime)
   }
 
   /** MinHash+LSH near-duplicate pairs.
@@ -68,10 +67,9 @@ object Dedup {
                    numHashes: Int = 64, bands: Int = 16, shingleW: Int = 3,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val rows = numHashes / bands
-    val withSig = docs.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), shingleW).as("sh"),
-      minhashSignature(col(textCol), numHashes, shingleW).as("sig"))
+    val withSig = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleW).as("sh"))
+      .select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
     val buckets = withSig.select(col("id"), col("sh"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))
@@ -91,20 +89,10 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per-token xxhash64, each bit
-    * votes ±1, fingerprint takes the sign. Built entirely from higher-order
-    * expressions (zip_with over a 64-wide accumulator).
+    * votes ±1, fingerprint takes the sign (native kernel).
     */
-  def simhash(text: Column): Column = {
-    val zeros = array_repeat(lit(0), 64)
-    val votes = aggregate(split(text, "\\s+"), zeros, (acc, w) =>
-      zip_with(acc, transform(sequence(lit(0), lit(63)),
-          j => when(shr(xxhash64(w), j).bitwiseAND(1) === 1, 1).otherwise(-1)),
-        (x, y) => x + y))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, j) => when(v > 0, shl(lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
-  }
+  def simhash(text: Column): Column =
+    HashExpressions.simhash64(split(text, "\\s+"))
 
   /** SimHash near-dup pairs: bucket by 16-bit chunks (pigeonhole: any pair
     * within Hamming distance 3 shares at least one of 4 chunks), verify
