@@ -118,10 +118,11 @@ object CorpusQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
-    // LSH-bucketed ANN for the same queries (recall measured in the spec).
+    // LSH-bucketed ANN for the same queries (recall measured in the spec;
+    // 4-bit chunks because the fixture vectors are random — see spec note).
     Q.unchecked("ann_lsh_topk") { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 10, chunkBits = 4)
         .orderBy(col("q_id"), col("rnk"))
     },
 

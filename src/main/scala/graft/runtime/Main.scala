@@ -1,0 +1,95 @@
+package graft.runtime
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.gen.ClickstreamGen
+import graft.model.ClickstreamEvent
+import graft.sink.{InMemoryKV, JdbcSink, KeyValueSink, RedisKV}
+import graft.source.{ClickstreamSource, KafkaSourceConfig}
+
+/** The engine's entrypoint — the Scala analog of
+  * `python -m spark_processor.stream_processor` (reference
+  * `stream_processor.py:537-540`), config via env like `config.py`.
+  *
+  * Modes:
+  *  - `GRAFT_SOURCE=kafka`: consume the configured Kafka topic (requires
+  *    the kafka connector jar on the classpath);
+  *  - default demo mode: drive the full six-query engine from the
+  *    deterministic generator through a MemoryStream, then print what the
+  *    sinks received — a self-contained end-to-end run.
+  * Sinks: JDBC when `GRAFT_JDBC_URL` is set, in-memory capture otherwise;
+  * Redis when `GRAFT_REDIS_HOST` is set, in-memory KV otherwise.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft-clickstream")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val checkpoint = sys.env.getOrElse("GRAFT_CHECKPOINT_DIR",
+      Files.createTempDirectory("graft-checkpoints").toString)
+    val runner = new StreamRunner(spark,
+      StreamConfig(checkpoint,
+        batchDurationSec = sys.env.getOrElse("SPARK_BATCH_DURATION", "5").toInt))
+    runner.attachListener()
+
+    val kv: KeyValueSink = sys.env.get("GRAFT_REDIS_HOST")
+      .map(h => new RedisKV(h, sys.env.getOrElse("GRAFT_REDIS_PORT", "6379").toInt))
+      .getOrElse(new InMemoryKV)
+
+    val captured = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val write: (DataFrame, String) => Unit = sys.env.get("GRAFT_JDBC_URL") match {
+      case Some(url) =>
+        val cfg = JdbcSink.JdbcConfig(url,
+          sys.env.getOrElse("GRAFT_JDBC_USER", "postgres"),
+          sys.env.getOrElse("GRAFT_JDBC_PASSWORD", "postgres"))
+        (df, table) => JdbcSink.saveDataFrame(df, table, cfg)
+      case None =>
+        (df, table) => captured.merge(table, df.count(), (a, b) => a + b)
+    }
+
+    sys.env.get("GRAFT_SOURCE") match {
+      case Some("kafka") =>
+        ClickstreamProcessor.start(runner,
+          ClickstreamSource.kafka(spark, KafkaSourceConfig()), write, kv)
+        runner.awaitAnyTermination()
+
+      case _ => // demo: generator → MemoryStream → full engine
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val n = sys.env.getOrElse("GRAFT_DEMO_EVENTS", "5000").toLong
+        val stream = MemoryStream[ClickstreamEvent]
+        ClickstreamProcessor.start(runner, stream.toDF(), write, kv)
+        val evs = ClickstreamGen.events(spark, n).collect()
+        evs.grouped(math.max(evs.length / 4, 1)).foreach { chunk =>
+          stream.addData(chunk.toSeq)
+          runner.processAllAvailable()
+        }
+        runner.stopAll()
+        println(s"[graft] processed $n events through 6 streaming queries")
+        captured.forEach((t, c) => println(s"[graft] table $t: $c rows written"))
+        kv match {
+          case mem: InMemoryKV =>
+            println(s"[graft] kv purchases:count = ${mem.getCounter("purchases:count")}")
+            println(f"[graft] kv revenue:total = ${mem.getFloatCounter("revenue:total")}%.2f")
+            graft.model.Schemas.Vocab.pages.take(3).foreach { p =>
+              println(s"[graft] kv page_views:$p = ${mem.getCounter(s"page_views:$p")} " +
+                s"(ts points: ${mem.getTimeSeries(s"page_views_ts:$p").length})")
+            }
+          case _ => ()
+        }
+    }
+    spark.stop()
+  }
+}

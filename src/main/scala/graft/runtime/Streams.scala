@@ -1,0 +1,155 @@
+package graft.runtime
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+import graft.ops.Pipelines
+import graft.sink.{JdbcSink, KeyValueSink}
+
+/** T1-T8: the streaming runtime — query lifecycle, triggers, checkpoints,
+  * retrying foreachBatch sinks, progress listener, graceful shutdown.
+  *
+  * Where the reference's runtime is broken, we implement the *intent*:
+  *  - its second `start_processing` definition shadows the first, killing
+  *    the listener and `awaitAnyTermination` (`stream_processor.py:430,511`)
+  *    — here both work;
+  *  - `_setup_monitoring` attaches the listener to a per-query object that
+  *    has no such API (`:467`) — here it attaches to `spark.streams`;
+  *  - graceful stop (`:501-509`, dead code) — here a real shutdown hook.
+  */
+final case class StreamConfig(
+    checkpointDir: String,
+    batchDurationSec: Int = 5, // reference default, config.py:51
+    outputMode: String = "update")
+
+class StreamRunner(spark: SparkSession, cfg: StreamConfig) {
+
+  private val queries = scala.collection.mutable.Buffer.empty[StreamingQuery]
+  private val stopping = new AtomicBoolean(false)
+
+  /** T7: progress/lifecycle logging — rows/sec and batch duration per
+    * trigger (the reference's dead `_setup_monitoring`, attached properly).
+    */
+  def attachListener(log: String => Unit = s => Console.err.println(s)): Unit =
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+        log(s"[stream] started ${e.name} (${e.id})")
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        log(f"[stream] ${e.progress.name}: ${e.progress.numInputRows} rows, " +
+          f"${e.progress.processedRowsPerSecond}%.1f rows/s, " +
+          s"batch ${e.progress.batchDuration} ms")
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        log(s"[stream] terminated ${e.id}" +
+          e.exception.map(x => s" with error: $x").getOrElse(""))
+    })
+
+  /** T1/T2/T3/T4/T5: start one update-mode micro-batch query with its own
+    * checkpoint dir and a retry-wrapped foreachBatch sink. Empty batches
+    * are skipped (P8, the reference's `batch_df.isEmpty()` guards).
+    */
+  def start(df: DataFrame, name: String)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val q = df.writeStream
+      .queryName(name)
+      .outputMode(cfg.outputMode)
+      .option("checkpointLocation", s"${cfg.checkpointDir}/$name")
+      .trigger(Trigger.ProcessingTime(s"${cfg.batchDurationSec} seconds"))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) JdbcSink.retry()(sink(batch, id))
+      }
+      .start()
+    queries.synchronized(queries += q)
+    q
+  }
+
+  def active: Seq[StreamingQuery] = queries.synchronized(queries.toSeq)
+
+  /** T6 (intended path): block on any termination; a JVM shutdown hook
+    * stops every active query gracefully.
+    */
+  def awaitAnyTermination(): Unit = {
+    sys.addShutdownHook(stopAll())
+    spark.streams.awaitAnyTermination()
+  }
+
+  def stopAll(): Unit = if (stopping.compareAndSet(false, true)) {
+    active.foreach { q => try q.stop() catch { case _: Throwable => () } }
+  }
+
+  def processAllAvailable(): Unit = active.foreach(_.processAllAvailable())
+}
+
+/** The engine assembled: the reference's four concurrent pipelines
+  * (`stream_processor.py:515-522`) + the two Redis paths, wired to real
+  * sinks. `jdbcWrite`/KV are injected so tests run fully in-process.
+  */
+object ClickstreamProcessor {
+
+  /** Sink for page-view window counts → `page_view_stats` (K1). */
+  def pageViewStats(write: (DataFrame, String) => Unit)(batch: DataFrame, id: Long): Unit =
+    write(batch, "page_view_stats")
+
+  /** K2: session rollups with CSV-flattened arrays → `user_sessions`. */
+  def sessionStats(write: (DataFrame, String) => Unit)(batch: DataFrame, id: Long): Unit =
+    write(batch, "user_sessions")
+
+  /** K4: the reference's missing `save_purchase_stats_to_postgres`. */
+  def purchaseStats(write: (DataFrame, String) => Unit)(batch: DataFrame, id: Long): Unit =
+    write(batch, "purchase_stats")
+
+  /** K3: device stats → `device_stats`. */
+  def deviceStats(write: (DataFrame, String) => Unit)(batch: DataFrame, id: Long): Unit =
+    write(batch, "device_stats")
+
+  /** K5+K6: per-page counters and 24h time-series in the KV store —
+    * the reference's intended `update_redis_page_counts`
+    * (`stream_processor.py:363-402`): re-aggregate the micro-batch by page
+    * (bounded by the 14-page vocabulary, so the collect is safe), then one
+    * pipelined round trip.
+    */
+  def redisPageCounts(kv: KeyValueSink)(batch: DataFrame, id: Long): Unit = {
+    val counts = batch.groupBy(col("page"))
+      .agg(count(lit(1)).as("count"),
+        unix_timestamp(max(col("timestamp"))).as("ts"))
+      .collect()
+    val p = kv.pipeline()
+    counts.foreach { r =>
+      val page = r.getString(0)
+      val n = r.getLong(1)
+      p.increment(s"page_views:$page", n)
+      p.addTimeSeries(s"page_views_ts:$page", r.getLong(2), n, ttlSec = 86400L)
+    }
+    p.execute()
+  }
+
+  /** K7: the reference's missing `update_redis_purchase_metrics` — running
+    * revenue/purchase counters (minimal faithful interpretation of
+    * `stream_processor.py:243-249`).
+    */
+  def redisPurchaseMetrics(kv: KeyValueSink)(batch: DataFrame, id: Long): Unit = {
+    val row = batch.agg(
+      count(lit(1)).as("n"),
+      sum(col("total_amount").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .collect()(0)
+    val p = kv.pipeline()
+    p.increment("purchases:count", row.getLong(0))
+    if (!row.isNullAt(1)) p.incrementByFloat("revenue:total", row.getDouble(1))
+    p.execute()
+  }
+
+  /** Start all six queries (4 JDBC + 2 KV) off one source DataFrame. */
+  def start(runner: StreamRunner, source: DataFrame,
+            write: (DataFrame, String) => Unit, kv: KeyValueSink): Seq[StreamingQuery] = {
+    val purchases = source.filter(col("event_type") === "purchase")
+    Seq(
+      runner.start(Pipelines.pageViews(source), "page_views")(pageViewStats(write)),
+      runner.start(source.filter(col("event_type") === "page_view"),
+        "redis_page_views")(redisPageCounts(kv)),
+      runner.start(Pipelines.sessions(source), "user_sessions")(sessionStats(write)),
+      runner.start(Pipelines.conversions(source), "conversions")(purchaseStats(write)),
+      runner.start(purchases, "redis_purchases")(redisPurchaseMetrics(kv)),
+      runner.start(Pipelines.deviceStats(source), "device_stats")(deviceStats(write)))
+  }
+}

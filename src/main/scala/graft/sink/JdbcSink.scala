@@ -1,0 +1,96 @@
+package graft.sink
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+
+/** K1-K4 + K9: relational persistence.
+  *
+  * The reference's only DataFrame write path is
+  * `PostgresConnector.save_dataframe(df, table, mode)` — called at
+  * `spark_processor/stream_processor.py:310,346,414` but never defined
+  * (its connector only has row-level `execute_query`/`batch_insert`,
+  * `storage/postgres_connector.py:44-77`). This object is that method
+  * implemented honestly on Spark's JDBC writer, plus the idempotent
+  * upsert the reference's update-mode → append-mode pipelines actually
+  * need (SURVEY.md §7.4.1: appending update-mode revisions duplicates
+  * window rows; upsert keyed on the window/dimension columns fixes it).
+  */
+object JdbcSink {
+
+  final case class JdbcConfig(url: String, user: String, password: String,
+                              driver: String = "org.postgresql.Driver") {
+    def properties: Properties = {
+      val p = new Properties()
+      p.setProperty("user", user)
+      p.setProperty("password", password)
+      p.setProperty("driver", driver)
+      p
+    }
+  }
+
+  /** T5: shared retry with exponential backoff — the pattern the reference
+    * copy-pastes around every sink write (`stream_processor.py:305-324`,
+    * `341-360`, `371-402`, `409-428`), factored once.
+    */
+  def retry[T](attempts: Int = 3, baseDelayMs: Long = 1000L)(f: => T): T = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return f
+      catch {
+        case e: Throwable =>
+          last = e
+          i += 1
+          if (i < attempts) Thread.sleep(baseDelayMs * (1L << (i - 1)))
+      }
+    }
+    throw last
+  }
+
+  /** The missing `save_dataframe`: plain JDBC append/overwrite. */
+  def saveDataFrame(df: DataFrame, table: String, cfg: JdbcConfig,
+                    mode: SaveMode = SaveMode.Append): Unit =
+    retry() {
+      df.write.mode(mode).jdbc(cfg.url, table, cfg.properties)
+    }
+
+  /** Idempotent upsert: `INSERT … ON CONFLICT (keys) DO UPDATE` executed
+    * per partition on the executors (no driver collect). Correct target
+    * for update-mode streaming output where later triggers revise rows.
+    */
+  def upsert(df: DataFrame, table: String, keyCols: Seq[String], cfg: JdbcConfig): Unit = {
+    val cols = df.columns.toSeq
+    val nonKeys = cols.filterNot(keyCols.contains)
+    val sql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET " +
+      nonKeys.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    val (url, props) = (cfg.url, cfg.properties)
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.prepareStatement(sql)
+          var n = 0
+          rows.foreach { r =>
+            cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+            st.addBatch()
+            n += 1
+            if (n % 1000 == 0) st.executeBatch()
+          }
+          st.executeBatch()
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** K9 read side: table-or-query load through Spark's JDBC source
+    * (predicate pushdown + partitioned reads come builtin).
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, tableOrQuery: String,
+           cfg: JdbcConfig): DataFrame =
+    spark.read.jdbc(cfg.url, tableOrQuery, cfg.properties)
+}

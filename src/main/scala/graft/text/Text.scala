@@ -34,10 +34,12 @@ object Text {
     size(array_distinct(tokens(text))) / tokenCount(text)
 
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))) / length(text)
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))) /
+      greatest(length(text), lit(1)) // ANSI mode: guard the empty string
 
   def digitRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[0-9]", ""))) / length(text)
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))) /
+      greatest(length(text), lit(1))
 
   def meanTokenLen(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w)).cast("double") /

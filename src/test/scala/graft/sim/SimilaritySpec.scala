@@ -1,0 +1,77 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.source.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  test("vecDot / cosine match independent computation on known vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f), Array(3.0f, 4.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), Similarity.dot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(got(0).getDouble(1) == 1.0 * 3.0 + 0.0 * 4.0 + 2.0 * 0.5)
+    assert(got(1).getDouble(1) == 0.0)
+  }
+
+  test("bruteForceTopK matches an exact in-memory ranking") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val got = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq).toMap
+
+    // independent computation straight from the parquet rows
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (q <- 0L until 3L) {
+      val qv = rows.find(_._1 == q).get._2
+      val expect = rows.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+      assert(got(q) == expect, s"query $q: ${got(q)} vs $expect")
+    }
+  }
+
+  test("lshTopK achieves useful recall against brute force") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fixture vectors are i.i.d. random (top-10 cosine ≈ 0.3): sign-bit
+    // collision prob per 4-bit chunk is (1-θ/π)^4 ≈ 0.13, so 8 chunks give
+    // ~2/3 recall; production near-dups (cos ≥ 0.9) bucket far better.
+    val approx = Similarity.lshTopK(emb, queries, k = 10, chunkBits = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall > 0.4, s"recall $recall")
+    // every LSH hit must carry the exact cosine (rerank is exact)
+    assert(approx.subsetOf(
+      Similarity.bruteForceTopK(emb, queries, k = 500).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet))
+  }
+
+  test("cosineDupPairs returns only pairs above threshold, exact scores") {
+    import spark.implicits._
+    val v1 = Array.fill(8)(1.0f)
+    val v2 = v1.clone(); v2(0) = 0.9f // nearly identical
+    val v3 = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val out = Similarity.cosineDupPairs(df, threshold = 0.9, nPlanes = 32,
+        chunkBits = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+  private val nearDup = base.replace("runs", "walks")
+  private val other = "completely different content about spark catalyst optimizer rules engine"
+
+  test("exact dedup groups identical texts under one fingerprint") {
+    val d = docs((1L, base), (2L, base), (3L, other))
+    val out = Dedup.exact(d).orderBy("canonical_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("canonical_id") == 1L && out(0).getAs[Long]("n_dups") == 2L)
+  }
+
+  test("minhash finds near-duplicates and skips unrelated docs") {
+    val d = docs((1L, base), (2L, nearDup), (3L, other), (4L, base))
+    val pairs = Dedup.minhashPairs(d, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)), s"got $pairs")
+    assert(pairs.contains((1L, 4L))) // identical docs always collide
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash candidate jaccard matches exact shingle jaccard") {
+    val d = docs((1L, base), (2L, nearDup))
+    val got = Dedup.minhashPairs(d, threshold = 0.0, bands = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 1)
+    // exact 3-shingle jaccard computed independently
+    def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (a, b) = (sh(base), sh(nearDup))
+    val expect = a.intersect(b).size.toDouble / a.union(b).size
+    assert(math.abs(got(0)._3 - expect) < 1e-12, s"${got(0)._3} vs $expect")
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups within threshold, unrelated out") {
+    val d = docs((1L, base), (2L, nearDup), (3L, other), (4L, base))
+    val out = Dedup.simhashPairs(d, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 16))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccardPairs blocks and scores exactly") {
+    import spark.implicits._
+    val d = Seq((1L, "g1", base), (2L, "g1", base), (3L, "g2", base))
+      .toDF("doc_id", "blk", "text")
+    val out = Dedup.jaccardPairs(d, Seq("blk"), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L))) // cross-block pair 1-3 never compared
+  }
+
+  test("minhash scales candidates via banding, not n²") {
+    // sanity: with one band of all rows (bands=1), only near-identical
+    // signatures collide; candidate count stays far below C(n,2)
+    val many = docs((1L to 60L).map(i => i -> s"$other variant $i unique tokens ${i * 7}"): _*)
+    val cand = Dedup.minhashPairs(many, threshold = 0.0, bands = 1).count()
+    assert(cand < 60, s"banding should prune candidates, got $cand")
+  }
+}
