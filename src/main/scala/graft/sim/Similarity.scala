@@ -77,22 +77,29 @@ object Similarity {
               seed: Long = 42L): DataFrame = {
     val nChunks = nPlanes / chunkBits
     val mask = (1L << chunkBits) - 1
+    // Candidate generation and dedup carry IDs ONLY — shuffling the
+    // vectors through the bucket join would multiply payload bytes by the
+    // collision count. Vectors are joined back once per surviving pair.
     def chunked(df: DataFrame, role: String): DataFrame =
-      df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
-          l2Norm(col(vecCol)).as(s"${role}_norm"),
+      df.select(col(idCol).as(s"${role}_id"),
           lshSignature(col(vecCol), nPlanes, dim, seed).as("sig"))
-        .select(col(s"${role}_id"), col(s"${role}_vec"), col(s"${role}_norm"),
+        .select(col(s"${role}_id"),
           explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
             struct(c.as("chunk"),
               shr(col("sig"), c * chunkBits).bitwiseAND(mask).as("ch"))))
             .as("ck"))
-        .select(col(s"${role}_id"), col(s"${role}_vec"), col(s"${role}_norm"),
-          col("ck.chunk"), col("ck.ch"))
-    val cand = chunked(corpus, "n").join(chunked(queries, "q"), Seq("chunk", "ch"))
+        .select(col(s"${role}_id"), col("ck.chunk"), col("ck.ch"))
+    val cand = chunked(corpus, "n")
+      .join(chunked(queries, "q"), Seq("chunk", "ch"))
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")
+    def sides(df: DataFrame, role: String): DataFrame =
+      df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
+        l2Norm(col(vecCol)).as(s"${role}_norm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    cand.select(col("q_id"), col("n_id"),
+    cand
+      .join(sides(queries, "q"), "q_id").join(sides(corpus, "n"), "n_id")
+      .select(col("q_id"), col("n_id"),
         (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cos"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
@@ -106,18 +113,23 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val nChunks = nPlanes / chunkBits
     val mask = (1L << chunkBits) - 1
-    val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        l2Norm(col(vecCol)).as("norm"),
+    // IDs-only buckets (see lshTopK): the payload never rides the
+    // candidate shuffle; vectors are joined back once per surviving pair.
+    val sigs = corpus.select(col(idCol).as("id"),
         lshSignature(col(vecCol), nPlanes, dim).as("sig"))
-      .select(col("id"), col("vec"), col("norm"),
+      .select(col("id"),
         explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
           struct(c.as("chunk"),
             shr(col("sig"), c * chunkBits).bitwiseAND(mask).as("ch")))).as("ck"))
-      .select(col("id"), col("vec"), col("norm"), col("ck.chunk"), col("ck.ch"))
-    val a = sigs.toDF("a_id", "a_vec", "a_norm", "chunk", "ch")
-    val b = sigs.toDF("b_id", "b_vec", "b_norm", "chunk", "ch")
+      .select(col("id"), col("ck.chunk"), col("ck.ch"))
+    val a = sigs.toDF("a_id", "chunk", "ch")
+    val b = sigs.toDF("b_id", "chunk", "ch")
+    def side(role: String): DataFrame =
+      corpus.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
+        l2Norm(col(vecCol)).as(s"${role}_norm"))
     a.join(b, Seq("chunk", "ch")).filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
+      .join(side("a"), "a_id").join(side("b"), "b_id")
       .select(col("a_id"), col("b_id"),
         (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("cos"))
       .filter(col("cos") >= threshold)

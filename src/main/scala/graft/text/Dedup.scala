@@ -67,22 +67,27 @@ object Dedup {
                    numHashes: Int = 64, bands: Int = 16, shingleW: Int = 3,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val rows = numHashes / bands
-    val withSig = docs
+    // Bucket join and candidate dedup carry IDs only; shingle sets join
+    // back for exact verification of the (much smaller) candidate set —
+    // shuffling the shingle arrays through every band collision would
+    // multiply payload bytes by the collision count.
+    val buckets = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleW).as("sh"))
-      .select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
-    val buckets = withSig.select(col("id"), col("sh"),
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))
             .as("bh")))).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.bh"))
-    val a = buckets.toDF("a_id", "a_sh", "band", "bh")
-    val b = buckets.toDF("b_id", "b_sh", "band", "bh")
-    val cand = a.join(b, Seq("band", "bh"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val cand = buckets.toDF("a_id", "band", "bh")
+      .join(buckets.toDF("b_id", "band", "bh"), Seq("band", "bh"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
       .dropDuplicates("a_id", "b_id")
+    def side(role: String): DataFrame = docs.select(
+      col(idCol).as(s"${role}_id"), shingles(col(textCol), shingleW).as(s"${role}_sh"))
     val inter = size(array_intersect(col("a_sh"), col("b_sh")))
     cand
+      .join(side("a"), "a_id").join(side("b"), "b_id")
       .select(col("a_id"), col("b_id"),
         (inter / (size(col("a_sh")) + size(col("b_sh")) - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
