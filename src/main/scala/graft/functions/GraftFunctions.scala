@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, Sqrt}
+
+/** SQL-surface registration of the native kernels, so the engine's custom
+  * functions are first-class in `spark.sql(...)`:
+  *
+  *   SELECT vec_dot(a, b), vec_cosine(a, b), simhash64(split(text, ' ')),
+  *          shingle_hashes(split(text, ' '), 3)
+  *
+  * Two entry points:
+  *  - `GraftFunctions.register(spark)` — imperative, any live session;
+  *  - `graft.functions.GraftExtensions` — for
+  *    `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _)  => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a long literal, got $other")
+  }
+
+  val builders: Map[String, Seq[Expression] => Expression] = Map(
+    "vec_dot" -> (es => VectorExpressions.DotProduct(es(0), es(1))),
+    "vec_norm" -> (es => Sqrt(VectorExpressions.DotProduct(es(0), es(0)))),
+    "vec_cosine" -> { es =>
+      org.apache.spark.sql.catalyst.expressions.Divide(
+        VectorExpressions.DotProduct(es(0), es(1)),
+        org.apache.spark.sql.catalyst.expressions.Multiply(
+          Sqrt(VectorExpressions.DotProduct(es(0), es(0))),
+          Sqrt(VectorExpressions.DotProduct(es(1), es(1)))))
+    },
+    "simhash64" -> (es => HashExpressions.SimHash64(es(0))),
+    "shingle_hashes" -> { es =>
+      val w = if (es.length > 1) intLit(es(1), "shingle width") else 3
+      HashExpressions.ShingleHashes(es(0), w)
+    },
+    "minhash_sig" -> { es =>
+      // minhash_sig(shingle_hashes, numHashes [, seed])
+      val k = if (es.length > 1) intLit(es(1), "numHashes") else 64
+      val seed = if (es.length > 2) longLit(es(2), "seed") else 42L
+      val rnd = new scala.util.Random(seed)
+      val p = 2147483647L
+      def draw() = (rnd.nextLong().abs % (p - 1)) + 1
+      val a = Array.fill(k)(draw())
+      val b = Array.fill(k)(draw())
+      VectorExpressions.MinHashSig(es(0), a, b, p)
+    })
+
+  /** Register every kernel as a temp function on a live session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
+}
+
+/** `spark.sql.extensions` hook. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        b))
+    }
+}

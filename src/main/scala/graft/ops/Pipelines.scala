@@ -138,4 +138,30 @@ object Pipelines {
     */
   def pageCounts(batch: DataFrame): DataFrame =
     batch.groupBy(col("page")).count()
+
+  /** Streaming/batch-unified exact dedup (M5): on a stream, state for a
+    * key is dropped once the watermark passes its event time
+    * (`dropDuplicatesWithinWatermark`), so memory is bounded — the
+    * correct form of "exact dedup" under unbounded input. On batch input
+    * it degrades to plain `dropDuplicates`.
+    */
+  def dedup(events: DataFrame, keys: Seq[String],
+            watermark: String = "10 minutes"): DataFrame = {
+    val withWm = events.withWatermark("timestamp", watermark)
+    if (events.isStreaming) withWm.dropDuplicatesWithinWatermark(keys)
+    else withWm.dropDuplicates(keys)
+  }
+
+  /** R1/R2 fidelity hints: the reference round-robin-repartitions before
+    * the page-view agg (`stream_processor.py:134`) and hash-repartitions
+    * by session before the session agg (`:180`). Both force an extra full
+    * shuffle of unaggregated rows that the aggregation's own exchange
+    * makes redundant — off by default, available for exact plan fidelity.
+    */
+  def withReferenceRepartitioning(events: DataFrame,
+                                  pageViewPartitions: Int = 10): DataFrame =
+    events.repartition(pageViewPartitions)
+
+  def repartitionBySession(events: DataFrame): DataFrame =
+    events.repartition(col("session_id"))
 }

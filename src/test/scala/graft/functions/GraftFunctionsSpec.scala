@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("kernels are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+                vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+                vec_norm(array(3.0F, 4.0F)) AS n,
+                simhash64(split('hello world hello', ' ')) AS sh,
+                size(shingle_hashes(split('a b c d', ' '), 2)) AS nsh,
+                size(minhash_sig(shingle_hashes(split('a b c d', ' '), 2), 16)) AS k
+      """).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 5.0)
+    assert(r.getLong(3) != 0L)
+    assert(r.getInt(4) == 3) // "a b","b c","c d"
+    assert(r.getInt(5) == 16)
+  }
+
+  test("SQL kernels agree with the Column API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+    val df = Seq((Array(1.5f, -2.0f, 3.0f), Array(0.5f, 4.0f, -1.0f))).toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql("SELECT vec_dot(a, b) FROM vecs").collect()(0).getDouble(0)
+    val viaCol = df.select(VectorExpressions.vecDot(col("a"), col("b")))
+      .collect()(0).getDouble(0)
+    assert(viaSql == viaCol)
+  }
+
+  test("non-literal width for shingle_hashes is rejected with a clear error") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(split('a b', ' '), 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
