@@ -185,6 +185,52 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Indices of the `nProbe` nearest centroids by L2 distance (ascending).
+    * Centroid matrix is a constructor constant (row-major). Distances use
+    * the ||v−c||² = ||v||² − 2v·c + ||c||² expansion with ||c||²
+    * precomputed — one fused pass. CodegenFallback: the eval IS the tight
+    * loop; per-row interpreted dispatch is noise next to k·dim work.
+    */
+  case class NearestCentroids(child: Expression, centroids: Array[Double],
+                              nCentroids: Int, dim: Int, nProbe: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(centroids.length == nCentroids * dim && nProbe >= 1)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "nearest_centroids"
+
+    @transient private lazy val get = elemGetter(child.dataType)
+    @transient private lazy val centNorm2: Array[Double] = {
+      val out = new Array[Double](nCentroids)
+      var i = 0
+      while (i < nCentroids) {
+        var s = 0.0; var j = 0
+        while (j < dim) { val c = centroids(i * dim + j); s += c * c; j += 1 }
+        out(i) = s; i += 1
+      }
+      out
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val d = math.min(dim, x.numElements())
+      val score = new Array[Double](nCentroids) // −2v·c + ||c||² (v² constant)
+      var i = 0
+      while (i < nCentroids) {
+        var dot = 0.0; var j = 0
+        val base = i * dim
+        while (j < d) { dot += get(x, j) * centroids(base + j); j += 1 }
+        score(i) = centNorm2(i) - 2.0 * dot
+        i += 1
+      }
+      val p = math.min(nProbe, nCentroids)
+      val idx = Array.range(0, nCentroids).sortBy(i => (score(i), i)).take(p)
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(idx)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column API ----
 
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
@@ -197,4 +243,8 @@ object VectorExpressions {
 
   def minhashSig(shingleHashes: Column, a: Array[Long], b: Array[Long], prime: Long): Column =
     ColumnBridge.column(MinHashSig(expr(shingleHashes), a, b, prime))
+
+  def nearestCentroids(vec: Column, centroids: Array[Double], nCentroids: Int,
+                       dim: Int, nProbe: Int): Column =
+    ColumnBridge.column(NearestCentroids(expr(vec), centroids, nCentroids, dim, nProbe))
 }

@@ -206,6 +206,36 @@ object Analytics {
         .orderBy(col("p_brand"))
     },
 
+    Q("customers_no_recent_orders",
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_orderdate >= TIMESTAMP '2001-01-01')
+         ORDER BY c_custkey""") { (s, dir) =>
+      t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders")
+            .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01"))),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    Q("monthly_revenue_growth",
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+           FROM orders GROUP BY 1)
+         SELECT month, revenue,
+           revenue - lag(revenue) OVER (ORDER BY month) AS mom_change
+         FROM m ORDER BY month""") { (s, dir) =>
+      val w = Window.orderBy(col("month"))
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+        .select(col("month"), col("revenue"),
+          (col("revenue") - lag(col("revenue"), 1).over(w)).as("mom_change"))
+        .orderBy(col("month"))
+    },
+
     // ============ clickstream semantics over the events table ============
     // (batch twins of ops.Pipelines; same shapes the streaming queries emit)
 
@@ -280,6 +310,28 @@ object Analytics {
         .select(col("window.start").as("window_start"), col("bucket"),
           col("n"), col("unique_users"))
         .orderBy(col("window_start"), col("bucket"))
+    },
+
+    // Sliding windows (10-minute windows every 5 minutes): each event lands
+    // in two windows. The oracle derives the same window set from 5-minute
+    // buckets (starts ∈ {bucket, bucket − 5 min}).
+    Q("ev_sliding_views",
+      """SELECT window_start,
+         CAST(window_start + INTERVAL 10 MINUTE AS TIMESTAMP) AS window_end,
+         COUNT(*) AS n FROM (
+           SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS window_start
+           FROM events WHERE event_type = 'view'
+           UNION ALL
+           SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE AS TIMESTAMP)
+           FROM events WHERE event_type = 'view')
+         GROUP BY window_start ORDER BY window_start""") { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "view")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .count()
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"), col("count").as("n"))
+        .orderBy(col("window_start"))
     },
 
     // A5 analog / top-k: event type popularity.

@@ -100,7 +100,29 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // BPE-ish subword token counts (regex pre-tokenizer shape).
+    Q("doc_bpe_tokens",
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
+         FROM documents ORDER BY doc_id""") { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), Text.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- similarity search over embeddings ----
+
+    // L2 norms through the native DotProduct kernel — float→double
+    // promotion + in-order double accumulation matches DuckDB's list_sum
+    // over a double-transformed list bit-for-bit.
+    Q("emb_norms",
+      """SELECT vec_id,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+         FROM embeddings ORDER BY vec_id""") { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.l2Norm(col("embedding")).as("norm"))
+        .orderBy(col("vec_id"))
+    },
 
     Q("emb_label_counts",
       """SELECT label, COUNT(*) AS n FROM embeddings
@@ -123,6 +145,17 @@ object CorpusQueries {
     Q.unchecked("ann_lsh_topk") { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 10, chunkBits = 4)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // IVF ANN: k-means-lite inverted lists, nProbe nearest lists searched,
+    // exact rerank (rows-only: centroid training is engine-side; IvfSpec
+    // proves recall properties incl. exactness at full probe).
+    Q.unchecked("ann_ivf_topk") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val model = graft.sim.Ivf.train(emb, nCentroids = 16, dim = 64, iters = 2)
+      graft.sim.Ivf.search(emb, emb.filter(col("vec_id") < 20), model,
+          k = 10, nProbe = 4)
         .orderBy(col("q_id"), col("rnk"))
     },
 

@@ -1,0 +1,112 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** IVF (inverted-file) ANN — the clustering-based scale path next to the
+  * LSH one in [[Similarity]]:
+  *
+  *  - train: k-means-lite over the corpus. Assignment is a fused native
+  *    expression per row; per-cluster means come from a typed
+  *    `Aggregator` (distributed vector sum — map-side partial aggregation,
+  *    one small row per cluster on the shuffle). The driver only ever
+  *    holds the centroid matrix (k·dim doubles), never vectors.
+  *  - search: each query probes its `nProbe` nearest centroid lists; the
+  *    bucket join carries IDs + cluster only, exact cosine reranks the
+  *    candidates. Cost ≈ |corpus|·nProbe/k pairs instead of |corpus|·|Q|.
+  */
+object Ivf {
+
+  final case class IvfModel(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+    def dim: Int = centroids.headOption.map(_.length).getOrElse(0)
+    def flat: Array[Double] = centroids.flatten
+  }
+
+  /** Distributed element-wise sum of float vectors (typed Aggregator →
+    * UDAF). Buffer is one double[dim] per group per partition.
+    */
+  class VectorSum(dim: Int) extends Aggregator[Array[Float], Array[Double], Array[Double]] {
+    override def zero: Array[Double] = new Array[Double](dim)
+    override def reduce(b: Array[Double], a: Array[Float]): Array[Double] = {
+      val n = math.min(dim, a.length)
+      var i = 0
+      while (i < n) { b(i) += a(i); i += 1 }
+      b
+    }
+    override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < dim) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(r: Array[Double]): Array[Double] = r
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  /** Deterministic k-means-lite. Init = the vectors with the smallest
+    * xxhash64(id) (a seedable pseudo-random sample that needs no
+    * Math.random). `iters` Lloyd rounds; empty clusters keep their
+    * previous centroid.
+    */
+  def train(corpus: DataFrame, nCentroids: Int, dim: Int, iters: Int = 3,
+            idCol: String = "vec_id", vecCol: String = "embedding"): IvfModel = {
+    val init = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h"), col("id")).limit(nCentroids)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    var centroids = init
+    val vecSum = udaf(new VectorSum(dim))
+    (1 to iters).foreach { _ =>
+      val assigned = corpus.select(
+        element_at(VectorExpressions.nearestCentroids(
+          col(vecCol), centroids.flatten, centroids.length, dim, 1), 1).as("cluster"),
+        col(vecCol).as("vec"))
+      val stats = assigned.groupBy(col("cluster"))
+        .agg(vecSum(col("vec")).as("sum"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      stats.foreach { r =>
+        val c = r.getInt(0)
+        val sum = r.getSeq[Double](1)
+        val n = r.getLong(2).toDouble
+        next(c) = sum.map(_ / n).toArray
+      }
+      centroids = next
+    }
+    IvfModel(centroids)
+  }
+
+  /** ANN search through the inverted lists. */
+  def search(corpus: DataFrame, queries: DataFrame, model: IvfModel,
+             k: Int = 10, nProbe: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val flat = model.flat
+    val assignedCorpus = corpus.select(col(idCol).as("n_id"),
+      element_at(VectorExpressions.nearestCentroids(
+        col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"))
+    val probes = queries.select(col(idCol).as("q_id"),
+        explode(VectorExpressions.nearestCentroids(
+          col(vecCol), flat, model.k, model.dim, nProbe)).as("cluster"))
+    def side(df: DataFrame, role: String): DataFrame =
+      df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
+        Similarity.l2Norm(col(vecCol)).as(s"${role}_norm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    assignedCorpus.join(probes, "cluster")
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .join(side(queries, "q"), "q_id").join(side(corpus, "n"), "n_id")
+      .select(col("q_id"), col("n_id"),
+        (Similarity.dot(col("q_vec"), col("n_vec")) /
+          (col("q_norm") * col("n_norm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
+  }
+}
