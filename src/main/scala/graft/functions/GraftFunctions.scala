@@ -40,6 +40,10 @@ object GraftFunctions {
           Sqrt(VectorExpressions.DotProduct(es(1), es(1)))))
     },
     "simhash64" -> (es => HashExpressions.SimHash64(es(0))),
+    "rolling_hash" -> { es =>
+      val base = if (es.length > 1) longLit(es(1), "base") else 1000003L
+      HashExpressions.RollingHash(es(0), base)
+    },
     "shingle_hashes" -> { es =>
       val w = if (es.length > 1) intLit(es(1), "shingle width") else 3
       HashExpressions.ShingleHashes(es(0), w)

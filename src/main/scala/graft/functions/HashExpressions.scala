@@ -91,6 +91,31 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Polynomial rolling hash over a string's bytes, modulo 2^31−1 —
+    * order-sensitive content fingerprint. Operating on the UTF8String
+    * directly avoids materializing a per-character array (the HOF
+    * formulation split the text and walked an interpreted tree per char).
+    */
+  case class RollingHash(child: Expression, base: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "rolling_hash"
+    private val Prime = 2147483647L
+
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      var acc = 0L
+      var i = 0
+      while (i < bytes.length) {
+        acc = (acc * base + (bytes(i) & 0xFF)) % Prime
+        i += 1
+      }
+      acc
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column API ----
 
   def shingleHashes(tokens: Column, w: Int): Column =
@@ -98,4 +123,7 @@ object HashExpressions {
 
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  def rollingHash(text: Column, base: Long = 1000003L): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(text), base))
 }

@@ -90,8 +90,14 @@ object CorpusQueries {
     },
 
     // Language ID + quality score (heuristic models — spec-verified).
+    // The fixture file is a single parquet row group (= one scan task), so
+    // this CPU-heavy per-doc stage repartitions first: a few MB of shuffle
+    // buys full-cluster parallelism for the expression evaluation — the
+    // standard move for compute-bound per-row stages after a narrow scan.
     Q.unchecked("doc_langid") { (s, dir) =>
-      Tables(s, dir, "documents").select(
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
           col("doc_id"), col("lang").as("labeled_lang"),
           Text.langId(col("text")).as("predicted_lang"),
           Text.qualityScore(col("text")).as("quality"),

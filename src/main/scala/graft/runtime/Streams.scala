@@ -23,9 +23,18 @@ import graft.sink.{JdbcSink, KeyValueSink}
 final case class StreamConfig(
     checkpointDir: String,
     batchDurationSec: Int = 5, // reference default, config.py:51
-    outputMode: String = "update")
+    outputMode: String = "update",
+    /** RocksDB state store: off-heap, spill-to-disk streaming state — the
+      * right provider once session/window state exceeds executor heap
+      * (SURVEY.md §7.5). Default HDFS-backed in-memory store otherwise.
+      */
+    useRocksDbStateStore: Boolean = false)
 
 class StreamRunner(spark: SparkSession, cfg: StreamConfig) {
+
+  if (cfg.useRocksDbStateStore)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   private val queries = scala.collection.mutable.Buffer.empty[StreamingQuery]
   private val stopping = new AtomicBoolean(false)

@@ -80,4 +80,22 @@ object ClickstreamSource {
     val parsed = json.select(from_json(col(valueCol).cast("string"), Schemas.event).as("data"))
     parsed.select(col("data.*"))
   }
+
+  /** File streaming source: treat a directory of event parquet files as an
+    * unbounded stream (file-source schema must be provided up front). The
+    * batch `events` table becomes a replayable stream — the standard way
+    * to backfill the streaming pipelines from historical data.
+    */
+  def eventsFileStream(spark: SparkSession, dir: String,
+                       maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // The file source wants a directory; select the events file by glob.
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

@@ -82,16 +82,12 @@ object Text {
       .otherwise(lit("und"))
   }
 
-  /** Content fingerprint: polynomial rolling hash over characters (base
-    * 1000003, modulo the Mersenne prime 2^31-1 so products fit in a Long —
-    * Spark 4 runs ANSI mode, where silent overflow is an error), computed
-    * with a higher-order `aggregate` — order-sensitive, unlike a
-    * bag-of-words hash.
+  /** Content fingerprint: polynomial rolling hash over the text's bytes
+    * (base 1000003, modulo 2^31−1) — order-sensitive, unlike a
+    * bag-of-words hash. Native kernel: one pass over the UTF8 bytes.
     */
   def rollingFingerprint(text: Column): Column =
-    aggregate(split(text, ""), lit(0L), (acc, ch) =>
-      pmod(acc * lit(1000003L) + coalesce(ascii(ch).cast("long"), lit(0L)),
-        lit(2147483647L)))
+    graft.functions.HashExpressions.rollingHash(text)
 
   /** Stable 128-bit fingerprint (hex) for exact dedup. */
   def fingerprint(text: Column): Column = md5(text)
