@@ -1,7 +1,22 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A closed session as emitted by [[Pipelines.sessionsStateful]].
+  * (Top-level: Spark's encoder codegen requires statically-constructible
+  * bean shapes; object-nested case classes trip the Janino constructor
+  * lookup.)
+  */
+final case class ClosedSession(
+    session_id: String, user_id: Option[Int],
+    session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+    event_count: Long, pages_visited: String)
+
+private[ops] final case class SessionState(
+    userId: Option[Int], startMs: Long, endMs: Long,
+    count: Long, pages: List[(Long, String)])
 
 /** The four analytics pipelines of the reference engine, re-expressed as
   * pure `DataFrame => DataFrame` transforms over the clickstream schema
@@ -150,6 +165,53 @@ object Pipelines {
     val withWm = events.withWatermark("timestamp", watermark)
     if (events.isStreaming) withWm.dropDuplicatesWithinWatermark(keys)
     else withWm.dropDuplicates(keys)
+  }
+
+  /** A2'': custom stateful sessionization via `flatMapGroupsWithState` —
+    * for gap/timeout semantics `session_window` can't express (here:
+    * sessions also emit when idle past the gap in *processing* time, via
+    * event-time timeout against the watermark). Emits each session exactly
+    * once, when it closes; state per live session is dropped on emit.
+    *
+    * This is the (c)-tier custom-operator escape hatch of SURVEY.md §7.3 —
+    * kept API-compatible with [[sessionsWindowed]] outputs.
+    */
+  def sessionsStateful(events: Dataset[graft.model.ClickstreamEvent],
+                       gapMs: Long = 10 * 60 * 1000L,
+                       watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("timestamp", watermark)
+      .groupByKey(_.session_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (sessionId, rows, state: GroupState[SessionState]) =>
+          def close(s: SessionState): ClosedSession = ClosedSession(
+            sessionId, s.userId,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs),
+            s.count,
+            s.pages.sortBy(_._1).map(_._2).mkString(","))
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val evs = rows.toSeq
+            val prev = state.getOption
+            val merged = evs.foldLeft(prev.getOrElse(
+              SessionState(evs.head.user_id, Long.MaxValue, Long.MinValue, 0L, Nil))) {
+              (s, e) =>
+                val t = e.timestamp.getTime
+                SessionState(s.userId.orElse(e.user_id),
+                  math.min(s.startMs, t), math.max(s.endMs, t),
+                  s.count + 1, (t, e.page) :: s.pages)
+            }
+            state.update(merged)
+            // close once the watermark passes session_end + gap
+            state.setTimeoutTimestamp(merged.endMs + gapMs)
+            Iterator.empty
+          }
+      }
   }
 
   /** R1/R2 fidelity hints: the reference round-robin-repartitions before

@@ -72,12 +72,15 @@ object Main {
         val stream = MemoryStream[ClickstreamEvent]
         ClickstreamProcessor.start(runner, stream.toDF(), write, kv)
         val evs = ClickstreamGen.events(spark, n).collect()
+        val t0 = System.nanoTime()
         evs.grouped(math.max(evs.length / 4, 1)).foreach { chunk =>
           stream.addData(chunk.toSeq)
           runner.processAllAvailable()
         }
+        val secs = (System.nanoTime() - t0) / 1e9
         runner.stopAll()
-        println(s"[graft] processed $n events through 6 streaming queries")
+        println(f"[graft] processed $n events through 6 streaming queries " +
+          f"in $secs%.1f s (${n / secs}%.0f events/s end-to-end)")
         captured.forEach((t, c) => println(s"[graft] table $t: $c rows written"))
         kv match {
           case mem: InMemoryKV =>
