@@ -1,0 +1,69 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.source.Tables
+
+/** The scale patterns that don't show up in correctness results: salted
+  * skew aggregation and bucketed (shuffle-free) co-located joins.
+  */
+class ScalePatternsSpec extends SparkSpec {
+
+  test("salted aggregation: identical results to the direct groupBy") {
+    import spark.implicits._
+    // heavy hitter: one key holds 90% of rows
+    val rows = (1 to 9000).map(_ => ("hot", 1.0)) ++
+      (1 to 1000).map(i => (s"k${i % 50}", 2.0))
+    val df = rows.toDF("key", "value")
+    val direct = df.groupBy("key")
+      .agg(count(lit(1)).as("n")).orderBy("key").collect().map(_.toSeq)
+    val salted = Skew.saltedCount(df, Seq("key"))
+      .orderBy("key").collect().map(_.toSeq)
+    assert(salted.toSeq == direct.toSeq)
+
+    val directSum = df.groupBy("key")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("key").collect().map(_.toSeq)
+    val saltedSum = Skew.saltedSum(df, Seq("key"), "value")
+      .orderBy("key").collect().map(_.toSeq)
+    assert(saltedSum.toSeq == directSum.toSeq)
+  }
+
+  test("salted aggregation balances the first shuffle") {
+    import spark.implicits._
+    val df = (1 to 5000).map(_ => ("hot", 1)).toDF("key", "v").repartition(8)
+    val partial = df.withColumn("__salt",
+        pmod(spark_partition_id() + monotonically_increasing_id(), lit(16)))
+      .groupBy("key", "__salt").agg(count(lit(1)).as("n"))
+    // the single hot key fans out across 16 salt buckets
+    assert(partial.count() == 16)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val warehouse = Files.createTempDirectory("graft-warehouse").toString
+    // bucketed writes land in the session warehouse; use unique names
+    val li = Tables(spark, sfDir, "lineitem")
+    val ord = Tables(spark, sfDir, "orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$warehouse/li_b").mode("overwrite").saveAsTable("li_b")
+    ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$warehouse/ord_b").mode("overwrite").saveAsTable("ord_b")
+    try {
+      val joined = spark.table("li_b").join(spark.table("ord_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      // disable broadcast so the join strategy question is real
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == li.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+}
