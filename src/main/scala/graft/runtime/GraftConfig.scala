@@ -1,0 +1,64 @@
+package graft.runtime
+
+/** The engine's environment-variable configuration surface — parity with
+  * the reference's `config.py:9-73`, which declares env-driven config for
+  * every component (and then partially ignores it: the processor hardcodes
+  * broker/topic at `stream_processor.py:113-114`). Here every knob is
+  * actually honored by the component that declares it.
+  */
+final case class GraftConfig(
+    // Kafka (config.py:11-17)
+    kafkaBootstrapServers: String,
+    kafkaTopic: String,
+    kafkaGroupId: String,
+    // Postgres (config.py:20-30)
+    postgresHost: String,
+    postgresPort: Int,
+    postgresDb: String,
+    postgresUser: String,
+    postgresPassword: String,
+    // Redis (config.py:33-40)
+    redisHost: String,
+    redisPort: Int,
+    redisDb: Int,
+    // Spark (config.py:43-56)
+    batchDurationSec: Int,
+    shufflePartitions: Int,
+    maxOffsetsPerTrigger: Long,
+    checkpointDir: Option[String],
+    // Generator (config.py:59-63)
+    eventsPerSecond: Int,
+    numUsers: Int) {
+
+  def jdbcUrl: String = s"jdbc:postgresql://$postgresHost:$postgresPort/$postgresDb"
+}
+
+object GraftConfig {
+
+  /** Load from the environment with the reference's defaults
+    * (`config.py`), except the db-name mismatch the reference ships
+    * (compose says `postgres`, config.py says `clickstream_analytics` —
+    * we follow config.py and document the discrepancy).
+    */
+  def fromEnv(env: Map[String, String] = sys.env): GraftConfig = {
+    def s(k: String, d: String) = env.getOrElse(k, d)
+    GraftConfig(
+      kafkaBootstrapServers = s("KAFKA_BOOTSTRAP_SERVERS", "localhost:9092"),
+      kafkaTopic = s("KAFKA_TOPIC", "clickstream"),
+      kafkaGroupId = s("KAFKA_GROUP_ID", "clickstream-processor"),
+      postgresHost = s("POSTGRES_HOST", "localhost"),
+      postgresPort = s("POSTGRES_PORT", "5432").toInt,
+      postgresDb = s("POSTGRES_DB", "clickstream_analytics"),
+      postgresUser = s("POSTGRES_USER", "postgres"),
+      postgresPassword = s("POSTGRES_PASSWORD", "postgres"),
+      redisHost = s("REDIS_HOST", "localhost"),
+      redisPort = s("REDIS_PORT", "6379").toInt,
+      redisDb = s("REDIS_DB", "0").toInt,
+      batchDurationSec = s("SPARK_BATCH_DURATION", "5").toInt,
+      shufflePartitions = s("SPARK_SHUFFLE_PARTITIONS", "32").toInt,
+      maxOffsetsPerTrigger = s("SPARK_MAX_OFFSETS_PER_TRIGGER", "10000").toLong,
+      checkpointDir = env.get("GRAFT_CHECKPOINT_DIR"),
+      eventsPerSecond = s("EVENTS_PER_SECOND", "20").toInt,
+      numUsers = s("NUM_USERS", "1000").toInt)
+  }
+}

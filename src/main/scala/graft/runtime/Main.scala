@@ -26,43 +26,44 @@ import graft.source.{ClickstreamSource, KafkaSourceConfig}
 object Main {
 
   def main(args: Array[String]): Unit = {
+    val cfg = GraftConfig.fromEnv()
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .appName("graft-clickstream")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.shuffle.partitions", cfg.shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val checkpoint = sys.env.getOrElse("GRAFT_CHECKPOINT_DIR",
+    val checkpoint = cfg.checkpointDir.getOrElse(
       Files.createTempDirectory("graft-checkpoints").toString)
     val runner = new StreamRunner(spark,
-      StreamConfig(checkpoint,
-        batchDurationSec = sys.env.getOrElse("SPARK_BATCH_DURATION", "5").toInt))
+      StreamConfig(checkpoint, batchDurationSec = cfg.batchDurationSec))
     runner.attachListener()
 
-    val kv: KeyValueSink = sys.env.get("GRAFT_REDIS_HOST")
-      .map(h => new RedisKV(h, sys.env.getOrElse("GRAFT_REDIS_PORT", "6379").toInt))
-      .getOrElse(new InMemoryKV)
+    // external sinks activate when their host env var is present
+    // (REDIS_HOST / POSTGRES_HOST, per config.py); in-process otherwise
+    val kv: KeyValueSink =
+      if (sys.env.contains("REDIS_HOST")) new RedisKV(cfg.redisHost, cfg.redisPort)
+      else new InMemoryKV
 
     val captured = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-    val write: (DataFrame, String) => Unit = sys.env.get("GRAFT_JDBC_URL") match {
-      case Some(url) =>
-        val cfg = JdbcSink.JdbcConfig(url,
-          sys.env.getOrElse("GRAFT_JDBC_USER", "postgres"),
-          sys.env.getOrElse("GRAFT_JDBC_PASSWORD", "postgres"))
-        (df, table) => JdbcSink.saveDataFrame(df, table, cfg)
-      case None =>
+    val write: (DataFrame, String) => Unit =
+      if (sys.env.contains("POSTGRES_HOST")) {
+        val jdbc = JdbcSink.JdbcConfig(cfg.jdbcUrl, cfg.postgresUser, cfg.postgresPassword)
+        (df, table) => JdbcSink.saveDataFrame(df, table, jdbc)
+      } else {
         (df, table) => captured.merge(table, df.count(), (a, b) => a + b)
-    }
+      }
 
     sys.env.get("GRAFT_SOURCE") match {
       case Some("kafka") =>
         ClickstreamProcessor.start(runner,
-          ClickstreamSource.kafka(spark, KafkaSourceConfig()), write, kv)
+          ClickstreamSource.kafka(spark, KafkaSourceConfig(
+            cfg.kafkaBootstrapServers, cfg.kafkaTopic,
+            maxOffsetsPerTrigger = Some(cfg.maxOffsetsPerTrigger))), write, kv)
         runner.awaitAnyTermination()
 
       case _ => // demo: generator → MemoryStream → full engine

@@ -81,6 +81,20 @@ object ClickstreamSource {
     parsed.select(col("data.*"))
   }
 
+  /** S4: the Kafka producer path — typed events → JSON wire frames →
+    * Kafka sink (replaces the reference's hand-rolled confluent-kafka
+    * client, `kafka_produer/producer.py:51-118`; delivery guarantees come
+    * from the sink instead of per-record callbacks). Works for both batch
+    * (`df.write`) and streaming (`df.writeStream`) frames produced by
+    * `graft.gen.ClickstreamGen.toWire`.
+    */
+  def kafkaSink(wire: DataFrame, cfg: KafkaSourceConfig = KafkaSourceConfig()): Unit =
+    wire.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
+      .option("topic", cfg.topic)
+      .save()
+
   /** File streaming source: treat a directory of event parquet files as an
     * unbounded stream (file-source schema must be provided up front). The
     * batch `events` table becomes a replayable stream — the standard way
