@@ -83,13 +83,15 @@ object Dedup {
       .join(buckets.toDF("b_id", "band", "bh"), Seq("band", "bh"))
       .filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
-    def side(role: String): DataFrame = docs.select(
-      col(idCol).as(s"${role}_id"), shingles(col(textCol), shingleW).as(s"${role}_sh"))
-    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    def side(role: String): DataFrame = docs
+      .select(col(idCol).as(s"${role}_id"),
+        shingles(col(textCol), shingleW).as(s"${role}_sh"))
+      .withColumn(s"${role}_n", size(col(s"${role}_sh")))
     cand
       .join(side("a"), "a_id").join(side("b"), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .select(col("a_id"), col("b_id"),
-        (inter / (size(col("a_sh")) + size(col("b_sh")) - inter)).as("jaccard"))
+        (col("inter") / (col("a_n") + col("b_n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -123,19 +125,25 @@ object Dedup {
 
   /** Exact word-set Jaccard within a blocking key — the verification
     * kernel, also usable standalone when a natural blocking key exists.
+    *
+    * Set sizes are computed once per document (O(n)), and the
+    * intersection once per pair, materialized as a column before the
+    * Jaccard arithmetic — referencing the intersect expression twice
+    * would evaluate it twice per pair (no CSE across a projection).
     */
   def jaccardPairs(docs: DataFrame, blockCols: Seq[String], threshold: Double,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val d = docs.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         array_distinct(split(col(textCol), "\\s+")).as("w"): _*)
-    val a = d.toDF("a_id" +: blockCols :+ "a_w": _*)
-    val b = d.toDF("b_id" +: blockCols :+ "b_w": _*)
-    val inter = size(array_intersect(col("a_w"), col("b_w")))
+      .withColumn("nw", size(col("w")))
+    val a = d.toDF("a_id" +: blockCols :+ "a_w" :+ "a_nw": _*)
+    val b = d.toDF("b_id" +: blockCols :+ "b_w" :+ "b_nw": _*)
     a.join(b, blockCols)
       .filter(col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_w"), col("b_w"))))
       .select(col("a_id"), col("b_id"),
-        (inter / (size(col("a_w")) + size(col("b_w")) - inter)).as("jaccard"))
+        (col("inter") / (col("a_nw") + col("b_nw") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }
