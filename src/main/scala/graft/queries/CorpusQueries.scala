@@ -100,6 +100,7 @@ object CorpusQueries {
         .select(
           col("doc_id"), col("lang").as("labeled_lang"),
           Text.langId(col("text")).as("predicted_lang"),
+          Text.langIdNgram(col("text")).as("predicted_lang_ngram"),
           Text.qualityScore(col("text")).as("quality"),
           Text.bpeTokenCount(col("text")).as("bpe_tokens"),
           Text.rollingFingerprint(col("text")).as("rolling_fp"))

@@ -90,6 +90,29 @@ class StreamRunner(spark: SparkSession, cfg: StreamConfig) {
   def processAllAvailable(): Unit = active.foreach(_.processAllAvailable())
 }
 
+/** Exactly-once-ish sink discipline (SURVEY.md §7.4.5): foreachBatch +
+  * external writes are at-least-once after failure/restart — the same
+  * micro-batch can be re-delivered with the same batchId. Wrapping the
+  * sink with a batchId ledger makes redelivery a no-op; combined with
+  * `JdbcSink.upsert` (idempotent by key) either mechanism alone suffices,
+  * together they cover both duplicate-batch and revised-row cases.
+  * The reference offers only retries (`stream_processor.py:305-324`).
+  */
+object ExactlyOnce {
+  def wrap(queryName: String, ledger: KeyValueSink)(
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    (df, batchId) =>
+      val key = s"graft:batch:$queryName:$batchId"
+      if (ledger.get(key).isEmpty) {
+        sink(df, batchId)
+        val p = ledger.pipeline()
+        p.set(key, "done")
+        p.expire(key, 7 * 86400L) // ledger entries age out
+        p.execute()
+      }
+  }
+}
+
 /** The engine assembled: the reference's four concurrent pipelines
   * (`stream_processor.py:515-522`) + the two Redis paths, wired to real
   * sinks. `jdbcWrite`/KV are injected so tests run fully in-process.

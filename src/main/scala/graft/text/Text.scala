@@ -64,6 +64,35 @@ object Text {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
     "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "en", "por"))
 
+  /** Character-bigram profiles — frequent bigrams distinctive per
+    * language (the classic n-gram language-ID signal; public knowledge,
+    * e.g. Cavnar & Trenkle's n-gram text categorization).
+    */
+  val bigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
+    "de" -> Seq("en", "er", "ch", "de", "ei", "ie", "te", "sch", "un", "ge"),
+    "fr" -> Seq("es", "le", "de", "en", "re", "nt", "ou", "qu", "ai", "ur"),
+    "es" -> Seq("de", "en", "el", "la", "os", "es", "ar", "ue", "ra", "ci"))
+
+  /** n-gram language ID: score = how many of a language's characteristic
+    * bigrams occur in the text; argmax with the same sorted-struct trick
+    * as [[langId]]. Coarser than the stopword profile but robust to
+    * texts without function words (titles, fragments).
+    */
+  def langIdNgram(text: Column): Column = {
+    val lowered = lower(text)
+    val scored = array(bigramProfiles.toSeq.sortBy(_._1).map { case (lang, bgs) =>
+      struct(
+        bgs.map(bg => when(lowered.contains(bg), 1).otherwise(0))
+          .reduce(_ + _).as("hits"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = element_at(reverse(array_sort(scored)), 1)
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(best.getField("hits") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
   /** Language ID: pick the profile with the most stopword hits; `und`
     * (undetermined) when nothing matches. CJK short-circuit via a Unicode
     * range test (no stopwords to count). Pure expression — argmax is done

@@ -1,0 +1,42 @@
+package graft.runtime
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sink.InMemoryKV
+
+class ExactlyOnceSpec extends AnyFunSuite {
+
+  test("redelivered batchIds are no-ops; distinct batchIds execute") {
+    val ledger = new InMemoryKV
+    var applied = List.empty[Long]
+    val sink = ExactlyOnce.wrap("q", ledger) { (_, id) => applied ::= id }
+    sink(null, 1L)
+    sink(null, 1L) // redelivery after restart
+    sink(null, 2L)
+    sink(null, 1L)
+    assert(applied.reverse == List(1L, 2L))
+    assert(ledger.get("graft:batch:q:1").contains("done"))
+    assert(ledger.getTtl("graft:batch:q:1").contains(7 * 86400L))
+  }
+
+  test("ledger is per query name") {
+    val ledger = new InMemoryKV
+    var n = 0
+    ExactlyOnce.wrap("a", ledger) { (_, _) => n += 1 }(null, 5L)
+    ExactlyOnce.wrap("b", ledger) { (_, _) => n += 1 }(null, 5L)
+    assert(n == 2)
+  }
+
+  test("a failing sink does not mark the batch done") {
+    val ledger = new InMemoryKV
+    var attempts = 0
+    val sink = ExactlyOnce.wrap("q", ledger) { (_, _) =>
+      attempts += 1
+      if (attempts == 1) sys.error("transient")
+    }
+    intercept[RuntimeException](sink(null, 9L))
+    sink(null, 9L) // retry executes because the ledger was not written
+    assert(attempts == 2)
+    assert(ledger.get("graft:batch:q:9").contains("done"))
+  }
+}

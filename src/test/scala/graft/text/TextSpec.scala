@@ -34,6 +34,17 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("n-gram language ID identifies languages by characteristic bigrams") {
+    val cases = Seq(
+      "the weather then gathered there" -> "en",
+      "schneller durcheinander geschichten" -> "de",
+      "你好" -> "zh")
+    cases.foreach { case (text, expect) =>
+      val got = one(text).select(Text.langIdNgram(col("text"))).collect()(0).getString(0)
+      assert(got == expect, s"'$text' → $got, expected $expect")
+    }
+  }
+
   test("quality score stays in [0,1] and ranks diverse text above spam") {
     val good = "a reasonably long sentence with many distinct meaningful words in it today"
     val spam = "buy buy buy buy buy buy buy buy buy buy buy buy"
