@@ -39,15 +39,17 @@ object Main {
 
     val checkpoint = cfg.checkpointDir.getOrElse(
       Files.createTempDirectory("graft-checkpoints").toString)
-    val runner = new StreamRunner(spark,
-      StreamConfig(checkpoint, batchDurationSec = cfg.batchDurationSec))
-    runner.attachListener()
 
     // external sinks activate when their host env var is present
     // (REDIS_HOST / POSTGRES_HOST, per config.py); in-process otherwise
     val kv: KeyValueSink =
       if (sys.env.contains("REDIS_HOST")) new RedisKV(cfg.redisHost, cfg.redisPort)
       else new InMemoryKV
+
+    val runner = new StreamRunner(spark,
+      StreamConfig(checkpoint, batchDurationSec = cfg.batchDurationSec,
+        ledger = Some(kv)))
+    runner.attachListener()
 
     val captured = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     val write: (DataFrame, String) => Unit =

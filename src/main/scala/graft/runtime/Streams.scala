@@ -28,7 +28,11 @@ final case class StreamConfig(
       * right provider once session/window state exceeds executor heap
       * (SURVEY.md §7.5). Default HDFS-backed in-memory store otherwise.
       */
-    useRocksDbStateStore: Boolean = false)
+    useRocksDbStateStore: Boolean = false,
+    /** When set, every sink is wrapped in the ExactlyOnce batchId ledger
+      * (namespaced by this config's checkpoint dir — coupled lifecycles).
+      */
+    ledger: Option[KeyValueSink] = None)
 
 class StreamRunner(spark: SparkSession, cfg: StreamConfig) {
 
@@ -60,13 +64,20 @@ class StreamRunner(spark: SparkSession, cfg: StreamConfig) {
     * are skipped (P8, the reference's `batch_df.isEmpty()` guards).
     */
   def start(df: DataFrame, name: String)(sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    // ledger (outermost) → retry (inner): failed retries never commit the
+    // ledger entry, so the batch is re-attempted on redelivery.
+    val retried: (DataFrame, Long) => Unit =
+      (batch, id) => JdbcSink.retry()(sink(batch, id))
+    val effective = cfg.ledger
+      .map(l => ExactlyOnce.wrap(name, l, cfg.checkpointDir)(retried))
+      .getOrElse(retried)
     val q = df.writeStream
       .queryName(name)
       .outputMode(cfg.outputMode)
       .option("checkpointLocation", s"${cfg.checkpointDir}/$name")
       .trigger(Trigger.ProcessingTime(s"${cfg.batchDurationSec} seconds"))
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty) JdbcSink.retry()(sink(batch, id))
+        if (!batch.isEmpty) effective(batch, id)
       }
       .start()
     queries.synchronized(queries += q)
@@ -97,17 +108,22 @@ class StreamRunner(spark: SparkSession, cfg: StreamConfig) {
   * `JdbcSink.upsert` (idempotent by key) either mechanism alone suffices,
   * together they cover both duplicate-batch and revised-row cases.
   * The reference offers only retries (`stream_processor.py:305-324`).
+  *
+  * `namespace` MUST share the checkpoint's lifecycle (StreamRunner passes
+  * its checkpoint dir): batchIds are stable across restarts only while
+  * the checkpoint lives — if the checkpoint is deleted, batchIds restart
+  * from 0, so the ledger namespace must be cleared (or changed) with it
+  * or old entries would silently swallow the replayed batches.
   */
 object ExactlyOnce {
-  def wrap(queryName: String, ledger: KeyValueSink)(
+  def wrap(queryName: String, ledger: KeyValueSink, namespace: String = "")(
       sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     (df, batchId) =>
-      val key = s"graft:batch:$queryName:$batchId"
+      val key = s"graft:batch:$namespace:$queryName:$batchId"
       if (ledger.get(key).isEmpty) {
         sink(df, batchId)
         val p = ledger.pipeline()
-        p.set(key, "done")
-        p.expire(key, 7 * 86400L) // ledger entries age out
+        p.setEx(key, "done", 7 * 86400L) // atomic; entries age out
         p.execute()
       }
   }

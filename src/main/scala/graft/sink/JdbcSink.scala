@@ -60,13 +60,9 @@ object JdbcSink {
     * for update-mode streaming output where later triggers revise rows.
     */
   def upsert(df: DataFrame, table: String, keyCols: Seq[String], cfg: JdbcConfig): Unit = {
-    val cols = df.columns.toSeq
-    val nonKeys = cols.filterNot(keyCols.contains)
-    val sql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
-      s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
-      s"ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET " +
-      nonKeys.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    val sql = upsertSql(table, df.columns.toSeq, keyCols)
     val (url, props) = (cfg.url, cfg.properties)
+    val cols = df.columns.toSeq
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val conn = java.sql.DriverManager.getConnection(url, props)
@@ -85,6 +81,23 @@ object JdbcSink {
         } finally conn.close()
       }
     }
+  }
+
+  /** The upsert statement. All-key schemas (nothing to revise) fall back
+    * to `DO NOTHING` — `DO UPDATE SET` with an empty assignment list is a
+    * syntax error.
+    */
+  private[sink] def upsertSql(table: String, cols: Seq[String],
+                              keyCols: Seq[String]): String = {
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+      s"key columns $keyCols must be a subset of $cols")
+    val nonKeys = cols.filterNot(keyCols.contains)
+    val conflict =
+      if (nonKeys.isEmpty) "DO NOTHING"
+      else "DO UPDATE SET " + nonKeys.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${keyCols.mkString(", ")}) $conflict"
   }
 
   /** K9 read side: table-or-query load through Spark's JDBC source

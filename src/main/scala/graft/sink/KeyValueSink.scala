@@ -16,6 +16,10 @@ import scala.collection.mutable
   */
 trait KeyValuePipeline {
   def set(key: String, value: String): Unit
+  /** Atomic set-with-TTL (one command — no window where the key exists
+    * without its expiry, unlike set(...) + expire(...)).
+    */
+  def setEx(key: String, value: String, ttlSec: Long): Unit
   def increment(key: String, by: Long = 1L): Unit
   def incrementByFloat(key: String, by: Double): Unit
   /** Append (epochSec → value) to a series under `key`, refreshing its TTL
@@ -45,6 +49,9 @@ final class InMemoryKV extends KeyValueSink {
   override def pipeline(): KeyValuePipeline = new KeyValuePipeline {
     private val ops = mutable.Buffer.empty[() => Unit]
     def set(k: String, v: String): Unit = ops += (() => values(k) = v)
+    def setEx(k: String, v: String, ttl: Long): Unit = ops += { () =>
+      values(k) = v; ttls(k) = ttl
+    }
     def increment(k: String, by: Long): Unit = ops += { () =>
       counters(k) = counters.getOrElse(k, 0.0) + by
     }
@@ -136,6 +143,8 @@ final class RedisKV(host: String = "localhost", port: Int = 6379)
   override def pipeline(): KeyValuePipeline = new KeyValuePipeline {
     private val cmds = mutable.Buffer.empty[Seq[String]]
     def set(k: String, v: String): Unit = cmds += Seq("SET", k, v)
+    def setEx(k: String, v: String, ttl: Long): Unit =
+      cmds += Seq("SET", k, v, "EX", ttl.toString)
     def increment(k: String, by: Long): Unit = cmds += Seq("INCRBY", k, by.toString)
     def incrementByFloat(k: String, by: Double): Unit =
       cmds += Seq("INCRBYFLOAT", k, by.toString)

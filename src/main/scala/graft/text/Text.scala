@@ -70,32 +70,42 @@ object Text {
     */
   val bigramProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
-    "de" -> Seq("en", "er", "ch", "de", "ei", "ie", "te", "sch", "un", "ge"),
+    "de" -> Seq("en", "er", "ch", "de", "ei", "ie", "te", "au", "un", "ge"),
     "fr" -> Seq("es", "le", "de", "en", "re", "nt", "ou", "qu", "ai", "ur"),
     "es" -> Seq("de", "en", "el", "la", "os", "es", "ar", "ue", "ra", "ci"))
 
-  /** n-gram language ID: score = how many of a language's characteristic
-    * bigrams occur in the text; argmax with the same sorted-struct trick
-    * as [[langId]]. Coarser than the stopword profile but robust to
-    * texts without function words (titles, fragments).
+  /** Shared argmax over (hits, lang) structs, with the CJK short-circuit
+    * (no spaces/bigram profiles to count there) and the `und` fallback.
     */
-  def langIdNgram(text: Column): Column = {
-    val lowered = lower(text)
-    val scored = array(bigramProfiles.toSeq.sortBy(_._1).map { case (lang, bgs) =>
-      struct(
-        bgs.map(bg => when(lowered.contains(bg), 1).otherwise(0))
-          .reduce(_ + _).as("hits"),
-        lit(lang).as("lang"))
-    }: _*)
+  private def argmaxLang(text: Column, scored: Column): Column = {
     val best = element_at(reverse(array_sort(scored)), 1)
     when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
       .when(best.getField("hits") > 0, best.getField("lang"))
       .otherwise(lit("und"))
   }
 
+  /** Occurrence count of a literal substring (no regex escape issues). */
+  private def occurrences(haystack: Column, needle: String): Column =
+    ((length(haystack) - length(replace(haystack, lit(needle), lit("")))) /
+      needle.length).cast("int")
+
+  /** n-gram language ID: score = total occurrences of the language's
+    * characteristic bigrams (frequency, not presence — presence saturates
+    * on any long text and the tie-break would pick a fixed language).
+    * Coarser than the stopword profile but robust to texts without
+    * function words (titles, fragments).
+    */
+  def langIdNgram(text: Column): Column = {
+    val lowered = lower(text)
+    val scored = array(bigramProfiles.toSeq.sortBy(_._1).map { case (lang, bgs) =>
+      struct(bgs.map(bg => occurrences(lowered, bg)).reduce(_ + _).as("hits"),
+        lit(lang).as("lang"))
+    }: _*)
+    argmaxLang(text, scored)
+  }
+
   /** Language ID: pick the profile with the most stopword hits; `und`
-    * (undetermined) when nothing matches. CJK short-circuit via a Unicode
-    * range test (no stopwords to count). Pure expression — argmax is done
+    * (undetermined) when nothing matches. Pure expression — argmax is done
     * with a sorted array of (hits, lang) structs.
     */
   def langId(text: Column): Column = {
@@ -105,10 +115,7 @@ object Text {
       struct(size(filter(toks, w => array_contains(stopArr, w))).as("hits"),
         lit(lang).as("lang"))
     }: _*)
-    val best = element_at(reverse(array_sort(scored)), 1)
-    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
-      .when(best.getField("hits") > 0, best.getField("lang"))
-      .otherwise(lit("und"))
+    argmaxLang(text, scored)
   }
 
   /** Content fingerprint: polynomial rolling hash over the text's bytes

@@ -37,7 +37,13 @@ class TextSpec extends SparkSpec {
   test("n-gram language ID identifies languages by characteristic bigrams") {
     val cases = Seq(
       "the weather then gathered there" -> "en",
-      "schneller durcheinander geschichten" -> "de",
+      // long English prose must NOT drift to fr/es (frequency scoring,
+      // not presence — presence saturates and the tie-break is fixed)
+      ("it was about the question of when the weather might then change " +
+        "and whether they thought that other things would still stand there") -> "en",
+      "schneller geschichten auch einander zeichen" -> "de",
+      "la question nécessite quelques nouveaux journaux pour toujours" -> "fr",
+      "los resultados estaban claros para la ciudad de madrid" -> "es",
       "你好" -> "zh")
     cases.foreach { case (text, expect) =>
       val got = one(text).select(Text.langIdNgram(col("text"))).collect()(0).getString(0)
