@@ -417,6 +417,27 @@ object Analytics {
         .orderBy(col("user_id"), col("sess_idx"))
     },
 
+    // As-of join: attribute each purchase to the user's latest prior view
+    // (point-in-time lookup; oracle uses DuckDB's native ASOF JOIN).
+    Q("ev_purchase_attribution",
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+         CAST(date_trunc('second', v.ts) AS TIMESTAMP) AS view_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND v.ts <= p.ts
+         ORDER BY purchase_id""") { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      graft.ops.AsOf.lastPriorJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"),
+          by = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightPayloadCols = Seq("event_id", "ts"))
+        .select(col("event_id").as("purchase_id"),
+          col("asof.event_id").as("view_id"),
+          sec(col("asof.ts")).as("view_ts"))
+        .orderBy(col("purchase_id"))
+    },
+
     // Exact streaming-dedup analog: distinct (user_id, event_type) pairs.
     Q("ev_dedup_pairs",
       """SELECT DISTINCT user_id, event_type FROM events
