@@ -438,6 +438,31 @@ object Analytics {
         .orderBy(col("purchase_id"))
     },
 
+    // Range join: events within one hour after each purchase, same user
+    // (bucketized equi-join implementation — see ops.RangeJoin; oracle is
+    // the plain inequality join).
+    Q("ev_post_purchase_activity",
+      """SELECT p.event_id AS purchase_id, COUNT(e.event_id) AS n_following
+         FROM events p LEFT JOIN events e
+           ON e.user_id = p.user_id AND e.ts > p.ts
+           AND e.ts <= p.ts + INTERVAL 1 HOUR
+         WHERE p.event_type = 'purchase'
+         GROUP BY p.event_id ORDER BY purchase_id""") { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val pairs = graft.ops.RangeJoin.timeRangeJoin(
+        purchases, ev, by = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        windowSec = 3600L, leftCols = Seq("event_id"), rightCols = Seq("event_id"))
+      val counts = pairs.groupBy(col("l_event_id"))
+        .agg(count(lit(1)).as("n_following"))
+      purchases
+        .join(counts, purchases("event_id") === counts("l_event_id"), "left")
+        .select(col("event_id").as("purchase_id"),
+          coalesce(col("n_following"), lit(0L)).as("n_following"))
+        .orderBy(col("purchase_id"))
+    },
+
     // Exact streaming-dedup analog: distinct (user_id, event_type) pairs.
     Q("ev_dedup_pairs",
       """SELECT DISTINCT user_id, event_type FROM events
