@@ -57,7 +57,11 @@ object Multimodal {
                  frameBytes: Int = FakeCodec.FrameBytes): DataFrame = {
     val nBytes = length(col(mediaCol))
     val nFrames = ceil(nBytes / lit(frameBytes.toDouble)).cast("int")
-    df.withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+    // empty payload → zero frames: sequence(0, -1) would count DOWN and
+    // emit two bogus rows, so guard with an empty array
+    val idx = when(nFrames > 0, sequence(lit(0), nFrames - 1))
+      .otherwise(array().cast("array<int>"))
+    df.withColumn("frame_idx", explode(idx))
       .withColumn("frame",
         col(mediaCol).substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
       .withColumn("frame_len", length(col("frame")))

@@ -26,7 +26,11 @@ object AsOf {
   def lastPriorJoin(left: DataFrame, right: DataFrame, by: Seq[String],
                     leftTs: String, rightTs: String,
                     rightPayloadCols: Seq[String]): DataFrame = {
-    val rightU = right.select(
+    // a null right timestamp can never satisfy rightTs <= leftTs, but it
+    // would sort first (nulls-first) and be carried forward as a phantom
+    // match — drop such rows up front
+    val rightNonNull = right.filter(col(rightTs).isNotNull)
+    val rightU = rightNonNull.select(
       (by.map(col) :+ col(rightTs).as("__ts") :+ lit(1).as("__is_r") :+
         struct(rightPayloadCols.map(col): _*).as("__rp")): _*)
     val leftU = left.select(

@@ -22,8 +22,15 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int)(
       partial: Seq[Column], fin: Seq[Column]): DataFrame = {
+    // The salt must be DETERMINISTIC per row: order-dependent salts
+    // (monotonically_increasing_id, rand, spark_partition_id) re-salt rows
+    // differently when a map task is recomputed after a fetch failure,
+    // silently corrupting the re-aggregation (SPARK-23207-class bug).
+    // Hashing the full row content is stable under recompute; rows that
+    // are bytewise identical share a bucket, which only matters if a hot
+    // key's rows are literally indistinguishable.
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partial.head, partial.tail: _*)

@@ -20,8 +20,9 @@ import graft.source.{ClickstreamSource, KafkaSourceConfig}
   *  - default demo mode: drive the full six-query engine from the
   *    deterministic generator through a MemoryStream, then print what the
   *    sinks received — a self-contained end-to-end run.
-  * Sinks: JDBC when `GRAFT_JDBC_URL` is set, in-memory capture otherwise;
-  * Redis when `GRAFT_REDIS_HOST` is set, in-memory KV otherwise.
+  * Sinks: JDBC (upsert, keyed per table) when `POSTGRES_HOST` is set,
+  * in-memory capture otherwise; Redis when `REDIS_HOST` is set, in-memory
+  * KV otherwise.
   */
 object Main {
 
@@ -55,7 +56,13 @@ object Main {
     val write: (DataFrame, String) => Unit =
       if (sys.env.contains("POSTGRES_HOST")) {
         val jdbc = JdbcSink.JdbcConfig(cfg.jdbcUrl, cfg.postgresUser, cfg.postgresPassword)
-        (df, table) => JdbcSink.saveDataFrame(df, table, jdbc)
+        // update-mode output revises window rows across triggers → upsert
+        // on the window/dimension keys, not append (append would keep
+        // every stale revision; SURVEY.md §7.4.1)
+        (df, table) => ClickstreamProcessor.tableKeys.get(table) match {
+          case Some(keys) => JdbcSink.upsert(df, table, keys, jdbc)
+          case None       => JdbcSink.saveDataFrame(df, table, jdbc)
+        }
       } else {
         (df, table) => captured.merge(table, df.count(), (a, b) => a + b)
       }

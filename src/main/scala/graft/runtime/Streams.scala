@@ -158,16 +158,20 @@ object ClickstreamProcessor {
     * pipelined round trip.
     */
   def redisPageCounts(kv: KeyValueSink)(batch: DataFrame, id: Long): Unit = {
-    val counts = batch.groupBy(col("page"))
-      .agg(count(lit(1)).as("count"),
-        unix_timestamp(max(col("timestamp"))).as("ts"))
-      .collect()
+    // One batch-level series timestamp (the reference stamps the batch with
+    // now(); we use the batch's max event time — null-safe: a batch whose
+    // timestamps are all null, e.g. malformed JSON, still counts pages but
+    // records no series point).
+    val tsRow = batch.agg(unix_timestamp(max(col("timestamp"))).as("ts")).collect()(0)
+    val batchTs = if (tsRow.isNullAt(0)) None else Some(tsRow.getLong(0))
+    val counts = Pipelines.pageCounts(batch).collect()
     val p = kv.pipeline()
     counts.foreach { r =>
       val page = r.getString(0)
       val n = r.getLong(1)
       p.increment(s"page_views:$page", n)
-      p.addTimeSeries(s"page_views_ts:$page", r.getLong(2), n, ttlSec = 86400L)
+      batchTs.foreach(ts =>
+        p.addTimeSeries(s"page_views_ts:$page", ts, n, ttlSec = 86400L))
     }
     p.execute()
   }
@@ -186,6 +190,17 @@ object ClickstreamProcessor {
     if (!row.isNullAt(1)) p.incrementByFloat("revenue:total", row.getDouble(1))
     p.execute()
   }
+
+  /** Upsert keys for each relational table — the window/dimension columns
+    * that identify a row across update-mode revisions (requires a unique
+    * index on these columns in the target database).
+    */
+  val tableKeys: Map[String, Seq[String]] = Map(
+    "page_view_stats" -> Seq("window_start", "window_end", "page"),
+    "user_sessions" -> Seq("session_id", "user_id"),
+    "purchase_stats" -> Seq("window_start", "window_end"),
+    "device_stats" -> Seq("window_start", "window_end", "device_type",
+      "browser", "operating_system"))
 
   /** Start all six queries (4 JDBC + 2 KV) off one source DataFrame. */
   def start(runner: StreamRunner, source: DataFrame,

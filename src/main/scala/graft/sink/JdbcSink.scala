@@ -48,12 +48,14 @@ object JdbcSink {
     throw last
   }
 
-  /** The missing `save_dataframe`: plain JDBC append/overwrite. */
+  /** The missing `save_dataframe`: plain JDBC append/overwrite. NOT
+    * retried internally — StreamRunner wraps every sink in `retry` already
+    * (nesting the two would multiply attempts); batch callers wrap with
+    * `JdbcSink.retry` themselves if they want the policy.
+    */
   def saveDataFrame(df: DataFrame, table: String, cfg: JdbcConfig,
                     mode: SaveMode = SaveMode.Append): Unit =
-    retry() {
-      df.write.mode(mode).jdbc(cfg.url, table, cfg.properties)
-    }
+    df.write.mode(mode).jdbc(cfg.url, table, cfg.properties)
 
   /** Idempotent upsert: `INSERT … ON CONFLICT (keys) DO UPDATE` executed
     * per partition on the executors (no driver collect). Correct target

@@ -80,6 +80,11 @@ final class InMemoryKV extends KeyValueSink {
   override def close(): Unit = ()
 }
 
+/** An error reply (`-ERR …`) — carried as a value so pipelined replies can
+  * all be drained before the first error is raised.
+  */
+private[sink] final case class RedisError(message: String)
+
 /** Production implementation: RESP (Redis serialization protocol) over a
   * raw socket — no client library required. Pipelines buffer commands and
   * flush in a single write, reading all replies afterwards (the batching
@@ -117,7 +122,9 @@ final class RedisKV(host: String = "localhost", port: Int = 6379)
     if (line.isEmpty) null
     else line.charAt(0) match {
       case '+' => line.substring(1)
-      case '-' => throw new RuntimeException(s"redis error: ${line.substring(1)}")
+      case '-' => RedisError(line.substring(1)) // surfaced by the caller —
+      // throwing here would leave later pipelined replies unread and
+      // desynchronize the protocol for every subsequent command
       case ':' => line.substring(1).toLong
       case '$' =>
         val n = line.substring(1).toInt
@@ -125,7 +132,12 @@ final class RedisKV(host: String = "localhost", port: Int = 6379)
         else {
           val buf = new Array[Byte](n)
           var read = 0
-          while (read < n) read += in.read(buf, read, n - read)
+          while (read < n) {
+            val got = in.read(buf, read, n - read)
+            if (got < 0) // EOF mid-reply: fail, don't spin
+              throw new java.io.EOFException("redis connection closed mid-reply")
+            read += got
+          }
           in.read(); in.read() // \r\n
           new String(buf, StandardCharsets.UTF_8)
         }
@@ -137,7 +149,11 @@ final class RedisKV(host: String = "localhost", port: Int = 6379)
   }
 
   private def command(args: String*): Any = synchronized {
-    out.write(encode(args)); out.flush(); readReply()
+    out.write(encode(args)); out.flush()
+    readReply() match {
+      case RedisError(msg) => throw new RuntimeException(s"redis error: $msg")
+      case r => r
+    }
   }
 
   override def pipeline(): KeyValuePipeline = new KeyValuePipeline {
@@ -158,8 +174,13 @@ final class RedisKV(host: String = "localhost", port: Int = 6379)
       if (cmds.nonEmpty) {
         cmds.foreach(c => out.write(encode(c)))
         out.flush()
-        cmds.indices.foreach(_ => readReply())
+        // drain EVERY reply before raising — aborting mid-pipeline would
+        // leave replies buffered and desynchronize the protocol
+        val replies = cmds.indices.map(_ => readReply())
         cmds.clear()
+        replies.collectFirst { case RedisError(msg) =>
+          throw new RuntimeException(s"redis pipeline error: $msg")
+        }
       }
     }
   }

@@ -34,6 +34,8 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getInt(2)).toSeq == Seq(64, 36))
     val sampled = Multimodal.sampleEveryKth(Multimodal.frameIndex(df), 2).count()
     assert(sampled == 1)
+    // empty payload → zero frame rows (sequence(0,-1) would emit two)
+    assert(Multimodal.frameIndex(media((9L, "")).toDF()).count() == 0)
   }
 
   test("mediaFromDocuments plumbs the documents fixture into binary rows") {

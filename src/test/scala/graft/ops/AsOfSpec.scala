@@ -32,6 +32,17 @@ class AsOfSpec extends SparkSpec {
     assert(out == Map(10L -> -1L, 11L -> 2L, 12L -> 2L, 13L -> 3L, 14L -> -1L))
   }
 
+  test("null right timestamps never match (phantom-carry guard)") {
+    import spark.implicits._
+    val left = Seq(("A", Timestamp.valueOf("2024-01-01 00:00:01"), 1L))
+      .toDF("key", "ts", "id")
+    val right = Seq(("A", null.asInstanceOf[Timestamp], 99L))
+      .toDF("key", "ts", "rid")
+    val out = AsOf.lastPriorJoin(left, right, Seq("key"), "ts", "ts", Seq("rid"))
+    assert(out.count() == 1)
+    assert(out.select(col("asof")).collect()(0).isNullAt(0))
+  }
+
   test("output keeps every left row and all left columns") {
     import spark.implicits._
     val left = Seq(("A", Timestamp.valueOf("2024-01-01 00:00:01"), "x"))

@@ -55,6 +55,8 @@ class KeyValueSinkSpec extends AnyFunSuite {
           }
           commands.add(args)
           val reply = args.head.toUpperCase match {
+            case "INCRBY" if args(1) == "badkey" =>
+              "-ERR value is not an integer or out of range\r\n"
             case "INCRBY" =>
               val v = counters.getOrElse(args(1), 0L) + args(2).toLong
               counters(args(1)) = v
@@ -93,6 +95,22 @@ class KeyValueSinkSpec extends AnyFunSuite {
       assert(got.contains(Seq("ZADD", "page_views_ts:/", "1700000000", "1700000000:4")))
       assert(got.contains(Seq("EXPIRE", "page_views_ts:/", "86400")))
       assert(got.contains(Seq("SET", "cfg", "v1")))
+    } finally fake.close()
+  }
+
+  test("RedisKV pipeline drains all replies on error (no protocol desync)") {
+    val fake = new FakeRedis
+    try {
+      val kv = new RedisKV("localhost", fake.server.getLocalPort)
+      val p = kv.pipeline()
+      p.increment("good", 1)
+      p.increment("badkey", 1) // server replies -ERR
+      p.increment("good", 2)
+      val e = intercept[RuntimeException](p.execute())
+      assert(e.getMessage.contains("redis pipeline error"))
+      // protocol still in sync: a follow-up read returns the right value
+      assert(kv.getCounter("good") == 3L)
+      kv.close()
     } finally fake.close()
   }
 }
