@@ -214,6 +214,28 @@ object Pipelines {
       }
   }
 
+  /** Stream-stream join: attribute purchases to views of the same user
+    * within the trailing `windowSec` — the streaming twin of the batch
+    * range join. Both sides carry watermarks and the join condition bounds
+    * event time on both ends, so Spark can expire join state (unbounded
+    * state otherwise). Inner join: unattributed purchases drop; run a
+    * second leftOuter variant where completeness matters.
+    */
+  def streamingAttribution(purchases: DataFrame, views: DataFrame,
+                           windowSec: Long = 3600L,
+                           watermark: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("timestamp", watermark)
+      .select(col("user_id").as("p_user"), col("timestamp").as("p_ts"),
+        col("order_id"))
+    val v = views.withWatermark("timestamp", watermark)
+      .select(col("user_id").as("v_user"), col("timestamp").as("v_ts"),
+        col("page").as("view_page"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS"))
+  }
+
   /** R1/R2 fidelity hints: the reference round-robin-repartitions before
     * the page-view agg (`stream_processor.py:134`) and hash-repartitions
     * by session before the session agg (`:180`). Both force an extra full
