@@ -392,6 +392,72 @@ object Analytics {
           sum(col("v") * col("c") * col("p")).as("users_view_click_purchase"))
     },
 
+    // ORDERED funnel: view THEN click THEN purchase in chronological
+    // order (ev_funnel counts mere co-occurrence). Each stage keeps the
+    // earliest qualifying time; the next stage requires strictly later
+    // events — three small aggregations, each shuffling one row per user.
+    Q("ev_ordered_funnel",
+      """WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+         t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+         SELECT (SELECT COUNT(*) FROM t1) AS stage_view,
+                (SELECT COUNT(*) FROM t2) AS stage_view_click,
+                (SELECT COUNT(*) FROM t3) AS stage_view_click_purchase""") { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      def stage(et: String, prev: Option[DataFrame]): DataFrame = {
+        val base = ev.filter(col("event_type") === et)
+        val gated = prev match {
+          case Some(p) => base.join(p, "user_id").filter(col("ts") > col("t"))
+          case None    => base
+        }
+        gated.groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+          .select(col("user_id"), col("t2").as("t"))
+      }
+      val t1 = stage("view", None)
+      val t2 = stage("click", Some(t1))
+      val t3 = stage("purchase", Some(t2))
+      t1.agg(count(lit(1)).as("stage_view"))
+        .crossJoin(t2.agg(count(lit(1)).as("stage_view_click")))
+        .crossJoin(t3.agg(count(lit(1)).as("stage_view_click_purchase")))
+    },
+
+    // Weekly cohort retention: users grouped by first-seen week; how many
+    // were active again the following week.
+    Q("ev_weekly_retention",
+      """WITH cohort AS (SELECT user_id,
+           CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+           FROM events GROUP BY user_id),
+         activity AS (SELECT DISTINCT user_id,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS week FROM events)
+         SELECT c.cohort_week, COUNT(DISTINCT c.user_id) AS n_users,
+           COUNT(DISTINCT a.user_id) AS n_retained_next_week
+         FROM cohort c LEFT JOIN activity a
+           ON a.user_id = c.user_id
+           AND a.week = c.cohort_week + INTERVAL 7 DAY
+         GROUP BY c.cohort_week ORDER BY c.cohort_week""") { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      // disambiguate the self-derived sides by renaming before the join
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val activity = ev
+        .select(col("user_id").as("a_user"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      cohort
+        .join(activity,
+          col("a_user") === col("user_id") &&
+            col("week") === col("cohort_week") + expr("INTERVAL 7 DAY"),
+          "left")
+        .groupBy(col("cohort_week"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("a_user")).as("n_retained_next_week"))
+        .orderBy(col("cohort_week"))
+    },
+
     // User journeys: first five events per user, in event-time order.
     Q("ev_journeys",
       """WITH r AS (SELECT user_id, event_type,
