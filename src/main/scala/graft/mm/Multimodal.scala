@@ -28,6 +28,18 @@ object Multimodal {
     */
   object FakeCodec {
     val FrameBytes = 64
+
+    /** STUB "resize": deterministic byte downsample by `factor` (every
+      * factor-th byte) — stands in for an image rescale; the pipeline
+      * shape (payload in → smaller payload out, metadata adjusted) is
+      * what downstream stages depend on.
+      */
+    def resize(r: MediaRow, factor: Int): MediaRow = {
+      require(factor >= 1)
+      val out = Array.tabulate(r.media.length / factor)(i => r.media(i * factor))
+      r.copy(media = out, width = r.width / factor, height = r.height / factor)
+    }
+
     def decode(r: MediaRow): MediaFeatures = {
       val bytes = r.media
       var sum = 0L; var i = 0
@@ -67,9 +79,15 @@ object Multimodal {
       .withColumn("frame_len", length(col("frame")))
   }
 
-  /** Fake "resize": deterministic byte subsample (every k-th frame). */
+  /** Frame subsample (every k-th frame — temporal downsampling). */
   def sampleEveryKth(df: DataFrame, k: Int): DataFrame =
     df.filter(pmod(col("frame_idx"), lit(k)) === 0)
+
+  /** Spatial downsample of every asset (batch-shaped, like decode). */
+  def resizeAll(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(FakeCodec.resize(_, factor)))
+  }
 
   /** Build a media table from the documents fixture (text bytes standing in
     * for encoded media) — lets the plumbing run against driver test data.

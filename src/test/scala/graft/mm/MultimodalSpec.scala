@@ -38,6 +38,17 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.frameIndex(media((9L, "")).toDF()).count() == 0)
   }
 
+  test("resizeAll downsamples payload and metadata deterministically") {
+    val out = Multimodal.resizeAll(media((1L, "abcdefgh")), factor = 2)
+      .collect()(0)
+    assert(new String(out.media, "UTF-8") == "aceg")
+    assert(out.width == 32 && out.n_bytesSafe == 4)
+  }
+
+  private implicit class MR(r: Multimodal.MediaRow) {
+    def n_bytesSafe: Int = r.media.length
+  }
+
   test("mediaFromDocuments plumbs the documents fixture into binary rows") {
     val m = Multimodal.mediaFromDocuments(
       graft.source.Tables(spark, sfDir, "documents"))
