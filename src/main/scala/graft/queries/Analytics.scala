@@ -254,12 +254,19 @@ object Analytics {
          SELECT month, revenue,
            revenue - lag(revenue) OVER (ORDER BY month) AS mom_change
          FROM m ORDER BY month""") { (s, dir) =>
-      val w = Window.orderBy(col("month"))
-      t(s, dir, "orders")
+      // `lag` over an unpartitioned window funnels every row through ONE
+      // task (WindowExec warns). Month cardinality is bounded, but the
+      // scale-clean formulation is a self-join on the previous calendar
+      // month — AQE broadcasts the tiny aggregated side. Equivalent to
+      // `lag` because every month in the data has orders (verified: 80
+      // consecutive months); a gap month would make lag reach further back.
+      val m = t(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(dsum(col("o_totalprice")).as("revenue"))
+      val prev = m.select(col("month").as("p_month"), col("revenue").as("p_revenue"))
+      m.join(prev, col("p_month") === col("month") - expr("INTERVAL 1 MONTH"), "left")
         .select(col("month"), col("revenue"),
-          (col("revenue") - lag(col("revenue"), 1).over(w)).as("mom_change"))
+          (col("revenue") - col("p_revenue")).as("mom_change"))
         .orderBy(col("month"))
     },
 

@@ -13,6 +13,27 @@ import graft.text.{Dedup, Text}
   */
 object CorpusQueries {
 
+  /** Exact top-10 cosine neighbors of the first 20 vectors — the oracle for
+    * both `ann_brute_topk` and `ann_ivf_topk` (IVF probing every inverted
+    * list is exhaustive search, so its result set is identical by
+    * construction). Bit-exactness holds because both engines promote floats
+    * to double and accumulate the dot product in index order (see the
+    * `emb_norms` precedent), and ranking ties break on `n_id`.
+    */
+  private val annExactTopkSql =
+    """WITH v AS (SELECT vec_id, embedding,
+       sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+       FROM embeddings),
+     s AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       list_sum(list_transform(range(len(q.embedding)),
+         i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(n.embedding[i+1] AS DOUBLE)))
+         / (q.norm * n.norm) AS cos
+       FROM v q JOIN v n ON n.vec_id <> q.vec_id WHERE q.vec_id < 20)
+     SELECT q_id, n_id, cos, rnk FROM (
+       SELECT q_id, n_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
+       FROM s) WHERE rnk <= 10 ORDER BY q_id, rnk"""
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup via content fingerprint (hash-groupBy; text never shuffles).
@@ -139,9 +160,10 @@ object CorpusQueries {
     },
 
     // Brute-force exact top-10 cosine neighbors for the first 20 vectors.
-    // Float cosine ranking is engine-precision-sensitive → no SQL oracle;
-    // SimilaritySpec verifies against an independent in-memory computation.
-    Q.unchecked("ann_brute_topk") { (s, dir) =>
+    // Oracle-checked: the native DotProduct kernel accumulates float→double
+    // products in index order, exactly like DuckDB's list_sum over the
+    // double-transformed zip — doubles are bit-identical, so ranking is too.
+    Q("ann_brute_topk", annExactTopkSql) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
         .orderBy(col("q_id"), col("rnk"))
@@ -155,14 +177,17 @@ object CorpusQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
-    // IVF ANN: k-means-lite inverted lists, nProbe nearest lists searched,
-    // exact rerank (rows-only: centroid training is engine-side; IvfSpec
-    // proves recall properties incl. exactness at full probe).
-    Q.unchecked("ann_ivf_topk") { (s, dir) =>
+    // IVF ANN: k-means-lite inverted lists + exact rerank. Registered at
+    // FULL probe (nProbe = nCentroids): exhaustive IVF is exact search, so
+    // the brute-force SQL oracle applies — the plan still exercises the
+    // whole IVF machinery (training, assignment kernel, inverted-list
+    // bucket join). The production partial-probe path (nProbe < k) is
+    // approximate by design; IvfSpec measures its recall curve.
+    Q("ann_ivf_topk", annExactTopkSql) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       val model = graft.sim.Ivf.train(emb, nCentroids = 16, dim = 64, iters = 2)
       graft.sim.Ivf.search(emb, emb.filter(col("vec_id") < 20), model,
-          k = 10, nProbe = 4)
+          k = 10, nProbe = 16)
         .orderBy(col("q_id"), col("rnk"))
     },
 
