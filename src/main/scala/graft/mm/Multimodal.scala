@@ -1,17 +1,22 @@
 package graft.mm
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus decode / feature-extract / frame-sample stages.
   *
-  * The Spark-side plumbing — schema, partitioning, batch-shaped processing
-  * — is real; the codec itself is STUBBED with a deterministic fake
-  * (`FakeCodec`) because no image/audio libraries ship in this container.
-  * Swapping in a real decoder means replacing `FakeCodec.decode` only; the
-  * pipeline shape (a `mapPartitions` over row batches, the Scala analog of
-  * `mapInPandas`) stays unchanged.
+  * The codec is REAL for still images: PNG/JPEG payloads (detected by magic
+  * bytes) decode through `javax.imageio` — in the JDK, no external
+  * dependency — yielding pixel dimensions and a mean-intensity feature.
+  * Non-image payloads take the deterministic byte-statistics path, whose
+  * outputs are reproducible in plain SQL (the DuckDB oracle for
+  * `mm_decoded_features` recomputes them). Video/audio codecs are out of
+  * scope for this container; their assets flow the byte path untouched.
   */
 object Multimodal {
 
@@ -19,36 +24,106 @@ object Multimodal {
   final case class MediaRow(media_id: Long, media: Array[Byte], format: String,
                             width: Int, height: Int)
 
-  /** Decoded features (what a real decode would produce per asset). */
-  final case class MediaFeatures(media_id: Long, n_bytes: Int, n_frames: Int,
-                                 checksum: Long, mean_byte: Double)
-
-  /** STUB codec: a deterministic fake standing in for libjpeg/ffmpeg/etc.
-    * Real deployments replace `decode`; everything downstream is agnostic.
+  /** Decoded per-asset features. For image payloads `px_width`/`px_height`
+    * come from the decoded bitmap and `mean_byte` is the mean RGB component
+    * intensity; for opaque payloads they echo the metadata dims and the
+    * mean payload byte.
     */
-  object FakeCodec {
+  final case class MediaFeatures(media_id: Long, n_bytes: Int, n_frames: Int,
+                                 checksum: Long, mean_byte: Double,
+                                 px_width: Int, px_height: Int)
+
+  object Codec {
     val FrameBytes = 64
 
-    /** STUB "resize": deterministic byte downsample by `factor` (every
-      * factor-th byte) — stands in for an image rescale; the pipeline
-      * shape (payload in → smaller payload out, metadata adjusted) is
-      * what downstream stages depend on.
+    /** Checksum modulus: keeps the rolling polynomial inside 63 bits (31·M
+      * + 255 < 2^63 — Spark 4 runs ANSI mode, silent wraparound elsewhere
+      * would throw here) AND makes the value reproducible by any engine
+      * with 64-bit integer arithmetic — the SQL oracle replays the fold.
+      */
+    val ChecksumMod = 1000000007L
+
+    def detectFormat(bytes: Array[Byte]): String =
+      if (bytes.length >= 8 &&
+        (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+        bytes(3) == 'G') "png"
+      else if (bytes.length >= 2 &&
+        (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) "jpeg"
+      else "raw"
+
+    /** Rolling polynomial over the payload bytes, mod [[ChecksumMod]]. */
+    def checksum(bytes: Array[Byte]): Long = {
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) {
+        sum = (sum * 31 + (bytes(i) & 0xFF)) % ChecksumMod
+        i += 1
+      }
+      sum
+    }
+
+    /** Decode one asset. Image payloads go through `javax.imageio`; an
+      * unreadable image (truncated file, unsupported subformat) falls back
+      * to the byte path rather than failing the partition.
+      */
+    def decode(r: MediaRow): MediaFeatures = {
+      val bytes = r.media
+      val img: BufferedImage = detectFormat(bytes) match {
+        case "png" | "jpeg" =>
+          try ImageIO.read(new ByteArrayInputStream(bytes)) catch { case _: Exception => null }
+        case _ => null
+      }
+      if (img != null) {
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        val nPx = img.getWidth.toLong * img.getHeight * 3
+        MediaFeatures(r.media_id, bytes.length, 1, checksum(bytes),
+          if (nPx == 0) 0.0 else sum.toDouble / nPx, img.getWidth, img.getHeight)
+      } else {
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) { sum += bytes(i) & 0xFF; i += 1 }
+        MediaFeatures(r.media_id, bytes.length,
+          (bytes.length + FrameBytes - 1) / FrameBytes, checksum(bytes),
+          if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
+          r.width, r.height)
+      }
+    }
+
+    /** Spatial downsample by `factor`. Images are rescaled for real
+      * (area-averaged draw, re-encoded as PNG); opaque payloads keep the
+      * deterministic every-`factor`-th-byte shape so the stage stays
+      * runnable on non-image assets.
       */
     def resize(r: MediaRow, factor: Int): MediaRow = {
       require(factor >= 1)
-      val out = Array.tabulate(r.media.length / factor)(i => r.media(i * factor))
-      r.copy(media = out, width = r.width / factor, height = r.height / factor)
-    }
-
-    def decode(r: MediaRow): MediaFeatures = {
-      val bytes = r.media
-      var sum = 0L; var i = 0
-      while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xFF); i += 1 }
-      val mean =
-        if (bytes.isEmpty) 0.0
-        else bytes.iterator.map(b => (b & 0xFF).toDouble).sum / bytes.length
-      MediaFeatures(r.media_id, bytes.length,
-        (bytes.length + FrameBytes - 1) / FrameBytes, sum, mean)
+      val img: BufferedImage = detectFormat(r.media) match {
+        case "png" | "jpeg" =>
+          try ImageIO.read(new ByteArrayInputStream(r.media)) catch { case _: Exception => null }
+        case _ => null
+      }
+      if (img != null) {
+        val nw = math.max(1, img.getWidth / factor)
+        val nh = math.max(1, img.getHeight / factor)
+        val scaled = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+        val g = scaled.createGraphics()
+        try g.drawImage(img, 0, 0, nw, nh, null) finally g.dispose()
+        val out = new ByteArrayOutputStream()
+        ImageIO.write(scaled, "png", out)
+        MediaRow(r.media_id, out.toByteArray, "png", nw, nh)
+      } else {
+        val out = Array.tabulate(r.media.length / factor)(i => r.media(i * factor))
+        r.copy(media = out, width = r.width / factor, height = r.height / factor)
+      }
     }
   }
 
@@ -59,14 +134,14 @@ object Multimodal {
     */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(FakeCodec.decode))
+    media.mapPartitions(_.map(Codec.decode))
   }
 
   /** Frame sampling as a pure column expression: logical frame index table
     * per asset (no data copy of the payload — each frame is a slice).
     */
   def frameIndex(df: DataFrame, mediaCol: String = "media",
-                 frameBytes: Int = FakeCodec.FrameBytes): DataFrame = {
+                 frameBytes: Int = Codec.FrameBytes): DataFrame = {
     val nBytes = length(col(mediaCol))
     val nFrames = ceil(nBytes / lit(frameBytes.toDouble)).cast("int")
     // empty payload → zero frames: sequence(0, -1) would count DOWN and
@@ -86,7 +161,7 @@ object Multimodal {
   /** Spatial downsample of every asset (batch-shaped, like decode). */
   def resizeAll(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(FakeCodec.resize(_, factor)))
+    media.mapPartitions(_.map(Codec.resize(_, factor)))
   }
 
   /** Build a media table from the documents fixture (text bytes standing in

@@ -34,6 +34,41 @@ object CorpusQueries {
          CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
        FROM s) WHERE rnk <= 10 ORDER BY q_id, rnk"""
 
+  /** Oracle for `emb_dup_pairs`: recomputes the Rademacher sign signatures
+    * from the SAME ±1 matrix the Spark kernel uses (inlined as literal
+    * rows), pairs on Hamming distance, and audits with the exact cosine.
+    * ±1 entries make every projection term an exact double sign flip, so
+    * the signature — and therefore the result SET — is engine-independent.
+    */
+  private def embSimhashDupSql(nPlanes: Int, dim: Int, maxHamming: Int,
+                               seed: Long): String = {
+    val m = Similarity.signPlanes(nPlanes, dim, seed)
+    val planeRows = (0 until nPlanes).map { p =>
+      val vals = (0 until dim)
+        .map(j => if (m(p * dim + j) > 0) "1.0" else "-1.0").mkString(",")
+      s"($p, [$vals])"
+    }.mkString(", ")
+    s"""WITH planes(p, s) AS (VALUES $planeRows),
+       e AS (SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+         FROM embeddings),
+       sig AS (SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_sum(list_transform(range(len(e.embedding)),
+             i -> CAST(e.embedding[i+1] AS DOUBLE) * p.s[i+1])) > 0
+           THEN CAST(1 AS BIGINT) << p.p ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+         FROM e, planes p GROUP BY e.vec_id),
+       pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming)
+     SELECT pr.a_id, pr.b_id, pr.hamming,
+       list_sum(list_transform(range(len(ea.embedding)),
+         i -> CAST(ea.embedding[i+1] AS DOUBLE) * CAST(eb.embedding[i+1] AS DOUBLE)))
+         / (ea.norm * eb.norm) AS cos
+     FROM pairs pr JOIN e ea ON ea.vec_id = pr.a_id JOIN e eb ON eb.vec_id = pr.b_id
+     ORDER BY a_id, b_id"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup via content fingerprint (hash-groupBy; text never shuffles).
@@ -191,13 +226,19 @@ object CorpusQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
-    // Embedding-cosine near-duplicate pairs (LSH-bucketed). The fixture
-    // embeddings are i.i.d. random (max pairwise cosine ≈ 0.48), so the
-    // threshold is set low enough to surface candidates; production use
-    // would run ≥0.9 with coarser chunks.
-    Q.unchecked("emb_dup_pairs") { (s, dir) =>
-      Similarity.cosineDupPairs(Tables(s, dir, "embeddings"), threshold = 0.3,
-          chunkBits = 4)
+    // Embedding near-duplicate pairs by angular SimHash: ALL pairs whose
+    // 36-bit Rademacher sign signatures differ in ≤ 8 bits, with the exact
+    // cosine per pair. Deterministically complete (pigeonhole over 9
+    // 4-bit chunks), so the oracle recomputes the identical signatures from
+    // the same literal ±1 matrix. The cosine-threshold flavor
+    // (Similarity.cosineDupPairs, recall < 1 by construction) stays
+    // spec-verified. Fixture embeddings are i.i.d. random (max pairwise
+    // cosine ≈ 0.48), so pairs here are signature-level near-collisions;
+    // on a real near-dup corpus the same plan returns the true dup sets.
+    Q("emb_dup_pairs", embSimhashDupSql(nPlanes = 36, dim = 64,
+        maxHamming = 8, seed = 7L)) { (s, dir) =>
+      Similarity.simhashDupPairs(Tables(s, dir, "embeddings"), maxHamming = 8,
+          nPlanes = 36, chunkBits = 4, dim = 64, seed = 7L)
         .orderBy(col("a_id"), col("b_id"))
     },
 
@@ -214,9 +255,24 @@ object CorpusQueries {
         .orderBy(col("media_id"))
     },
 
-    // Decode-stub features via batch-shaped mapPartitions (no SQL oracle —
-    // the codec is engine-side; MultimodalSpec pins its outputs).
-    Q.unchecked("mm_decoded_features") { (s, dir) =>
+    // Decoded features via the batch-shaped mapPartitions codec. The codec
+    // dispatches on magic bytes: PNG/JPEG payloads decode through
+    // javax.imageio (pinned against known images in MultimodalSpec); the
+    // fixture payloads are document text bytes, so every row takes the
+    // byte-statistics path — whose outputs (modular rolling checksum, mean
+    // byte, metadata dims) the oracle replays in SQL. The fixture text is
+    // pure ASCII, so DuckDB's per-character ascii() equals the byte value.
+    Q("mm_decoded_features",
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+         CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames,
+         list_reduce(list_transform(range(length(text)),
+             i -> CAST(ascii(text[i+1]) AS BIGINT)),
+           (a, b) -> (a * 31 + b) % 1000000007) AS checksum,
+         CAST(list_sum(list_transform(range(length(text)), i -> ascii(text[i+1]))) AS DOUBLE)
+           / octet_length(encode(text)) AS mean_byte,
+         64 AS px_width,
+         CAST(octet_length(encode(text)) // 64 AS INT) AS px_height
+         FROM documents ORDER BY media_id""") { (s, dir) =>
       import s.implicits._
       val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
         .as[Multimodal.MediaRow]

@@ -7,6 +7,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * same parquet tables. Queries without an oracle get the driver's weaker
   * rows-only check and are instead verified by ScalaTest specs.
   *
+  * The remaining oracle-less queries are engine-side BY DESIGN, each with a
+  * spec that verifies the property the oracle can't:
+  *  - `ann_lsh_topk` — recall < 1 by construction (chunked sign-bit LSH);
+  *    SimilaritySpec measures recall against the exact result. The exact
+  *    ANN surfaces (`ann_brute_topk`, full-probe `ann_ivf_topk`) ARE
+  *    oracle-checked.
+  *  - `doc_minhash_pairs` — MinHash permutations are engine-side constants;
+  *    DedupSpec checks candidates against exact shingle Jaccard. The exact
+  *    pair surfaces (`doc_jaccard_pairs`, `emb_dup_pairs`) ARE
+  *    oracle-checked.
+  *  - `doc_simhash_pairs` — weighted-token SimHash is engine-side;
+  *    DedupSpec pins signatures and verifies the Hamming pigeonhole.
+  *  - `doc_langid` — heuristic n-gram/stopword models are engine-side;
+  *    TextSpec verifies predictions on crafted per-language fixtures.
+  *  - `ev_hll_users` — HLL++ estimates are engine-specific; the spec
+  *    bounds them against exact counts within the configured rsd.
+  *
   * Determinism contract (so the DuckDB hash-compare is meaningful):
   *  - every result is fully ordered by its key columns, in both engines;
   *  - double outputs are produced by exact DECIMAL(18,2) aggregation (or a

@@ -58,6 +58,17 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Deterministic Rademacher (±1) projection matrix, row-major
+    * [plane][dim]. Used where the signature must be reproducible OUTSIDE
+    * the engine (e.g. a SQL oracle): ±1 entries keep every product an
+    * exact double (a sign flip), so any engine that promotes floats to
+    * double and sums in index order computes the identical projection.
+    */
+  def signPlanes(nPlanes: Int, dim: Int, seed: Long): Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes * dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
   /** Sign-bit LSH signature: bit i = sign(dot(v, plane_i)). Returned as a
     * Long (nPlanes <= 63). One fused native kernel over the constant plane
     * matrix (see graft.functions.VectorExpressions.LshSignBits).
@@ -133,5 +144,54 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** EXACT embedding near-dup pairs by angular SimHash: all pairs whose
+    * Rademacher sign signatures differ in ≤ `maxHamming` of `nPlanes` bits,
+    * with the exact cosine reported per pair.
+    *
+    * Unlike [[cosineDupPairs]] (recall < 1 on a raw cosine threshold), the
+    * result set here is *deterministically complete* for its definition:
+    * signatures are bucketed into `nChunks = nPlanes/chunkBits` chunks, and
+    * any pair within Hamming distance `maxHamming < nChunks` must agree on
+    * at least one whole chunk (pigeonhole), so the chunk join loses
+    * nothing. That makes the query SQL-oracle-checkable end to end — the
+    * ±1 planes reproduce bit-identically in any double-arithmetic engine.
+    *
+    * Scale shape: candidates carry (id, sig) only — 8 bytes of payload
+    * through the bucket join; vectors are joined back once per surviving
+    * pair for the cosine audit column.
+    */
+  def simhashDupPairs(corpus: DataFrame, maxHamming: Int = 8,
+                      nPlanes: Int = 36, chunkBits: Int = 4, dim: Int = 64,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      seed: Long = 7L): DataFrame = {
+    val nChunks = nPlanes / chunkBits
+    require(nChunks * chunkBits == nPlanes, "chunkBits must divide nPlanes")
+    require(maxHamming < nChunks,
+      s"pigeonhole guarantee needs maxHamming < nChunks ($maxHamming >= $nChunks)")
+    val mask = (1L << chunkBits) - 1
+    val sigs = corpus.select(col(idCol).as("id"),
+      VectorExpressions.lshSignBits(col(vecCol),
+        signPlanes(nPlanes, dim, seed), nPlanes, dim).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
+          struct(c.as("chunk"),
+            shr(col("sig"), c * chunkBits).bitwiseAND(mask).as("ch")))).as("ck"))
+      .select(col("id"), col("sig"), col("ck.chunk"), col("ck.ch"))
+    val a = chunked.toDF("a_id", "a_sig", "chunk", "ch")
+    val b = chunked.toDF("b_id", "b_sig", "chunk", "ch")
+    def side(role: String): DataFrame =
+      corpus.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
+        l2Norm(col(vecCol)).as(s"${role}_norm"))
+    a.join(b, Seq("chunk", "ch")).filter(col("a_id") < col("b_id"))
+      // Hamming-filter BEFORE dedup and payload join: it needs only the
+      // signatures already riding the candidate rows.
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a_id", "b_id")
+      .join(side("a"), "a_id").join(side("b"), "b_id")
+      .select(col("a_id"), col("b_id"), col("hamming"),
+        (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("cos"))
   }
 }
