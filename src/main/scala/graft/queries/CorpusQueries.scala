@@ -126,7 +126,11 @@ object CorpusQueries {
          WHERE len(list_intersect(a.w, b.w)) /
              (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
          ORDER BY a_id, b_id""") { (s, dir) =>
-      Dedup.jaccardPairs(Tables(s, dir, "documents"),
+      // Prefix-filtered (lossless) candidates + exact verify — identical
+      // result set to the oracle's inequality join, but the candidate
+      // stage is a token bucket join, never O(n²/blocks). The quadratic
+      // blocked form survives only as DedupSpec's verification kernel.
+      Dedup.prefixJaccardPairs(Tables(s, dir, "documents"),
           blockCols = Seq("lang", "source"), threshold = 0.8)
         .orderBy(col("a_id"), col("b_id"))
     },

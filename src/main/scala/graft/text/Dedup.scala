@@ -123,6 +123,57 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Exact Jaccard-threshold pairs AT SCALE: prefix-filtered candidate
+    * generation + exact verification (the AllPairs/PPJoin family,
+    * Bayardo et al. WWW'07 / Chaudhuri et al. ICDE'06 — public
+    * algorithms).
+    *
+    * Sort each document's token set by a canonical total order (global
+    * document frequency, rarest first, ties on the token — rare-first
+    * minimizes candidate collisions). For Jaccard ≥ t, any qualifying pair
+    * shares at least `ceil(t·max(|A|,|B|))` tokens, so the first
+    * `|X| − ceil(t·|X|) + 1` tokens of each side (its "prefix") must
+    * intersect — joining on prefix tokens is therefore LOSSLESS: unlike
+    * MinHash banding there is no recall curve, the result set is exactly
+    * the inequality-join's. Cost is O(candidates), never O(n²/blocks):
+    * the quadratic blocked form ([[jaccardPairs]]) remains only as the
+    * verification kernel.
+    *
+    * Scale shape: two linear shuffles over exploded prefix tokens
+    * (frequency join + bucket join), candidates carry IDs only, token
+    * arrays join back once per surviving candidate.
+    */
+  def prefixJaccardPairs(docs: DataFrame, blockCols: Seq[String], threshold: Double,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val d = docs.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        array_distinct(split(col(textCol), "\\s+")).as("w"): _*)
+      .withColumn("nw", size(col("w")))
+    val tok = d.select(
+      (col("id") +: blockCols.map(col)) :+ col("nw") :+ explode(col("w")).as("token"): _*)
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // prefix length |X| − floor(t·|X|) + 1: floor (not ceil) of the double
+    // product keeps the prefix one token LONGER than the tight bound when
+    // t·|X| is integral — immune to FP rounding, still lossless.
+    val wrn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("token"))
+    val prefixes = tok.join(freq, "token")
+      .withColumn("rn", row_number().over(wrn))
+      .filter(col("rn") <= col("nw") - floor(lit(threshold) * col("nw")).cast("int") + 1)
+      .select((col("id") +: blockCols.map(col)) :+ col("token"): _*)
+    val cand = prefixes.toDF("a_id" +: blockCols :+ "token": _*)
+      .join(prefixes.toDF("b_id" +: blockCols :+ "token": _*), blockCols :+ "token")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    val aSide = d.select(col("id").as("a_id"), col("w").as("a_w"), col("nw").as("a_nw"))
+    val bSide = d.select(col("id").as("b_id"), col("w").as("b_w"), col("nw").as("b_nw"))
+    cand.join(aSide, "a_id").join(bSide, "b_id")
+      .withColumn("inter", size(array_intersect(col("a_w"), col("b_w"))))
+      .select(col("a_id"), col("b_id"),
+        (col("inter") / (col("a_nw") + col("b_nw") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact word-set Jaccard within a blocking key — the verification
     * kernel, also usable standalone when a natural blocking key exists.
     *

@@ -61,6 +61,32 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L))) // cross-block pair 1-3 never compared
   }
 
+  test("prefixJaccardPairs equals the quadratic kernel on the fixture corpus") {
+    // the lossless-candidates claim, checked end to end: prefix-filtered
+    // candidate generation must reproduce the blocked inequality join's
+    // result set EXACTLY (ids and scores) on real data
+    val d = graft.source.Tables(spark, sfDir, "documents")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val fast = Dedup.prefixJaccardPairs(d, Seq("lang", "source"), threshold = 0.8)
+      .collect().map(key).toSet
+    val slow = Dedup.jaccardPairs(d, Seq("lang", "source"), threshold = 0.8)
+      .collect().map(key).toSet
+    assert(fast == slow, s"missing=${(slow -- fast).take(3)} extra=${(fast -- slow).take(3)}")
+    assert(fast.nonEmpty)
+  }
+
+  test("prefix filter handles token-disjoint corpora (empty candidate set)") {
+    // 60 docs with fully disjoint vocabularies: zero shared prefix tokens
+    // → zero candidates → empty result, where the quadratic form would
+    // have compared all C(60,2) pairs
+    val many = docs((1L to 60L).map(i =>
+      i -> (0 until 8).map(j => s"tok_${i}_$j").mkString(" ")): _*)
+      .withColumn("blk", lit("b"))
+    val out = Dedup.prefixJaccardPairs(many, Seq("blk"), threshold = 0.8).count()
+    assert(out == 0)
+  }
+
   test("minhash scales candidates via banding, not n²") {
     // sanity: with one band of all rows (bands=1), only near-identical
     // signatures collide; candidate count stays far below C(n,2)
