@@ -377,6 +377,27 @@ object Analytics {
         .orderBy(col("n").desc, col("event_type"))
     },
 
+    // The skew-salted aggregation path, registered against the PLAIN
+    // aggregation as its oracle: event_type has cardinality 5 over the
+    // whole table — the textbook heavy-key shape where one reducer
+    // receives n/5 rows. Salting fans each hot key across 32 sub-keys for
+    // the partial aggregate (balanced big shuffle), then merges 5·32 tiny
+    // partials. Hash-equality with the oracle proves the salt+merge
+    // decomposition is exact, not just spec-plausible: counts add, and
+    // the decimal-path sums are order-independent.
+    Q("ev_salted_type_stats",
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      graft.ops.Skew.saltedAgg(Tables.events(s, dir), Seq("event_type"),
+          saltBuckets = 32)(
+          Seq(count(lit(1)).as("pn"),
+            sum(dec(col("value"))).as("ps")),
+          Seq(sum(col("pn")).as("n"),
+            sum(col("ps")).cast("double").as("total_value")))
+        .orderBy(col("event_type"))
+    },
+
     // Funnel: view → click → purchase (conditional aggregation, two levels).
     Q("ev_funnel",
       """WITH u AS (SELECT user_id,

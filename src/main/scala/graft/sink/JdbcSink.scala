@@ -102,6 +102,51 @@ object JdbcSink {
       s"ON CONFLICT (${keyCols.mkString(", ")}) $conflict"
   }
 
+  /** Portable upsert for engines without `ON CONFLICT` (Derby, DB2-family):
+    * per row, UPDATE the non-key columns first and INSERT only when no row
+    * matched. Executed per partition on the executors, batched per
+    * transaction. Correct under the single-writer-per-key discipline of
+    * the streaming sinks (`foreachBatch` runs one batch at a time per
+    * query); concurrent writers racing on the same NEW key need the
+    * native-dialect path ([[upsert]]).
+    */
+  def upsertPortable(df: DataFrame, table: String, keyCols: Seq[String],
+                     cfg: JdbcConfig): Unit = {
+    val cols = df.columns.toSeq
+    val nonKeys = cols.filterNot(keyCols.contains)
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+      s"key columns $keyCols must be a subset of $cols")
+    require(nonKeys.nonEmpty,
+      "all-key schemas have nothing to revise — use plain append or the native upsert")
+    val updateSql = s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +
+      s"WHERE ${keyCols.map(c => s"$c = ?").mkString(" AND ")}"
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val (url, props) = (cfg.url, cfg.properties)
+    val nonKeyIdx = nonKeys.map(cols.indexOf)
+    val keyIdx = keyCols.map(cols.indexOf)
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.nonEmpty) {
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val upd = conn.prepareStatement(updateSql)
+          val ins = conn.prepareStatement(insertSql)
+          rows.foreach { r =>
+            (nonKeyIdx ++ keyIdx).zipWithIndex.foreach { case (c, i) =>
+              upd.setObject(i + 1, r.get(c))
+            }
+            if (upd.executeUpdate() == 0) {
+              cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+              ins.executeUpdate()
+            }
+          }
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+
   /** K9 read side: table-or-query load through Spark's JDBC source
     * (predicate pushdown + partitioned reads come builtin).
     */

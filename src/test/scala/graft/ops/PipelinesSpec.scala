@@ -75,6 +75,35 @@ class PipelinesSpec extends SparkSpec {
     assert(tight.length == 2)
   }
 
+  test("sessionsWindowed emits the identical session set to batch gap-split") {
+    // batch/stream unification for sessions: session_window with a
+    // 30-minute gap over the events fixture must produce EXACTLY the
+    // session set of the batch lag/cumsum sessionization that the
+    // ev_sessionized oracle hash-checks. (The two differ only on events
+    // at an exact 30:00.000000 gap — session_window's window is half-open
+    // — and the fixture has none; real deployments should treat that
+    // boundary as unspecified.)
+    import spark.implicits._
+    val ev = graft.source.Tables.events(spark, sfDir)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id").cast("long"),
+        date_trunc("second", col("session_start")).cast("long"),
+        date_trunc("second", col("session_end")).cast("long"),
+        col("event_count").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val windowed = key(Pipelines.sessionsWindowed(
+      ev.select(col("ts").as("timestamp"), col("user_id").as("session_id"),
+        col("user_id")),
+      gap = "30 minutes", watermark = "30 minutes"))
+    val batch = key(graft.SparkEntry.queries("ev_sessionized")(spark, sfDir)
+      .select(col("user_id"), col("sess_start").as("session_start"),
+        col("sess_end").as("session_end"), col("n_events").as("event_count")))
+    assert(windowed == batch,
+      s"missing=${(batch -- windowed).take(3)} extra=${(windowed -- batch).take(3)}")
+    assert(windowed.nonEmpty)
+  }
+
   test("streaming twin: pageViews over MemoryStream equals the batch run") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
