@@ -116,6 +116,52 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Prefix-filter tokens for an exact Jaccard-threshold join (AllPairs/
+    * PPJoin): sorts the document's (distinct) token array by the canonical
+    * order (dictionary rank ascending, then token; tokens outside the
+    * dictionary share rank 0, so rare tokens fill the prefix) and keeps the
+    * first `n − floor(threshold·n) + 1` — any pair at Jaccard ≥ threshold
+    * must share one of these. The rank dictionary (the top-K most frequent
+    * tokens, most frequent = highest rank = sorted last) is a constructor
+    * constant: one bounded map per executor, no token-level shuffle join
+    * and no per-document window — the whole prefix computation is narrow.
+    */
+  case class PrefixTokens(child: Expression, ranks: Map[String, Int], threshold: Double)
+      extends UnaryExpression with CodegenFallback {
+    require(threshold > 0.0 && threshold <= 1.0)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "prefix_tokens"
+
+    @transient private lazy val rankMap: java.util.HashMap[UTF8String, Integer] = {
+      val m = new java.util.HashMap[UTF8String, Integer](ranks.size * 2)
+      ranks.foreach { case (k, v) => m.put(UTF8String.fromString(k), Integer.valueOf(v)) }
+      m
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[ArrayData]
+      val n = toks.numElements()
+      val arr = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) { arr(i) = toks.getUTF8String(i); i += 1 }
+      // floor (not ceil) keeps the prefix one token longer than the tight
+      // bound when threshold·n is integral — immune to FP rounding of the
+      // product, still lossless
+      val plen = math.min(n, n - math.floor(threshold * n).toInt + 1)
+      java.util.Arrays.sort(arr, new java.util.Comparator[UTF8String] {
+        override def compare(a: UTF8String, b: UTF8String): Int = {
+          val ra = rankMap.getOrDefault(a, 0).intValue()
+          val rb = rankMap.getOrDefault(b, 0).intValue()
+          if (ra != rb) Integer.compare(ra, rb) else a.compareTo(b)
+        }
+      })
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        java.util.Arrays.copyOf(arr, plen).asInstanceOf[Array[Any]])
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column API ----
 
   def shingleHashes(tokens: Column, w: Int): Column =
@@ -126,4 +172,7 @@ object HashExpressions {
 
   def rollingHash(text: Column, base: Long = 1000003L): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(text), base))
+
+  def prefixTokens(tokens: Column, ranks: Map[String, Int], threshold: Double): Column =
+    ColumnBridge.column(PrefixTokens(ColumnBridge.expression(tokens), ranks, threshold))
 }

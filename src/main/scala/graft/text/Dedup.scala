@@ -139,31 +139,58 @@ object Dedup {
     * the quadratic blocked form ([[jaccardPairs]]) remains only as the
     * verification kernel.
     *
-    * Scale shape: two linear shuffles over exploded prefix tokens
-    * (frequency join + bucket join), candidates carry IDs only, token
-    * arrays join back once per surviving candidate.
+    * Scale shape: one map-side-combined df aggregation (vocabulary-sized
+    * output), one bucket join over exploded PREFIX tokens only (~(1−t) of
+    * all tokens), candidates carry IDs only, token arrays join back once
+    * per surviving candidate.
     */
   def prefixJaccardPairs(docs: DataFrame, blockCols: Seq[String], threshold: Double,
-                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                         textCol: String = "text", idCol: String = "doc_id",
+                         commonVocab: Int = 10000): DataFrame = {
     val d = docs.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         array_distinct(split(col(textCol), "\\s+")).as("w"): _*)
       .withColumn("nw", size(col("w")))
-    val tok = d.select(
-      (col("id") +: blockCols.map(col)) :+ col("nw") :+ explode(col("w")).as("token"): _*)
-    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    // prefix length |X| − floor(t·|X|) + 1: floor (not ceil) of the double
-    // product keeps the prefix one token LONGER than the tight bound when
-    // t·|X| is integral — immune to FP rounding, still lossless.
-    val wrn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df"), col("token"))
-    val prefixes = tok.join(freq, "token")
-      .withColumn("rn", row_number().over(wrn))
-      .filter(col("rn") <= col("nw") - floor(lit(threshold) * col("nw")).cast("int") + 1)
-      .select((col("id") +: blockCols.map(col)) :+ col("token"): _*)
-    val cand = prefixes.toDF("a_id" +: blockCols :+ "token": _*)
-      .join(prefixes.toDF("b_id" +: blockCols :+ "token": _*), blockCols :+ "token")
+    // Canonical token order = document frequency ascending (rare first —
+    // rare prefix tokens minimize bucket collisions), realized as a BOUNDED
+    // dictionary: only the top `commonVocab` tokens get distinct ranks
+    // (most frequent = highest = sorted last); the rare tail shares rank 0
+    // with ties on the token string. Any fixed total order preserves
+    // losslessness, so truncating the dictionary only affects candidate
+    // volume among rare tokens — which rarely collide anyway. The df
+    // aggregation map-side-combines to vocabulary size, and the driver
+    // holds ≤ commonVocab strings (the IVF-centroid class of bounded
+    // collect), replacing a token-level frequency shuffle join + a
+    // per-document window with one narrow kernel.
+    val top = d.select(explode(col("w")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(commonVocab).collect()
+    val ranks = top.iterator.zipWithIndex
+      .map { case (r, i) => r.getString(0) -> (commonVocab - i) }.toMap
+    // posexplode: the index within the prefix array equals the token's
+    // position in the full canonical sort — PPJoin's positional filter
+    // needs it.
+    val prefixes = d.select((col("id") +: blockCols.map(col)) :+ col("nw") :+
+      posexplode(HashExpressions.prefixTokens(col("w"), ranks, threshold)): _*)
+    val a = prefixes.toDF("a_id" +: blockCols :+ "a_nw" :+ "a_pos" :+ "token": _*)
+    val b = prefixes.toDF("b_id" +: blockCols :+ "b_nw" :+ "b_pos" :+ "token": _*)
+    // Candidate pruning, both lossless (PPJoin, Xiao et al. WWW'08):
+    //  - length filter: Jaccard ≤ min/max, so J ≥ t forces
+    //    t·|B| ≤ |A| ≤ |B|/t;
+    //  - positional filter: J ≥ t forces |A∩B| ≥ t(|A|+|B|)/(1+t), and for
+    //    the FIRST common token (positions p in the canonical sort) the
+    //    overlap is at most 1 + min(|A|−p_a−1, |B|−p_b−1) — a true pair
+    //    always passes at its first common token, which the prefix lemma
+    //    puts inside both prefixes.
+    // The 1e-9 slack loosens the FP products/ceil only ever toward keeping.
+    val eps = 1e-9
+    val alpha = ceil((lit(threshold) / (1 + threshold)) * (col("a_nw") + col("b_nw")) - eps)
+    val cand = a.join(b, blockCols :+ "token")
       .filter(col("a_id") < col("b_id"))
+      .filter(col("a_nw") >= lit(threshold) * col("b_nw") - eps &&
+        col("b_nw") >= lit(threshold) * col("a_nw") - eps)
+      .filter(lit(1) + least(col("a_nw") - col("a_pos") - 1,
+        col("b_nw") - col("b_pos") - 1) >= alpha)
       .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
     val aSide = d.select(col("id").as("a_id"), col("w").as("a_w"), col("nw").as("a_nw"))
     val bSide = d.select(col("id").as("b_id"), col("w").as("b_w"), col("nw").as("b_nw"))
