@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused per-document text analysis: language ID (stopword + character
+  * bigram), quality-score components, and BPE-ish token count in a handful
+  * of passes over the string — replacing a tree of ~60 interpreted
+  * higher-order/`replace` traversals per row (Spark's array HOFs are
+  * CodegenFallback, and each `replace`-based substring count allocates a
+  * full copy of the text).
+  *
+  * Semantics are bit-compatible with the composed `graft.text.Text`
+  * expressions (TextSpec asserts equality on the fixture corpus):
+  * tokenization is `split("\\s+", -1)` exactly, bigram counts equal the
+  * non-overlapping `replace` counter (profiles must not contain
+  * self-overlapping bigrams — enforced), and the argmax tie-break is the
+  * lexicographically largest language, as the sorted-struct formulation
+  * produced.
+  */
+object TextExpressions {
+
+  case class TextFeatures(child: Expression,
+                          stopProfiles: Seq[(String, Seq[String])],
+                          bigramProfiles: Seq[(String, Seq[String])])
+      extends UnaryExpression with CodegenFallback {
+
+    // sliding-window bigram counting equals the replace-based
+    // non-overlapping count ONLY for non-self-overlapping needles
+    require(bigramProfiles.forall(_._2.forall(bg => bg.length == 2 && bg(0) != bg(1))),
+      "bigram profiles must be 2 distinct chars (overlap-free counting)")
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("stop_lang", StringType, nullable = false),
+      StructField("ngram_lang", StringType, nullable = false),
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("distinct_tokens", IntegerType, nullable = false),
+      StructField("n_chars", IntegerType, nullable = false),
+      StructField("punct_chars", IntegerType, nullable = false),
+      StructField("digit_chars", IntegerType, nullable = false),
+      StructField("bpe_tokens", IntegerType, nullable = false)))
+    override def prettyName: String = "text_features"
+
+    @transient private lazy val stopLangs: Array[String] =
+      stopProfiles.map(_._1).sorted.toArray
+    @transient private lazy val stopSets: Array[java.util.HashSet[String]] =
+      stopLangs.map { l =>
+        val s = new java.util.HashSet[String]()
+        stopProfiles.toMap.apply(l).foreach(s.add)
+        s
+      }
+    @transient private lazy val ngramLangs: Array[String] =
+      bigramProfiles.map(_._1).sorted.toArray
+    // bigram (as 2-char key packed into an Int) → indices of languages
+    // listing it: the counting pass is one map probe per position
+    @transient private lazy val bigramIndex: java.util.HashMap[Integer, Array[Int]] = {
+      val m = new java.util.HashMap[Integer, Array[Int]]()
+      val byLang = bigramProfiles.toMap
+      ngramLangs.zipWithIndex.foreach { case (l, i) =>
+        byLang(l).foreach { bg =>
+          val key = Integer.valueOf((bg(0) << 16) | bg(1))
+          val prev = m.get(key)
+          m.put(key, if (prev == null) Array(i) else prev :+ i)
+        }
+      }
+      m
+    }
+
+    private def isPunct(c: Char): Boolean = // Java regex \p{Punct} (ASCII)
+      (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+        (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+
+    /** Max-hits language, ties to the lexicographically largest (the order
+      * `reverse(array_sort(struct(hits, lang)))[1]` produced); "und" when
+      * no profile hits.
+      */
+    private def argmax(hits: Array[Int], langs: Array[String], cjk: Boolean): UTF8String = {
+      if (cjk) return UTF8String.fromString("zh")
+      var bi = -1
+      var bh = 0
+      var i = 0
+      while (i < hits.length) {
+        if (hits(i) > 0 && hits(i) >= bh) { bi = i; bh = hits(i) }
+        i += 1
+      }
+      UTF8String.fromString(if (bi < 0) "und" else langs(bi))
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val lowered = s.toLowerCase
+      // token pass — split semantics identical to Spark's split(text,"\\s+")
+      val toks = s.split("\\s+", -1)
+      val lowToks = lowered.split("\\s+", -1)
+      val distinct = new java.util.HashSet[String]()
+      val stopHits = new Array[Int](stopLangs.length)
+      var t = 0
+      while (t < toks.length) {
+        distinct.add(toks(t))
+        var l = 0
+        while (l < stopLangs.length) {
+          if (stopSets(l).contains(lowToks(t))) stopHits(l) += 1
+          l += 1
+        }
+        t += 1
+      }
+      // character pass — punct/digit/CJK + BPE state machine
+      var punct = 0; var digit = 0; var bpe = 0
+      var cjk = false
+      var inLetterRun = false
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (isPunct(c)) punct += 1
+        if (c >= '0' && c <= '9') digit += 1
+        if (c >= '\u4e00' && c <= '\u9fff') cjk = true
+        val isLetter = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+        if (isLetter) { if (!inLetterRun) bpe += 1; inLetterRun = true }
+        else {
+          inLetterRun = false
+          val isDigit = c >= '0' && c <= '9'
+          val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+            c == '\f' || c == '\r'
+          if (isDigit || !isWs) bpe += 1 // each digit or symbol is one piece
+        }
+        i += 1
+      }
+      // bigram pass over the lowered text
+      val ngramHits = new Array[Int](ngramLangs.length)
+      i = 0
+      while (i + 1 < lowered.length) {
+        val langsAt = bigramIndex.get(Integer.valueOf((lowered.charAt(i) << 16) | lowered.charAt(i + 1)))
+        if (langsAt != null) {
+          var j = 0
+          while (j < langsAt.length) { ngramHits(langsAt(j)) += 1; j += 1 }
+        }
+        i += 1
+      }
+      new GenericInternalRow(Array[Any](
+        argmax(stopHits, stopLangs, cjk),
+        argmax(ngramHits, ngramLangs, cjk),
+        toks.length, distinct.size,
+        v.asInstanceOf[UTF8String].numChars(), punct, digit, bpe))
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def textFeatures(text: Column, stopProfiles: Map[String, Seq[String]],
+                   bigramProfiles: Map[String, Seq[String]]): Column =
+    ColumnBridge.column(TextFeatures(ColumnBridge.expression(text),
+      stopProfiles.toSeq, bigramProfiles.toSeq))
+}

@@ -155,15 +155,21 @@ object CorpusQueries {
     // buys full-cluster parallelism for the expression evaluation — the
     // standard move for compute-bound per-row stages after a narrow scan.
     Q.unchecked("doc_langid") { (s, dir) =>
+      // one fused kernel pass per document (TextExpressions.TextFeatures)
+      // instead of ~60 interpreted HOF/replace traversals; TextSpec pins
+      // its outputs equal to the composed Text.* expressions
       Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .select(
-          col("doc_id"), col("lang").as("labeled_lang"),
-          Text.langId(col("text")).as("predicted_lang"),
-          Text.langIdNgram(col("text")).as("predicted_lang_ngram"),
-          Text.qualityScore(col("text")).as("quality"),
-          Text.bpeTokenCount(col("text")).as("bpe_tokens"),
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          Text.featuresStruct(col("text")).as("f"),
           Text.rollingFingerprint(col("text")).as("rolling_fp"))
+        .select(
+          col("doc_id"), col("labeled_lang"),
+          col("f.stop_lang").as("predicted_lang"),
+          col("f.ngram_lang").as("predicted_lang_ngram"),
+          Text.qualityFromFeatures(col("f")).as("quality"),
+          col("f.bpe_tokens").as("bpe_tokens"),
+          col("rolling_fp"))
         .orderBy(col("doc_id"))
     },
 

@@ -118,6 +118,28 @@ object Text {
     argmaxLang(text, scored)
   }
 
+  /** All langid/quality features in one fused native kernel (see
+    * graft.functions.TextExpressions.TextFeatures): struct(stop_lang,
+    * ngram_lang, n_tokens, distinct_tokens, n_chars, punct_chars,
+    * digit_chars, bpe_tokens). Same outputs as the composed expressions
+    * above — TextSpec asserts the equivalence — at a fraction of the cost
+    * (the HOF/`replace` formulations walk interpreted trees per element).
+    */
+  def featuresStruct(text: Column): Column =
+    graft.functions.TextExpressions.textFeatures(text, langProfiles, bigramProfiles)
+
+  /** [[qualityScore]] recomputed from [[featuresStruct]] components —
+    * identical arithmetic on identical integers, so identical doubles.
+    */
+  def qualityFromFeatures(f: Column): Column = {
+    val lenScore = least(f.getField("n_tokens") / lit(64.0), lit(1.0))
+    val divScore = least((f.getField("distinct_tokens") / f.getField("n_tokens")) * 2.0, lit(1.0))
+    val nc = greatest(f.getField("n_chars"), lit(1))
+    val noise = (f.getField("punct_chars") / nc) + (f.getField("digit_chars") / nc)
+    greatest(lit(0.0), least(lit(1.0),
+      lenScore * 0.4 + divScore * 0.4 + (lit(1.0) - noise) * 0.2))
+  }
+
   /** Content fingerprint: polynomial rolling hash over the text's bytes
     * (base 1000003, modulo 2^31−1) — order-sensitive, unlike a
     * bag-of-words hash. Native kernel: one pass over the UTF8 bytes.

@@ -78,4 +78,40 @@ class TextSpec extends SparkSpec {
     assert(r.getDouble(0) == 0.75)
     assert(r.getDouble(1) == 0.75)
   }
+
+  test("fused TextFeatures kernel equals the composed expressions everywhere") {
+    import spark.implicits._
+    // fixture corpus + crafted edges: multi-space, leading/trailing ws,
+    // punct/digit-heavy, CJK short-circuit, profile-free text
+    val crafted = Seq("the cat and the hat is in that box for it",
+      "  leading and   multi  space ", "99 bottles!! of 99 beers?? on-the-wall",
+      "\u4e00\u9fff chinese chars", "zzz qqq xxx", "der hund und die katze ist nicht hier",
+      "le chat est dans la maison pour que", "a").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val fixture = graft.source.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val d = (crafted ++ fixture).toDF("doc_id", "text")
+    val both = d.select(col("doc_id"),
+        Text.featuresStruct(col("text")).as("f"),
+        Text.langId(col("text")).as("e_stop"),
+        Text.langIdNgram(col("text")).as("e_ngram"),
+        Text.qualityScore(col("text")).as("e_quality"),
+        Text.bpeTokenCount(col("text")).as("e_bpe"),
+        Text.tokenCount(col("text")).as("e_ntok"),
+        size(array_distinct(split(col("text"), "\\s+"))).as("e_dist"))
+      .select(col("doc_id"), col("f.stop_lang"), col("e_stop"),
+        col("f.ngram_lang"), col("e_ngram"),
+        Text.qualityFromFeatures(col("f")).as("quality"), col("e_quality"),
+        col("f.bpe_tokens"), col("e_bpe"), col("f.n_tokens"), col("e_ntok"),
+        col("f.distinct_tokens"), col("e_dist"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"stop_lang @${r.getLong(0)}: $r")
+      assert(r.getString(3) == r.getString(4), s"ngram_lang @${r.getLong(0)}: $r")
+      assert(r.getDouble(5) == r.getDouble(6), s"quality @${r.getLong(0)}: $r")
+      assert(r.getInt(7) == r.getInt(8), s"bpe @${r.getLong(0)}: $r")
+      assert(r.getInt(9) == r.getInt(10), s"n_tokens @${r.getLong(0)}: $r")
+      assert(r.getInt(11) == r.getInt(12), s"distinct @${r.getLong(0)}: $r")
+    }
+  }
 }
