@@ -171,6 +171,32 @@ object Analytics {
         .orderBy(col("c"), col("rnk"))
     },
 
+    // Ranking-function breadth: dense_rank / percent_rank / cume_dist /
+    // ntile in one pass, partitioned by priority (bounded partitions — no
+    // global window). The full (price DESC, key) ordering makes every
+    // function deterministic; percent_rank and cume_dist are single exact
+    // divisions, bit-equal across engines.
+    Q("order_value_ranks",
+      """SELECT o_orderkey, o_orderpriority,
+         CAST(DENSE_RANK() OVER w AS INT) AS dr,
+         PERCENT_RANK() OVER w AS pr,
+         CUME_DIST() OVER w AS cd,
+         CAST(NTILE(10) OVER w AS INT) AS decile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_orderkey""") { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          dense_rank().over(w).as("dr"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(10).over(w).as("decile"))
+        .orderBy(col("o_orderkey"))
+    },
+
     Q("rollup_revenue",
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -135,6 +135,34 @@ object CorpusQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Transitive duplicate GROUPS: connected components over the exact
+    // near-dup pair graph, labels = min doc_id per component (the
+    // canonical-survivor step a real dedup pipeline runs after pair
+    // generation — near-dup is not transitive). Spark side: iterative
+    // min-label propagation; oracle: recursive-CTE transitive closure
+    // over the identical pair set.
+    Q("doc_dup_groups",
+      """WITH RECURSIVE d AS (SELECT doc_id, lang, source,
+           list_distinct(string_split(text, ' ')) AS w FROM documents),
+         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.w, b.w)) /
+               (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8),
+         e AS (SELECT a_id AS s, b_id AS t FROM p
+               UNION SELECT b_id, a_id FROM p),
+         reach(s, t) AS (SELECT s, t FROM e
+           UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
+         SELECT doc_id, CAST(LEAST(doc_id, coalesce(m.mn, doc_id)) AS BIGINT) AS group_id
+         FROM documents LEFT JOIN
+           (SELECT s, min(t) AS mn FROM reach GROUP BY s) m ON m.s = doc_id
+         ORDER BY doc_id""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.prefixJaccardPairs(docs,
+        blockCols = Seq("lang", "source"), threshold = 0.8)
+      Dedup.dupGroups(docs, pairs).orderBy(col("doc_id"))
+    },
+
     // MinHash+LSH near-dup pairs — banded bucket join, no SQL oracle
     // (minhash permutations are engine-side); DedupSpec checks candidates
     // against exact shingle Jaccard.

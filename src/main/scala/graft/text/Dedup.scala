@@ -201,6 +201,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Transitive duplicate groups: connected components over a near-dup
+    * pair graph, each document labeled with the smallest `doc_id` in its
+    * component (the canonical survivor real dedup pipelines keep —
+    * pairwise near-dup is not transitive, so clustering must close over
+    * the pair relation, or A≈B≈C keeps both A and C).
+    *
+    * Iterative min-label propagation: every round each node takes the min
+    * of its own label and its neighbors' — one shuffle join + one min
+    * aggregation per round, converging in O(component diameter) rounds
+    * (near-dup components are shallow: diameter ≲ chain length of edits).
+    * Label state is one (id, label) row per document; `localCheckpoint`
+    * truncates the growing plan lineage each round. The driver-side loop
+    * only ever compares one Boolean per round (`changed`), never data.
+    */
+  def dupGroups(docs: DataFrame, pairs: DataFrame,
+                idCol: String = "doc_id", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaNeighbors = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("group_id"))
+  }
+
   /** Exact word-set Jaccard within a blocking key — the verification
     * kernel, also usable standalone when a natural blocking key exists.
     *

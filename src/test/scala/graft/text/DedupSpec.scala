@@ -87,6 +87,25 @@ class DedupSpec extends SparkSpec {
     assert(out == 0)
   }
 
+  test("dupGroups closes over non-transitive pair chains (A≈B≈C, A≉C)") {
+    import spark.implicits._
+    // 16-token base; one substitution keeps J = 15/17 ≈ 0.88 ≥ 0.8, two
+    // substitutions drop to 14/18 ≈ 0.78 < 0.8 — so (1,2) and (2,3) are
+    // pairs but (1,3) is not; only the transitive closure groups all three
+    val b = "t01 t02 t03 t04 t05 t06 t07 t08 t09 t10 t11 t12 t13 t14 t15 t16"
+    val d2 = b.replace("t16", "x16")
+    val d3 = d2.replace("t15", "x15")
+    val lone = "completely unrelated content here with other words entirely now"
+    val docs = Seq((1L, b), (2L, d2), (3L, d3), (4L, lone), (5L, b))
+      .toDF("doc_id", "text").withColumn("blk", lit("g"))
+    val pairs = Dedup.jaccardPairs(docs, Seq("blk"), threshold = 0.8)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got((1L, 2L)) && got((2L, 3L)) && !got((1L, 3L)), s"pairs=$got")
+    val groups = Dedup.dupGroups(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 1L))
+  }
+
   test("minhash scales candidates via banding, not n²") {
     // sanity: with one band of all rows (bands=1), only near-identical
     // signatures collide; candidate count stays far below C(n,2)
