@@ -245,6 +245,20 @@ object Analytics {
         .orderBy(col("c_custkey"))
     },
 
+    // EXCEPT set-op (completes the §2.4 set-operation row with INTERSECT):
+    // ordering customers outside the BUILDING market segment. (Every
+    // synthetic customer has orders, so the complement-of-orderers flavor
+    // would be trivially empty.)
+    Q("customer_except",
+      """SELECT o_custkey AS c_custkey FROM orders
+         EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         ORDER BY c_custkey""") { (s, dir) =>
+      t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+        .except(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")))
+        .orderBy(col("c_custkey"))
+    },
+
     Q("brand_part_stats",
       """SELECT p_brand, COUNT(*) AS n_items,
          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -422,6 +436,20 @@ object Analytics {
           Seq(sum(col("pn")).as("n"),
             sum(col("ps")).cast("double").as("total_value")))
         .orderBy(col("event_type"))
+    },
+
+    // Calendar profile: day-of-week × hour-of-day activity heatmap (the
+    // dashboard staple). Spark's dayofweek is 1-based Sunday-first;
+    // DuckDB's is 0-based — the oracle shifts by one.
+    Q("ev_dow_hour_profile",
+      """SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         CAST(hour(ts) AS INT) AS hod,
+         COUNT(*) AS n, COUNT(DISTINCT user_id) AS unique_users
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("unique_users"))
+        .orderBy(col("dow"), col("hod"))
     },
 
     // Funnel: view → click → purchase (conditional aggregation, two levels).

@@ -79,6 +79,29 @@ object CorpusQueries {
       Dedup.exact(Tables(s, dir, "documents")).orderBy(col("fingerprint"))
     },
 
+    // Deterministic hash-mod sampling — THE reproducible sampling method
+    // for training-data pipelines (rerun-stable, join-free, no RNG state;
+    // `df.sample` is seed+partitioning dependent). Bucket = first 8 hex
+    // chars of md5(doc_id) as an integer, mod 10; keep buckets 0-2 for a
+    // 30% sample. Both engines compute the identical md5 hex, so the
+    // sample IS the oracle's sample.
+    Q("doc_hash_sample",
+      """SELECT doc_id, lang FROM (SELECT doc_id, lang,
+           list_reduce(list_transform(range(8),
+               i -> CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), i + 1, 1)) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) % 10 AS bucket
+           FROM documents)
+         WHERE bucket < 3 ORDER BY doc_id""") { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 10)
+        .filter(col("bucket") < 3)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // Token statistics per (lang, source) stratum.
     Q("doc_token_stats",
       """SELECT lang, source, COUNT(*) AS n_docs,
