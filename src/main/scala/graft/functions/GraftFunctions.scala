@@ -48,6 +48,23 @@ object GraftFunctions {
       val w = if (es.length > 1) intLit(es(1), "shingle width") else 3
       HashExpressions.ShingleHashes(es(0), w)
     },
+    // text_features(text): the fused langid/quality struct, with the
+    // engine's default language profiles
+    "text_features" -> (es => TextExpressions.TextFeatures(es(0),
+      graft.text.Text.langProfiles.toSeq, graft.text.Text.bigramProfiles.toSeq)),
+    // prefix_tokens(tokens, threshold): Jaccard prefix filter in the plain
+    // token-string canonical order — the SQL surface has no ergonomic map
+    // literal, so the frequency dictionary stays a Column-API affordance
+    "prefix_tokens" -> { es =>
+      val t = es(1) match {
+        case Literal(v: Double, _) => v
+        case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+        case Literal(v: Int, _) => v.toDouble
+        case other => throw new IllegalArgumentException(
+          s"threshold must be a numeric literal, got $other")
+      }
+      HashExpressions.PrefixTokens(es(0), Map.empty, t)
+    },
     "minhash_sig" -> { es =>
       // minhash_sig(shingle_hashes, numHashes [, seed])
       val k = if (es.length > 1) intLit(es(1), "numHashes") else 64

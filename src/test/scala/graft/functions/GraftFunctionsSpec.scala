@@ -22,6 +22,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getInt(5) == 16)
   }
 
+  test("text_features and prefix_tokens are callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT f.stop_lang, f.ngram_lang, f.n_tokens, f.bpe_tokens,
+                prefix_tokens(split('zz aa mm bb', ' '), 0.8) AS p
+         FROM (SELECT text_features('the cat and the hat is in that box') AS f)
+      """).collect()(0)
+    assert(r.getString(0) == "en" && r.getString(1) == "en")
+    assert(r.getInt(2) == 9)
+    // dict-free canonical order = token string: prefix keeps the 2 smallest
+    assert(r.getSeq[String](4) == Seq("aa", "bb"))
+  }
+
   test("SQL kernels agree with the Column API") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
