@@ -57,31 +57,40 @@ object Ivf {
     */
   def train(corpus: DataFrame, nCentroids: Int, dim: Int, iters: Int = 3,
             idCol: String = "vec_id", vecCol: String = "embedding"): IvfModel = {
-    val init = corpus
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), xxhash64(col(idCol)).as("h"))
-      .orderBy(col("h"), col("id")).limit(nCentroids)
-      .select(col("vec")).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    var centroids = init
-    val vecSum = udaf(new VectorSum(dim))
-    (1 to iters).foreach { _ =>
-      val assigned = corpus.select(
-        element_at(VectorExpressions.nearestCentroids(
-          col(vecCol), centroids.flatten, centroids.length, dim, 1), 1).as("cluster"),
-        col(vecCol).as("vec"))
-      val stats = assigned.groupBy(col("cluster"))
-        .agg(vecSum(col("vec")).as("sum"), count(lit(1)).as("n"))
-        .collect()
-      val next = centroids.map(_.clone())
-      stats.foreach { r =>
-        val c = r.getInt(0)
-        val sum = r.getSeq[Double](1)
-        val n = r.getLong(2).toDouble
-        next(c) = sum.map(_ / n).toArray
+    // Lloyd's loop reads the same projection once per iteration (plus the
+    // init scan) — cache it for the duration of training, as any iterative
+    // trainer should; MEMORY_AND_DISK so an over-RAM corpus spills instead
+    // of failing, and unpersist before returning so the query leaves no
+    // footprint behind.
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val init = vecs
+        .select(col("vec"), xxhash64(col("id")).as("h"), col("id"))
+        .orderBy(col("h"), col("id")).limit(nCentroids)
+        .select(col("vec")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      var centroids = init
+      val vecSum = udaf(new VectorSum(dim))
+      (1 to iters).foreach { _ =>
+        val assigned = vecs.select(
+          element_at(VectorExpressions.nearestCentroids(
+            col("vec"), centroids.flatten, centroids.length, dim, 1), 1).as("cluster"),
+          col("vec"))
+        val stats = assigned.groupBy(col("cluster"))
+          .agg(vecSum(col("vec")).as("sum"), count(lit(1)).as("n"))
+          .collect()
+        val next = centroids.map(_.clone())
+        stats.foreach { r =>
+          val c = r.getInt(0)
+          val sum = r.getSeq[Double](1)
+          val n = r.getLong(2).toDouble
+          next(c) = sum.map(_ / n).toArray
+        }
+        centroids = next
       }
-      centroids = next
-    }
-    IvfModel(centroids)
+      IvfModel(centroids)
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** ANN search through the inverted lists. */

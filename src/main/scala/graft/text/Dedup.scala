@@ -217,9 +217,20 @@ object Dedup {
     */
   def dupGroups(docs: DataFrame, pairs: DataFrame,
                 idCol: String = "doc_id", maxIters: Int = 20): DataFrame = {
+    // Materialize the edge list ONCE: `pairs` is typically the full
+    // candidate-generation pipeline, and the loop below references edges
+    // in every round plus every convergence check — without this the
+    // near-dup join would re-execute O(rounds·2) times. Edges are
+    // (id, id) only, so the checkpoint is tiny even at corpus scale.
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint()
+    // Propagate only over nodes that HAVE edges — the frontier is the
+    // component subgraph, not the corpus; untouched documents are
+    // singletons and join back once at the end. (Near-dup graphs are
+    // sparse: most of a deduplicated corpus participates in no pair.)
+    var labels = edges.select(col("src").as("id"))
+      .distinct().withColumn("label", col("id"))
       .localCheckpoint()
     var converged = false
     var iter = 0
@@ -235,7 +246,9 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.select(col("id").as(idCol), col("label").as("group_id"))
+    docs.select(col(idCol))
+      .join(labels, docs(idCol) === labels("id"), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("group_id"))
   }
 
   /** Exact word-set Jaccard within a blocking key — the verification
