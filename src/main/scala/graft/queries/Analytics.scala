@@ -438,6 +438,23 @@ object Analytics {
         .orderBy(col("event_type"))
     },
 
+    // PIVOT: per-user event-type counts as columns. The pivot value list
+    // is explicit — with an inferred list Spark would run an extra
+    // distinct job AND the output schema would depend on the data.
+    Q("ev_type_pivot",
+      """SELECT user_id,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
+         FROM events GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "click", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    },
+
     // Calendar profile: day-of-week × hour-of-day activity heatmap (the
     // dashboard staple). Spark's dayofweek is 1-based Sunday-first;
     // DuckDB's is 0-based — the oracle shifts by one.
