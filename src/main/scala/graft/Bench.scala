@@ -32,13 +32,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warmup: one query per table family — q1 pays the relational JIT +
-    // lineitem footers, emb_norms the vector-kernel codegen + embeddings
-    // footer, doc_quality the string/array paths + documents footer —
-    // so the measured loop starts hot everywhere, not just on lineitem.
+    // Warmup: one query per table family — lineitem (q1), embeddings +
+    // vector kernels (emb_norms), documents + string paths (doc_quality),
+    // events incl. the nanos read path (ev_top_types), orders + customer
+    // (top_customers) — so the measured loop starts hot everywhere.
     materialize("q1_pricing_summary")
     materialize("emb_norms")
     materialize("doc_quality")
+    materialize("ev_top_types")
+    materialize("top_customers")
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -140,15 +140,22 @@ object HashExpressions {
 
     override def nullSafeEval(v: Any): Any = {
       val toks = v.asInstanceOf[ArrayData]
-      val n = toks.numElements()
-      val arr = new Array[UTF8String](n)
+      val nIn = toks.numElements()
+      // drop null elements (possible from the SQL surface; split() never
+      // produces them) — the comparator and output type are null-free
+      val arr = new Array[UTF8String](nIn)
+      var n = 0
       var i = 0
-      while (i < n) { arr(i) = toks.getUTF8String(i); i += 1 }
+      while (i < nIn) {
+        val t = toks.getUTF8String(i)
+        if (t != null) { arr(n) = t; n += 1 }
+        i += 1
+      }
       // floor (not ceil) keeps the prefix one token longer than the tight
       // bound when threshold·n is integral — immune to FP rounding of the
       // product, still lossless
       val plen = math.min(n, n - math.floor(threshold * n).toInt + 1)
-      java.util.Arrays.sort(arr, new java.util.Comparator[UTF8String] {
+      java.util.Arrays.sort(arr, 0, n, new java.util.Comparator[UTF8String] {
         override def compare(a: UTF8String, b: UTF8String): Int = {
           val ra = rankMap.getOrDefault(a, 0).intValue()
           val rb = rankMap.getOrDefault(b, 0).intValue()

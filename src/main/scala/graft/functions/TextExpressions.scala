@@ -93,7 +93,9 @@ object TextExpressions {
 
     override def nullSafeEval(v: Any): Any = {
       val s = v.asInstanceOf[UTF8String].toString
-      val lowered = s.toLowerCase
+      // Locale.ROOT: the default locale would diverge from Spark's lower()
+      // on e.g. tr-TR JVMs (dotless ı), breaking the equivalence contract
+      val lowered = s.toLowerCase(java.util.Locale.ROOT)
       // token pass — split semantics identical to Spark's split(text,"\\s+")
       val toks = s.split("\\s+", -1)
       val lowToks = lowered.split("\\s+", -1)
@@ -126,7 +128,9 @@ object TextExpressions {
           val isDigit = c >= '0' && c <= '9'
           val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
             c == '\f' || c == '\r'
-          if (isDigit || !isWs) bpe += 1 // each digit or symbol is one piece
+          // low surrogates are the second half of a code point whose high
+          // surrogate already counted — the regex form counts code points
+          if ((isDigit || !isWs) && !Character.isLowSurrogate(c)) bpe += 1
         }
         i += 1
       }

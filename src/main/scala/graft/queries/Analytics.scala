@@ -291,15 +291,16 @@ object Analytics {
       """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
            FROM orders GROUP BY 1)
-         SELECT month, revenue,
-           revenue - lag(revenue) OVER (ORDER BY month) AS mom_change
-         FROM m ORDER BY month""") { (s, dir) =>
+         SELECT m.month, m.revenue, m.revenue - p.revenue AS mom_change
+         FROM m LEFT JOIN m p ON p.month = m.month - INTERVAL 1 MONTH
+         ORDER BY m.month""") { (s, dir) =>
       // `lag` over an unpartitioned window funnels every row through ONE
       // task (WindowExec warns). Month cardinality is bounded, but the
-      // scale-clean formulation is a self-join on the previous calendar
-      // month — AQE broadcasts the tiny aggregated side. Equivalent to
-      // `lag` because every month in the data has orders (verified: 80
-      // consecutive months); a gap month would make lag reach further back.
+      // scale-clean formulation is a self-join on the previous CALENDAR
+      // month — AQE broadcasts the tiny aggregated side. The oracle uses
+      // the same calendar-join semantics (a zero-order month yields NULL
+      // change for its successor, where lag would reach further back), so
+      // query and oracle agree on any data, gaps included.
       val m = t(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(dsum(col("o_totalprice")).as("revenue"))

@@ -23,6 +23,21 @@ object Similarity {
   private def shr(c: Column, bits: Column): Column = call_function("shiftright", c, bits)
   private def shl(c: Column, bits: Column): Column = call_function("shiftleft", c, bits)
 
+  /** Explode a packed signature into one (chunk, ch) bucket row per
+    * `chunkBits`-wide chunk, carrying only `keep` columns — the shared
+    * candidate-generation step of every LSH surface here (one definition,
+    * so chunking semantics can't silently diverge between them).
+    */
+  private def chunkBuckets(df: DataFrame, sigCol: String, nChunks: Int,
+                           chunkBits: Int, keep: Seq[String]): DataFrame = {
+    val mask = (1L << chunkBits) - 1
+    df.select(keep.map(col) :+
+        explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
+          struct(c.as("chunk"),
+            shr(col(sigCol), c * chunkBits).bitwiseAND(mask).as("ch")))).as("ck"): _*)
+      .select(keep.map(col) :+ col("ck.chunk") :+ col("ck.ch"): _*)
+  }
+
   /** dot(a, b) in double precision (floats promote exactly) — native
     * codegen'd kernel, not a higher-order function (HOFs are interpreted
     * per-element).
@@ -87,19 +102,14 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               seed: Long = 42L): DataFrame = {
     val nChunks = nPlanes / chunkBits
-    val mask = (1L << chunkBits) - 1
     // Candidate generation and dedup carry IDs ONLY — shuffling the
     // vectors through the bucket join would multiply payload bytes by the
     // collision count. Vectors are joined back once per surviving pair.
     def chunked(df: DataFrame, role: String): DataFrame =
-      df.select(col(idCol).as(s"${role}_id"),
-          lshSignature(col(vecCol), nPlanes, dim, seed).as("sig"))
-        .select(col(s"${role}_id"),
-          explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
-            struct(c.as("chunk"),
-              shr(col("sig"), c * chunkBits).bitwiseAND(mask).as("ch"))))
-            .as("ck"))
-        .select(col(s"${role}_id"), col("ck.chunk"), col("ck.ch"))
+      chunkBuckets(
+        df.select(col(idCol).as(s"${role}_id"),
+          lshSignature(col(vecCol), nPlanes, dim, seed).as("sig")),
+        "sig", nChunks, chunkBits, Seq(s"${role}_id"))
     val cand = chunked(corpus, "n")
       .join(chunked(queries, "q"), Seq("chunk", "ch"))
       .filter(col("q_id") =!= col("n_id"))
@@ -123,16 +133,12 @@ object Similarity {
                      nPlanes: Int = 32, chunkBits: Int = 8, dim: Int = 64,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val nChunks = nPlanes / chunkBits
-    val mask = (1L << chunkBits) - 1
     // IDs-only buckets (see lshTopK): the payload never rides the
     // candidate shuffle; vectors are joined back once per surviving pair.
-    val sigs = corpus.select(col(idCol).as("id"),
-        lshSignature(col(vecCol), nPlanes, dim).as("sig"))
-      .select(col("id"),
-        explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
-          struct(c.as("chunk"),
-            shr(col("sig"), c * chunkBits).bitwiseAND(mask).as("ch")))).as("ck"))
-      .select(col("id"), col("ck.chunk"), col("ck.ch"))
+    val sigs = chunkBuckets(
+      corpus.select(col(idCol).as("id"),
+        lshSignature(col(vecCol), nPlanes, dim).as("sig")),
+      "sig", nChunks, chunkBits, Seq("id"))
     val a = sigs.toDF("a_id", "chunk", "ch")
     val b = sigs.toDF("b_id", "chunk", "ch")
     def side(role: String): DataFrame =
@@ -170,15 +176,11 @@ object Similarity {
     require(nChunks * chunkBits == nPlanes, "chunkBits must divide nPlanes")
     require(maxHamming < nChunks,
       s"pigeonhole guarantee needs maxHamming < nChunks ($maxHamming >= $nChunks)")
-    val mask = (1L << chunkBits) - 1
-    val sigs = corpus.select(col(idCol).as("id"),
-      VectorExpressions.lshSignBits(col(vecCol),
-        signPlanes(nPlanes, dim, seed), nPlanes, dim).as("sig"))
-    val chunked = sigs.select(col("id"), col("sig"),
-        explode(transform(sequence(lit(0), lit(nChunks - 1)), c =>
-          struct(c.as("chunk"),
-            shr(col("sig"), c * chunkBits).bitwiseAND(mask).as("ch")))).as("ck"))
-      .select(col("id"), col("sig"), col("ck.chunk"), col("ck.ch"))
+    val chunked = chunkBuckets(
+      corpus.select(col(idCol).as("id"),
+        VectorExpressions.lshSignBits(col(vecCol),
+          signPlanes(nPlanes, dim, seed), nPlanes, dim).as("sig")),
+      "sig", nChunks, chunkBits, Seq("id", "sig"))
     val a = chunked.toDF("a_id", "a_sig", "chunk", "ch")
     val b = chunked.toDF("b_id", "b_sig", "chunk", "ch")
     def side(role: String): DataFrame =

@@ -132,16 +132,24 @@ object JdbcSink {
           conn.setAutoCommit(false)
           val upd = conn.prepareStatement(updateSql)
           val ins = conn.prepareStatement(insertSql)
-          rows.foreach { r =>
-            (nonKeyIdx ++ keyIdx).zipWithIndex.foreach { case (c, i) =>
-              upd.setObject(i + 1, r.get(c))
+          try {
+            rows.foreach { r =>
+              (nonKeyIdx ++ keyIdx).zipWithIndex.foreach { case (c, i) =>
+                upd.setObject(i + 1, r.get(c))
+              }
+              if (upd.executeUpdate() == 0) {
+                cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+                ins.executeUpdate()
+              }
             }
-            if (upd.executeUpdate() == 0) {
-              cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
-              ins.executeUpdate()
-            }
+            conn.commit()
+          } catch {
+            case e: Throwable =>
+              // roll back before close: embedded Derby refuses to close a
+              // connection mid-transaction, which would mask the root cause
+              try conn.rollback() catch { case _: java.sql.SQLException => }
+              throw e
           }
-          conn.commit()
         } finally conn.close()
       }
     }

@@ -142,7 +142,10 @@ object Dedup {
     * Scale shape: one map-side-combined df aggregation (vocabulary-sized
     * output), one bucket join over exploded PREFIX tokens only (~(1−t) of
     * all tokens), candidates carry IDs only, token arrays join back once
-    * per surviving candidate.
+    * per surviving candidate. The tokenized projection is deliberately NOT
+    * cached across its four consumers: tokenization is a narrow re-scan,
+    * whereas persisting the token arrays would pin O(corpus) payload in
+    * block storage for the query's lifetime — the wrong trade at scale.
     */
   def prefixJaccardPairs(docs: DataFrame, blockCols: Seq[String], threshold: Double,
                          textCol: String = "text", idCol: String = "doc_id",
@@ -246,6 +249,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // Silent partial propagation would emit WRONG groups — fail loudly.
+    // (min-label converges in O(eccentricity of the min node); 20 rounds
+    // covers any realistic near-dup component — an edit chain of 20+
+    // documents each similar only to its neighbors would exceed it.)
+    if (!converged) throw new IllegalStateException(
+      s"dupGroups did not converge within $maxIters rounds — raise maxIters")
     docs.select(col(idCol))
       .join(labels, docs(idCol) === labels("id"), "left")
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("group_id"))
