@@ -456,6 +456,32 @@ object Analytics {
         .orderBy(col("user_id"))
     },
 
+    // UNPIVOT (melt): the inverse reshape — wide per-user type counts back
+    // to long (user_id, event_type, n) form, dropping zero cells to mirror
+    // the sparse long form. Oracle: stacked UNION ALL of FILTERed counts.
+    Q("ev_type_unpivot",
+      """WITH w AS (SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase
+           FROM events GROUP BY user_id)
+         SELECT user_id, event_type, CAST(n AS BIGINT) AS n FROM (
+           SELECT user_id, 'view' AS event_type, view AS n FROM w
+           UNION ALL SELECT user_id, 'click', click FROM w
+           UNION ALL SELECT user_id, 'purchase', purchase FROM w)
+         WHERE n > 0 ORDER BY user_id, event_type""") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "click", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("view", "click", "purchase"))
+        .unpivot(Array(col("user_id")),
+          Array(col("view"), col("click"), col("purchase")),
+          "event_type", "n")
+        .filter(col("n") > 0)
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
     // Calendar profile: day-of-week × hour-of-day activity heatmap (the
     // dashboard staple). Spark's dayofweek is 1-based Sunday-first;
     // DuckDB's is 0-based — the oracle shifts by one.
