@@ -137,6 +137,39 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-based curation: the top-5 documents per language stratum by
+    // composite quality score — the "keep the best k per bucket" selection
+    // step of a curation pipeline. The oracle replicates the exact score
+    // arithmetic (int-ratio inputs, fixed combination order → identical
+    // doubles); DuckDB's POSIX [[:punct:]] equals Java regex \p{Punct}
+    // (the ASCII punctuation set) for the punctuation ratio.
+    Q("doc_quality_topk",
+      """WITH q AS (SELECT doc_id, lang,
+           greatest(0.0, least(1.0,
+             least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4 +
+             least((len(list_distinct(string_split(text, ' '))) /
+                    len(string_split(text, ' '))) * 2.0, 1.0) * 0.4 +
+             (1.0 - ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) /
+                       greatest(length(text), 1) +
+                     (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) /
+                       greatest(length(text), 1))) * 0.2)) AS quality
+           FROM documents)
+         SELECT lang, doc_id, quality, rnk FROM (
+           SELECT lang, doc_id, quality,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY quality DESC, doc_id) AS INT) AS rnk FROM q)
+         WHERE rnk <= 5 ORDER BY lang, rnk""") { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          Text.qualityScore(col("text")).as("quality"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("doc_id"), col("quality"), col("rnk"))
+        .orderBy(col("lang"), col("rnk"))
+    },
+
     // Exact word-set Jaccard near-dup pairs, blocked on (lang, source).
     Q("doc_jaccard_pairs",
       """WITH d AS (SELECT doc_id, lang, source,

@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Executable versions of SCALE.md's plan claims: the physical plans the
+  * registered queries produce must keep their scan pushdown, column
+  * pruning, and broadcast properties — a regression here is a silent
+  * scale bug long before it is a wall-clock bug.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6: every predicate reaches the parquet scan, schema pruned") {
+    val p = plan("q6_revenue_forecast")
+    // the rendered plan truncates long filter lists, so assert on the
+    // leading entries rather than the full predicate set
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(400))
+    // projection pruning: the scan must not read all 16 lineitem columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_shipdate") && !read.contains("l_orderkey"), read)
+  }
+
+  test("q5: dimension chain joins are broadcast, not shuffled") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("doc_hash_sample: 2-column scan with the sample filter above it") {
+    val p = plan("doc_hash_sample")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("lang") &&
+      !read.contains("text"), read)
+  }
+
+  test("ev_salted_type_stats: two aggregation levels (salted partial + merge)") {
+    val p = plan("ev_salted_type_stats")
+    // four HashAggregate operators = two two-phase aggregations: the
+    // salted (event_type, salt) partial and the final event_type merge
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(600))
+  }
+
+  test("ev_minutely_views: filter pushes into the events scan") {
+    val p = plan("ev_minutely_views")
+    assert(p.contains("PushedFilters:") && p.contains("event_type"), p.take(600))
+  }
+}
