@@ -220,6 +220,30 @@ object Analytics {
           col("o_orderpriority").asc_nulls_first)
     },
 
+    // GROUPING SETS with grouping() markers — the general form of
+    // ROLLUP/CUBE, and the markers are what make aggregate rows
+    // distinguishable from rows whose key is genuinely NULL.
+    Q("grouping_sets_revenue",
+      """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+         CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
     Q("quantity_quantiles",
       """SELECT l_returnflag,
          quantile_cont(l_quantity, 0.25) AS p25,

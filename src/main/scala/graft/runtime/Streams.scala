@@ -32,7 +32,14 @@ final case class StreamConfig(
     /** When set, every sink is wrapped in the ExactlyOnce batchId ledger
       * (namespaced by this config's checkpoint dir — coupled lifecycles).
       */
-    ledger: Option[KeyValueSink] = None)
+    ledger: Option[KeyValueSink] = None,
+    /** `Trigger.AvailableNow`: drain everything currently available in
+      * micro-batches, then stop — the catch-up/backfill mode (run the
+      * streaming pipeline as a terminating batch job, checkpoint-compatible
+      * with the continuous deployment). Default: the reference's
+      * processing-time trigger.
+      */
+    availableNow: Boolean = false)
 
 class StreamRunner(spark: SparkSession, cfg: StreamConfig) {
 
@@ -75,7 +82,8 @@ class StreamRunner(spark: SparkSession, cfg: StreamConfig) {
       .queryName(name)
       .outputMode(cfg.outputMode)
       .option("checkpointLocation", s"${cfg.checkpointDir}/$name")
-      .trigger(Trigger.ProcessingTime(s"${cfg.batchDurationSec} seconds"))
+      .trigger(if (cfg.availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(s"${cfg.batchDurationSec} seconds"))
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) effective(batch, id)
       }

@@ -75,6 +75,26 @@ class StreamRunnerSpec extends SparkSpec {
     } finally runner.stopAll()
   }
 
+  test("AvailableNow trigger drains everything then terminates on its own") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = ClickstreamGen.events(spark, 200, numPartitions = 2).collect().toSeq
+    val stream = MemoryStream[ClickstreamEvent]
+    stream.addData(evs) // data present BEFORE start — the backfill shape
+    val checkpoint = Files.createTempDirectory("graft-ck-an").toString
+    val runner = new StreamRunner(spark,
+      StreamConfig(checkpoint, availableNow = true))
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    val q = runner.start(
+      Pipelines.pageViews(stream.toDF(), watermark = "1 minute"), "an_views") {
+      (batch, _) => seen.addAndGet(batch.count())
+    }
+    // a processing-time query would run until stopped; AvailableNow must
+    // finish by itself once the pre-existing data is drained
+    assert(q.awaitTermination(120000), "query did not self-terminate")
+    assert(seen.get() > 0)
+  }
+
   test("update mode revises prior windows across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
