@@ -85,9 +85,11 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` hook. */
+/** `spark.sql.extensions` hook: SQL-callable kernels + the HOF→kernel
+  * optimizer rewrites.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((
         new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -95,4 +97,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[GraftExtensions].getName, name),
         b))
     }
+    e.injectOptimizerRule(_ => KernelRewriteRules.RewriteHofDotProduct)
+  }
 }

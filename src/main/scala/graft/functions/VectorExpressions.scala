@@ -29,12 +29,19 @@ object VectorExpressions {
     case other => throw new IllegalArgumentException(s"unsupported array type $other")
   }
 
-  /** dot(a, b) over float/double arrays, accumulated in double. */
+  /** dot(a, b) over float/double arrays, accumulated in double.
+    * Length-mismatched inputs and null elements yield NULL (a dot product
+    * over them is undefined, and this exactly matches the zip_with +
+    * aggregate formulation, which [[KernelRewriteRules]] rewrites into
+    * this kernel — the null-element branch is never taken on real
+    * embedding data and predicts perfectly).
+    */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     // Input typing is enforced by elemGetter (float/double arrays only);
     // ExpectsInputTypes is private[sql] in Spark 4, so no analyzer hook.
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "vec_dot"
 
     @transient private lazy val getL = elemGetter(left.dataType)
@@ -43,10 +50,15 @@ object VectorExpressions {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (y.numElements() != n) return null
       var s = 0.0
       var i = 0
-      while (i < n) { s += getL(x, i) * getR(y, i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += getL(x, i) * getR(y, i)
+        i += 1
+      }
       s
     }
 
@@ -55,13 +67,16 @@ object VectorExpressions {
         val n = ctx.freshName("n")
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
+        val bad = ctx.freshName("bad")
         s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
+        boolean $bad = ($b.numElements() != $n);
         double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
+        for (int $i = 0; !$bad && $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
           $s += ${javaGetter(left.dataType, a, i)} * ${javaGetter(right.dataType, b, i)};
         }
-        ${ev.value} = $s;
+        if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
         """
       })
 
