@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Cast,
-  Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate,
+  ArrayTransform, Cast, Expression, LambdaFunction, Literal, Multiply,
+  NamedLambdaVariable, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
@@ -64,6 +65,24 @@ object KernelRewriteRules {
               (sameVar(aa, el) && sameVar(ab, acc))) &&
             sameVar(fin, facc) =>
         VectorExpressions.DotProduct(a, b)
+
+      // the squared-norm idiom:
+      //   aggregate(transform(a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      //             0D, (acc, v) -> acc + v)
+      // → vec_dot(a, a) — same promotion/order/null reasoning as above
+      case ArrayAggregate(
+            ArrayTransform(a,
+              LambdaFunction(Multiply(ma, mb, _),
+                Seq(x: NamedLambdaVariable), _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(Add(aa, ab, _),
+              Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
+            LambdaFunction(fin, Seq(facc: NamedLambdaVariable), _))
+          if numericArray(a) && doubleOf(ma, x) && doubleOf(mb, x) &&
+            ((sameVar(aa, acc) && sameVar(ab, el)) ||
+              (sameVar(aa, el) && sameVar(ab, acc))) &&
+            sameVar(fin, facc) =>
+        VectorExpressions.DotProduct(a, a)
     }
   }
 }

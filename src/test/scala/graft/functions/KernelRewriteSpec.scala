@@ -41,6 +41,29 @@ class KernelRewriteSpec extends SparkSpec {
     assert(viaRule == viaKernel && viaRule == viaHof)
   }
 
+  test("squared-norm transform idiom rewrites to vec_dot(a, a)") {
+    graft.source.Tables(spark, sfDir, "embeddings")
+      .createOrReplaceTempView("krw_emb_n")
+    val sql =
+      """SELECT vec_id,
+         sqrt(aggregate(transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           0D, (acc, v) -> acc + v)) AS norm
+         FROM krw_emb_n ORDER BY vec_id"""
+    val (plan, viaRule) = withRule {
+      val q = spark.sql(sql)
+      (q.queryExecution.optimizedPlan.toString,
+        q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    }
+    assert(plan.contains("vec_dot"), plan)
+    val viaKernel = graft.source.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        graft.sim.Similarity.l2Norm(col("embedding")).as("norm"))
+      .orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaRule == viaKernel)
+  }
+
   test("float-multiply lambda is NOT rewritten (different rounding)") {
     import spark.implicits._
     Seq((Array(1.5f), Array(0.5f))).toDF("a", "b")
