@@ -17,6 +17,10 @@ import graft.source.{ClickstreamSource, KafkaSourceConfig}
   * Modes:
   *  - `GRAFT_SOURCE=kafka`: consume the configured Kafka topic (requires
   *    the kafka connector jar on the classpath);
+  *  - `GRAFT_SOURCE=corpus`: run the document-curation pipeline (fused
+  *    text features → quality gate → deterministic hash sample → exact
+  *    dedup) over a parquet document STREAM with `Trigger.AvailableNow` —
+  *    the backfill shape: drain everything, write curated parquet, stop;
   *  - default demo mode: drive the full six-query engine from the
   *    deterministic generator through a MemoryStream, then print what the
   *    sinks received — a self-contained end-to-end run.
@@ -74,6 +78,41 @@ object Main {
             cfg.kafkaBootstrapServers, cfg.kafkaTopic,
             maxOffsetsPerTrigger = Some(cfg.maxOffsetsPerTrigger))), write, kv)
         runner.awaitAnyTermination()
+
+      case Some("corpus") =>
+        // curation backfill: document stream → curated parquet, then stop
+        import org.apache.spark.sql.functions._
+        val sfDir = sys.env.getOrElse("GRAFT_CORPUS_DIR", "/root/testdata/sf0.001")
+        val schema = graft.source.Tables(spark, sfDir, "documents").schema
+        val docs = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+        val curated = docs
+          .withColumn("f", graft.text.Text.featuresStruct(col("text")))
+          .withColumn("quality", graft.text.Text.qualityFromFeatures(col("f")))
+          .withColumn("fingerprint", graft.text.Text.fingerprint(col("text")))
+          .withColumn("bucket",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+              .cast("long") % 10)
+          .filter(col("quality") >= 0.5 && col("bucket") < 3)
+          // exact dedup within the backfill: bounded state because the job
+          // terminates; a continuous deployment would use
+          // dropDuplicatesWithinWatermark (Pipelines.dedup)
+          .dropDuplicates("fingerprint")
+          .select(col("doc_id"), col("f.stop_lang").as("lang"),
+            col("quality"), col("fingerprint"))
+        val outDir = sys.env.getOrElse("GRAFT_CORPUS_OUT",
+          Files.createTempDirectory("graft-curated").toString)
+        val kept = new java.util.concurrent.atomic.AtomicLong()
+        val backfill = new StreamRunner(spark,
+          StreamConfig(checkpoint, availableNow = true))
+        backfill.attachListener()
+        val q = backfill.start(curated, "corpus_curation") { (batch, _) =>
+          kept.addAndGet(batch.count())
+          batch.write.mode("append").parquet(outDir)
+        }
+        q.awaitTermination()
+        println(s"[graft] corpus curation backfill: ${kept.get()} documents " +
+          s"kept (quality ≥ 0.5, 30% hash sample, exact-deduped) → $outDir")
 
       case _ => // demo: generator → MemoryStream → full engine
         import spark.implicits._
