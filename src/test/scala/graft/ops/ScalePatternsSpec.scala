@@ -84,4 +84,26 @@ class ScalePatternsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("HLL sketches are mergeable: daily sketches union to the global estimate") {
+    // THE 100 TB distinct-count architecture: per-partition (here per-day)
+    // sketch aggregation materialized once, unioned at query time — the
+    // estimate from unioned daily sketches must equal the estimate from
+    // one global sketch over the same rows (mergeability, not just
+    // approximation), so pre-aggregation loses nothing.
+    import org.apache.spark.sql.functions._
+    val ev = graft.source.Tables.events(spark, sfDir)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val fromDaily = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n"))
+      .collect()(0).getLong(0)
+    val global = ev
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("n"))
+      .collect()(0).getLong(0)
+    assert(fromDaily == global, s"$fromDaily vs $global")
+    val exact = ev.select(col("user_id")).distinct().count()
+    assert(math.abs(fromDaily - exact).toDouble / exact < 0.05,
+      s"estimate $fromDaily vs exact $exact")
+  }
 }
