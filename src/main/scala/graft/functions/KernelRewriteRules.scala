@@ -78,7 +78,13 @@ object KernelRewriteRules {
             LambdaFunction(Add(aa, ab, _),
               Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
             LambdaFunction(fin, Seq(facc: NamedLambdaVariable), _))
-          if numericArray(a) && doubleOf(ma, x) && doubleOf(mb, x) &&
+          // a.deterministic: DotProduct(a, a) evaluates the child TWICE —
+          // duplicating a non-deterministic array (shuffle(...), rand-
+          // derived) would dot two DIFFERENT values. (For deterministic
+          // children — almost always a column reference — the duplicate
+          // evaluation is free-to-cheap and the kernel still wins.)
+          if numericArray(a) && a.deterministic &&
+            doubleOf(ma, x) && doubleOf(mb, x) &&
             ((sameVar(aa, acc) && sameVar(ab, el)) ||
               (sameVar(aa, el) && sameVar(ab, acc))) &&
             sameVar(fin, facc) =>

@@ -94,9 +94,7 @@ object CorpusQueries {
            FROM documents)
          WHERE bucket < 3 ORDER BY doc_id""") { (s, dir) =>
       Tables(s, dir, "documents")
-        .withColumn("bucket",
-          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 10)
+        .withColumn("bucket", Text.hashModBucket(col("doc_id")))
         .filter(col("bucket") < 3)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))

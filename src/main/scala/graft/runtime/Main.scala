@@ -86,29 +86,28 @@ object Main {
         val schema = graft.source.Tables(spark, sfDir, "documents").schema
         val docs = spark.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
-        val curated = docs
-          .withColumn("f", graft.text.Text.featuresStruct(col("text")))
-          .withColumn("quality", graft.text.Text.qualityFromFeatures(col("f")))
-          .withColumn("fingerprint", graft.text.Text.fingerprint(col("text")))
-          .withColumn("bucket",
-            conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-              .cast("long") % 10)
-          .filter(col("quality") >= 0.5 && col("bucket") < 3)
-          // exact dedup within the backfill: bounded state because the job
-          // terminates; a continuous deployment would use
-          // dropDuplicatesWithinWatermark (Pipelines.dedup)
+        // Text.curate = the ONE shared stage-chain definition (also used
+        // by the registered queries and the batch/stream equality spec).
+        // Exact dedup within the backfill: bounded state because the job
+        // terminates; a continuous deployment would use
+        // dropDuplicatesWithinWatermark (Pipelines.dedup).
+        val curated = graft.text.Text.curate(docs)
           .dropDuplicates("fingerprint")
-          .select(col("doc_id"), col("f.stop_lang").as("lang"),
-            col("quality"), col("fingerprint"))
         val outDir = sys.env.getOrElse("GRAFT_CORPUS_OUT",
           Files.createTempDirectory("graft-curated").toString)
         val kept = new java.util.concurrent.atomic.AtomicLong()
         val backfill = new StreamRunner(spark,
           StreamConfig(checkpoint, availableNow = true))
-        backfill.attachListener()
+        // (the listener attached above listens on the global spark.streams
+        // bus, so it already covers this runner's query — no second one)
         val q = backfill.start(curated, "corpus_curation") { (batch, _) =>
-          kept.addAndGet(batch.count())
-          batch.write.mode("append").parquet(outDir)
+          // persist: the count and the write would otherwise each re-run
+          // the whole curation plan over the micro-batch
+          batch.persist()
+          try {
+            kept.addAndGet(batch.count())
+            batch.write.mode("append").parquet(outDir)
+          } finally batch.unpersist()
         }
         q.awaitTermination()
         println(s"[graft] corpus curation backfill: ${kept.get()} documents " +

@@ -129,10 +129,13 @@ object JdbcSink {
       if (rows.nonEmpty) {
         val conn = java.sql.DriverManager.getConnection(url, props)
         try {
-          conn.setAutoCommit(false)
-          val upd = conn.prepareStatement(updateSql)
-          val ins = conn.prepareStatement(insertSql)
+          // setAutoCommit + prepare sit INSIDE the rollback scope: a
+          // prepare failure (e.g. schema drift invalidating the SQL) must
+          // also roll back, or Derby's close() throws over the root cause
           try {
+            conn.setAutoCommit(false)
+            val upd = conn.prepareStatement(updateSql)
+            val ins = conn.prepareStatement(insertSql)
             rows.foreach { r =>
               (nonKeyIdx ++ keyIdx).zipWithIndex.foreach { case (c, i) =>
                 upd.setObject(i + 1, r.get(c))

@@ -241,6 +241,9 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
+      // superseded round checkpoints become unreachable when `labels` is
+      // reassigned; the ContextCleaner reclaims their blocks on GC, so at
+      // most the current and previous rounds are ever strongly held
       val next = labels.union(viaNeighbors)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()

@@ -140,6 +140,33 @@ object Text {
       lenScore * 0.4 + divScore * 0.4 + (lit(1.0) - noise) * 0.2))
   }
 
+  /** Deterministic hash-mod sample bucket: an integer in [0, buckets)
+    * derived from md5 of the id — rerun-stable, partitioning-independent,
+    * and reproducible by any engine with md5 (unlike `df.sample`). Keep a
+    * p% sample by filtering `bucket < buckets·p`.
+    */
+  def hashModBucket(id: Column, buckets: Int = 10): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** The standard curation stage chain — fused text features, quality
+    * gate, content fingerprint, deterministic hash sample — as ONE shared
+    * definition: the registered batch queries, the streaming backfill
+    * entrypoint, and the batch/stream equality spec all call this, so
+    * they cannot silently diverge. Stateless narrow transforms only:
+    * runs identically on batch and streaming DataFrames.
+    */
+  def curate(docs: org.apache.spark.sql.DataFrame, minQuality: Double = 0.5,
+             sampleBuckets: Int = 10, keepBuckets: Int = 3): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("f", featuresStruct(col("text")))
+      .withColumn("quality", qualityFromFeatures(col("f")))
+      .withColumn("fingerprint", fingerprint(col("text")))
+      .withColumn("bucket", hashModBucket(col("doc_id"), sampleBuckets))
+      .filter(col("quality") >= minQuality && col("bucket") < keepBuckets)
+      .select(col("doc_id"), col("f.stop_lang").as("lang"),
+        col("quality"), col("fingerprint"))
+
   /** Content fingerprint: polynomial rolling hash over the text's bytes
     * (base 1000003, modulo 2^31−1) — order-sensitive, unlike a
     * bag-of-words hash. Native kernel: one pass over the UTF8 bytes.

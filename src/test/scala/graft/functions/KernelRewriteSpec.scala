@@ -6,6 +6,12 @@ import graft.SparkSpec
 
 class KernelRewriteSpec extends SparkSpec {
 
+  // The rule is installed here via experimental.extraOptimizations because
+  // extensions bind at SparkSession construction and the suite shares one
+  // session; the production injectOptimizerRule path (GraftExtensions) is
+  // exercised by the spark-sql CLI acceptance run with
+  // spark.sql.extensions=graft.functions.GraftExtensions (EXPLAIN shows
+  // vec_dot) — same rule object either way.
   private def withRule[T](f: => T): T = {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ KernelRewriteRules.RewriteHofDotProduct

@@ -89,10 +89,12 @@ class StreamRunnerSpec extends SparkSpec {
       Pipelines.pageViews(stream.toDF(), watermark = "1 minute"), "an_views") {
       (batch, _) => seen.addAndGet(batch.count())
     }
-    // a processing-time query would run until stopped; AvailableNow must
-    // finish by itself once the pre-existing data is drained
-    assert(q.awaitTermination(120000), "query did not self-terminate")
-    assert(seen.get() > 0)
+    try {
+      // a processing-time query would run until stopped; AvailableNow must
+      // finish by itself once the pre-existing data is drained
+      assert(q.awaitTermination(120000), "query did not self-terminate")
+      assert(seen.get() > 0)
+    } finally runner.stopAll()
   }
 
   test("update mode revises prior windows across micro-batches") {

@@ -17,16 +17,10 @@ class CorpusStreamSpec extends SparkSpec {
   test("document-corpus stages produce identical output on a stream") {
     import spark.implicits._
 
+    // THE shared pipeline definition — the same call the backfill
+    // entrypoint makes, so this equality really is "same code, both modes"
     def stages(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      df.withColumn("f", Text.featuresStruct(col("text")))
-        .withColumn("fingerprint", Text.fingerprint(col("text")))
-        .withColumn("bucket",
-          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 10)
-        .filter(col("bucket") < 3) // deterministic 30% sample
-        .select(col("doc_id"), col("f.stop_lang").as("lang"),
-          Text.qualityFromFeatures(col("f")).as("quality"),
-          col("fingerprint"))
+      Text.curate(df, minQuality = 0.0) // keep all qualities: more rows compared
 
     val docs = graft.source.Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).limit(200)
