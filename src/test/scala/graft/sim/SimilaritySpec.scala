@@ -74,4 +74,34 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 2L)))
   }
+
+  test("simhashDupPairs bucket join is pigeonhole-complete (property)") {
+    // completeness of the chunked candidate join, independently verified:
+    // compute every pair's Hamming distance from the collected signatures
+    // and assert the bucket-joined result contains EXACTLY the pairs at
+    // hamming <= maxHamming, across seeded random corpora
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(4242)
+    val dim = 16
+    val vecs = (0 until 120).map { id =>
+      (id.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val maxHamming = 8
+    val got = Similarity.simhashDupPairs(df, maxHamming = maxHamming,
+        nPlanes = 36, chunkBits = 4, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = df.select(col("vec_id"),
+        graft.functions.VectorExpressions.lshSignBits(col("embedding"),
+          Similarity.signPlanes(36, dim, 7L), 36, dim).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= maxHamming
+    } yield (a, b)).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    assert(expect.nonEmpty, "property run found no pairs - weaken threshold")
+  }
 }

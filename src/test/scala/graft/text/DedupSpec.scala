@@ -106,6 +106,30 @@ class DedupSpec extends SparkSpec {
     assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 1L))
   }
 
+  test("prefix-filter losslessness holds on randomized corpora (property)") {
+    // the fixture-equality test pins one dataset; this sweeps seeded random
+    // corpora with duplicate-heavy small vocabularies (the hardest case for
+    // prefix pruning) across thresholds — fast and slow must agree exactly
+    import spark.implicits._
+    val rnd = new scala.util.Random(12345)
+    (1 to 3).foreach { round =>
+      val vocab = (1 to 25).map(i => s"w$i")
+      val rows = (1 to 70).map { id =>
+        val n = 5 + rnd.nextInt(14)
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val d = rows.toDF("doc_id", "text").withColumn("blk", lit("b"))
+      Seq(0.5, 0.8).foreach { t =>
+        def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val fast = key(Dedup.prefixJaccardPairs(d, Seq("blk"), t))
+        val slow = key(Dedup.jaccardPairs(d, Seq("blk"), t))
+        assert(fast == slow,
+          s"round=$round t=$t missing=${(slow -- fast).take(3)} extra=${(fast -- slow).take(3)}")
+      }
+    }
+  }
+
   test("minhash scales candidates via banding, not n²") {
     // sanity: with one band of all rows (bands=1), only near-identical
     // signatures collide; candidate count stays far below C(n,2)
