@@ -255,6 +255,22 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Token-window chunking: 16-token windows every 8 tokens (50% overlap)
+    // — the training-data preprocessing step between curation and
+    // tokenization. slice/list_slice are both 1-based; DuckDB's end bound
+    // is inclusive where Spark takes a length.
+    Q("doc_token_chunks",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         s AS (SELECT doc_id, toks,
+           unnest(range(0, greatest(len(toks), 1), 8)) AS start FROM d)
+         SELECT doc_id, CAST(start // 8 AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, start + 1, start + 16), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, start + 1, start + 16)) AS INT) AS n_tokens
+         FROM s ORDER BY doc_id, chunk_idx""") { (s, dir) =>
+      Text.chunkTokens(Tables(s, dir, "documents"), chunkSize = 16, stride = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // BPE-ish subword token counts (regex pre-tokenizer shape).
     Q("doc_bpe_tokens",
       """SELECT doc_id,

@@ -167,6 +167,27 @@ object Text {
       .select(col("doc_id"), col("f.stop_lang").as("lang"),
         col("quality"), col("fingerprint"))
 
+  /** Token-window chunking — the LLM-training preprocessing step: split
+    * each document into `chunkSize`-token windows every `stride` tokens
+    * (overlapping when stride < chunkSize). Pure narrow expressions
+    * (sequence → explode → slice): streams, scales, no state; the trailing
+    * window is emitted short rather than padded.
+    */
+  def chunkTokens(docs: org.apache.spark.sql.DataFrame, chunkSize: Int,
+                  stride: Int, textCol: String = "text",
+                  idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    require(chunkSize >= 1 && stride >= 1)
+    val toks = split(col(textCol), " ")
+    docs
+      .select(col(idCol), toks.as("toks"), size(toks).as("n"))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride))))
+      .withColumn("chunk", slice(col("toks"), col("start") + 1, lit(chunkSize)))
+      .select(col(idCol), (col("start") / stride).cast("int").as("chunk_idx"),
+        array_join(col("chunk"), " ").as("chunk_text"),
+        size(col("chunk")).as("n_tokens"))
+  }
+
   /** Content fingerprint: polynomial rolling hash over the text's bytes
     * (base 1000003, modulo 2^31−1) — order-sensitive, unlike a
     * bag-of-words hash. Native kernel: one pass over the UTF8 bytes.

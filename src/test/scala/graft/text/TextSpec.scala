@@ -114,4 +114,24 @@ class TextSpec extends SparkSpec {
       assert(r.getInt(11) == r.getInt(12), s"distinct @${r.getLong(0)}: $r")
     }
   }
+
+  test("chunkTokens: overlapping windows cover every token, short tail kept") {
+    import spark.implicits._
+    val d = Seq((1L, (1 to 20).map(i => s"t$i").mkString(" ")), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Text.chunkTokens(d, chunkSize = 8, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._2))
+    val doc1 = out.filter(_._1 == 1L)
+    // starts 0,4,8,12,16 → 5 chunks; last is the 4-token tail
+    assert(doc1.length == 5)
+    assert(doc1.head._3.startsWith("t1 t2") && doc1.head._4 == 8)
+    assert(doc1.last._4 == 4 && doc1.last._3 == "t17 t18 t19 t20")
+    // every consecutive pair overlaps by chunkSize - stride = 4 tokens
+    doc1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3.split(" ").takeRight(4).toSeq == b._3.split(" ").take(4).toSeq)
+    }
+    // single-token document → one 1-token chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "solo", 1)))
+  }
 }
