@@ -217,6 +217,25 @@ object CorpusQueries {
       Dedup.dupGroups(docs, pairs).orderBy(col("doc_id"))
     },
 
+    // Benchmark decontamination: documents sharing NO word trigram with
+    // the "benchmark" set (stand-in: the first three documents) survive.
+    // Exact n-gram overlap — the standard test-set-leak removal.
+    Q("doc_decontaminated",
+      """WITH g AS (SELECT doc_id,
+           unnest(list_transform(range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+             i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))) AS g
+           FROM documents),
+         bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 3),
+         bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (g))
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") < 3), w = 3)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // MinHash+LSH near-dup pairs — banded bucket join, no SQL oracle
     // (minhash permutations are engine-side); DedupSpec checks candidates
     // against exact shingle Jaccard.

@@ -204,6 +204,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Word w-grams as strings (space-joined runs; short texts yield their
+    * single sub-`w` gram) — the decontamination overlap unit.
+    */
+  private def gramStrings(text: Column, w: Int): Column = {
+    val toks = split(text, "\\s+")
+    transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(w)), " "))
+  }
+
+  /** Benchmark decontamination: drop every document sharing at least one
+    * `w`-gram with the benchmark corpus — the test-set-overlap removal
+    * step of a training-data pipeline (exact n-gram overlap, the standard
+    * first-line decontamination check).
+    *
+    * Scale shape: the benchmark side is small by nature (eval sets), so
+    * its distinct gram set is broadcast; the corpus explodes (id, gram)
+    * pairs, the contaminated-id set comes from a broadcast join carrying
+    * IDs only, and the final pass is a left-anti join on id — document
+    * text never shuffles.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, w: Int = 3,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val corpusGrams = docs.select(col(idCol).as("__contaminated_id"),
+      explode(gramStrings(col(textCol), w)).as("g"))
+    val benchGrams = benchmark
+      .select(explode(gramStrings(col(textCol), w)).as("g")).distinct()
+    val contaminated = corpusGrams.join(broadcast(benchGrams), "g")
+      .select(col("__contaminated_id")).distinct()
+    docs.join(contaminated, col(idCol) === col("__contaminated_id"), "left_anti")
+  }
+
   /** Transitive duplicate groups: connected components over a near-dup
     * pair graph, each document labeled with the smallest `doc_id` in its
     * component (the canonical survivor real dedup pipelines keep —

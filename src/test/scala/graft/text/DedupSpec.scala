@@ -137,4 +137,15 @@ class DedupSpec extends SparkSpec {
     val cand = Dedup.minhashPairs(many, threshold = 0.0, bands = 1).count()
     assert(cand < 60, s"banding should prune candidates, got $cand")
   }
+
+  test("decontaminate drops exactly the docs sharing a benchmark n-gram") {
+    val bench = docs((100L, "alpha beta gamma delta"))
+    val corpus = docs(
+      (1L, "zzz alpha beta gamma yyy"),      // shares trigram "alpha beta gamma"
+      (2L, "alpha beta xxx gamma delta"),    // bigram overlaps only — survives w=3
+      (3L, "totally unrelated text here"))
+    val kept = Dedup.decontaminate(corpus, bench, w = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"kept=$kept")
+  }
 }
