@@ -56,6 +56,8 @@ object GraftFunctions {
     // token-string canonical order — the SQL surface has no ergonomic map
     // literal, so the frequency dictionary stays a Column-API affordance
     "prefix_tokens" -> { es =>
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"prefix_tokens(tokens, threshold) takes 2 arguments, got ${es.length}")
       val t = es(1) match {
         case Literal(v: Double, _) => v
         case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble

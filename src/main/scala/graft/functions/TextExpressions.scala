@@ -93,9 +93,11 @@ object TextExpressions {
 
     override def nullSafeEval(v: Any): Any = {
       val s = v.asInstanceOf[UTF8String].toString
-      // Locale.ROOT: the default locale would diverge from Spark's lower()
-      // on e.g. tr-TR JVMs (dotless ı), breaking the equivalence contract
-      val lowered = s.toLowerCase(java.util.Locale.ROOT)
+      // lowercase through UTF8String itself — the exact code path Spark's
+      // lower() takes (ASCII fast path, String.toLowerCase slow path) — so
+      // the fused/composed equivalence holds by construction on any JVM
+      // locale and any input, not just ASCII
+      val lowered = v.asInstanceOf[UTF8String].toLowerCase.toString
       // token pass — split semantics identical to Spark's split(text,"\\s+")
       val toks = s.split("\\s+", -1)
       val lowToks = lowered.split("\\s+", -1)

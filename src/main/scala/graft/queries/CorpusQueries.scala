@@ -69,6 +69,66 @@ object CorpusQueries {
      ORDER BY a_id, b_id"""
   }
 
+  /** Oracle for `doc_langid`: the stopword/bigram scoring is deterministic
+    * integer arithmetic over literal profiles, so DuckDB can replay it —
+    * stop hits via `list_filter` over `\s+` tokens, bigram occurrence
+    * counts via the non-overlapping `replace` counter (equal to the
+    * kernel's sliding count for the overlap-free profiles), the argmax
+    * tie-break (lexicographically largest language), the CJK
+    * short-circuit, and the `und` fallback. The profile literals are
+    * generated from the SAME maps the engine reads
+    * (`Text.langProfiles`/`Text.bigramProfiles`), so oracle and engine
+    * cannot silently diverge.
+    */
+  private def langIdSql: String = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(",")
+    val langs = Text.langProfiles.keys.toSeq.sorted // de, en, es, fr
+    val stopCols = langs.map { l =>
+      s"len(list_filter(ltoks, w -> w IN (${inList(Text.langProfiles(l))}))) AS s_$l"
+    }.mkString(",\n         ")
+    val gramCols = langs.map { l =>
+      val terms = Text.bigramProfiles(l)
+        .map(bg => s"(length(lt) - length(replace(lt, '$bg', ''))) // 2")
+        .mkString(" + ")
+      s"$terms AS g_$l"
+    }.mkString(",\n         ")
+    // kernel argmax scans langs ascending keeping `hits >= best` → the
+    // lexicographically LARGEST language wins ties; 0 hits → 'und'
+    def argmax(p: String): String = {
+      val all = langs.map(l => s"${p}_$l").mkString(", ")
+      val desc = langs.reverse
+      val cases = desc.init
+        .map(l => s"WHEN ${p}_$l = greatest($all) THEN '$l'").mkString(" ")
+      s"""CASE WHEN cjk THEN 'zh' WHEN greatest($all) = 0 THEN 'und'
+         $cases ELSE '${desc.last}' END"""
+    }
+    s"""WITH b AS (SELECT doc_id, lang, text, lower(text) AS lt,
+         regexp_split_to_array(text, '\\s+') AS toks,
+         regexp_split_to_array(lower(text), '\\s+') AS ltoks,
+         length(text) AS nc FROM documents),
+       h AS (SELECT doc_id, lang, text, nc,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS distinct_tokens,
+         length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct_chars,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+         regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk,
+         $stopCols,
+         $gramCols
+         FROM b)
+       SELECT doc_id, lang AS labeled_lang,
+         ${argmax("s")} AS predicted_lang,
+         ${argmax("g")} AS predicted_lang_ngram,
+         greatest(0.0, least(1.0,
+           least(n_tokens / 64.0, 1.0) * 0.4 +
+           least((distinct_tokens / n_tokens) * 2.0, 1.0) * 0.4 +
+           (1.0 - (punct_chars / greatest(nc, 1) + digit_chars / greatest(nc, 1))) * 0.2)) AS quality,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens,
+         CASE WHEN nc = 0 THEN CAST(0 AS BIGINT) ELSE
+           list_reduce(list_transform(range(nc), i -> CAST(ascii(text[i+1]) AS BIGINT)),
+             (a, b) -> (a * 1000003 + b) % 2147483647) END AS rolling_fp
+       FROM h ORDER BY doc_id"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup via content fingerprint (hash-groupBy; text never shuffles).
@@ -141,12 +201,15 @@ object CorpusQueries {
     // arithmetic (int-ratio inputs, fixed combination order → identical
     // doubles); DuckDB's POSIX [[:punct:]] equals Java regex \p{Punct}
     // (the ASCII punctuation set) for the punctuation ratio.
+    // (tokenization: regexp_split_to_array on \s+, matching the engine's
+    // Text.tokens exactly — a literal-space split would agree only on
+    // single-spaced fixtures)
     Q("doc_quality_topk",
       """WITH q AS (SELECT doc_id, lang,
            greatest(0.0, least(1.0,
-             least(len(string_split(text, ' ')) / 64.0, 1.0) * 0.4 +
-             least((len(list_distinct(string_split(text, ' '))) /
-                    len(string_split(text, ' '))) * 2.0, 1.0) * 0.4 +
+             least(len(regexp_split_to_array(text, '\s+')) / 64.0, 1.0) * 0.4 +
+             least((len(list_distinct(regexp_split_to_array(text, '\s+'))) /
+                    len(regexp_split_to_array(text, '\s+'))) * 2.0, 1.0) * 0.4 +
              (1.0 - ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) /
                        greatest(length(text), 1) +
                      (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) /
@@ -171,7 +234,7 @@ object CorpusQueries {
     // Exact word-set Jaccard near-dup pairs, blocked on (lang, source).
     Q("doc_jaccard_pairs",
       """WITH d AS (SELECT doc_id, lang, source,
-           list_distinct(string_split(text, ' ')) AS w FROM documents)
+           list_distinct(regexp_split_to_array(text, '\s+')) AS w FROM documents)
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            len(list_intersect(a.w, b.w)) /
              (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
@@ -197,7 +260,7 @@ object CorpusQueries {
     // over the identical pair set.
     Q("doc_dup_groups",
       """WITH RECURSIVE d AS (SELECT doc_id, lang, source,
-           list_distinct(string_split(text, ' ')) AS w FROM documents),
+           list_distinct(regexp_split_to_array(text, '\s+')) AS w FROM documents),
          p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
            FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
              AND a.doc_id < b.doc_id
@@ -222,8 +285,8 @@ object CorpusQueries {
     // Exact n-gram overlap — the standard test-set-leak removal.
     Q("doc_decontaminated",
       """WITH g AS (SELECT doc_id,
-           unnest(list_transform(range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
-             i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))) AS g
+           unnest(list_transform(range(0, greatest(len(regexp_split_to_array(text, '\s+')) - 3, 0) + 1),
+             i -> array_to_string(list_slice(regexp_split_to_array(text, '\s+'), i + 1, i + 3), ' '))) AS g
            FROM documents),
          bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 3),
          bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (g))
@@ -250,12 +313,14 @@ object CorpusQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
-    // Language ID + quality score (heuristic models — spec-verified).
-    // The fixture file is a single parquet row group (= one scan task), so
-    // this CPU-heavy per-doc stage repartitions first: a few MB of shuffle
-    // buys full-cluster parallelism for the expression evaluation — the
-    // standard move for compute-bound per-row stages after a narrow scan.
-    Q.unchecked("doc_langid") { (s, dir) =>
+    // Language ID + quality score (heuristic models). Oracle-checked: the
+    // scoring is deterministic integer arithmetic over literal profiles
+    // (see langIdSql). The fixture file is a single parquet row group
+    // (= one scan task), so this CPU-heavy per-doc stage repartitions
+    // first: a few MB of shuffle buys full-cluster parallelism for the
+    // expression evaluation — the standard move for compute-bound per-row
+    // stages after a narrow scan.
+    Q("doc_langid", langIdSql) { (s, dir) =>
       // one fused kernel pass per document (TextExpressions.TextFeatures)
       // instead of ~60 interpreted HOF/replace traversals; TextSpec pins
       // its outputs equal to the composed Text.* expressions
@@ -396,11 +461,13 @@ object CorpusQueries {
     Q("mm_decoded_features",
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
          CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames,
-         list_reduce(list_transform(range(length(text)),
-             i -> CAST(ascii(text[i+1]) AS BIGINT)),
-           (a, b) -> (a * 31 + b) % 1000000007) AS checksum,
-         CAST(list_sum(list_transform(range(length(text)), i -> ascii(text[i+1]))) AS DOUBLE)
-           / octet_length(encode(text)) AS mean_byte,
+         CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE
+           list_reduce(list_transform(range(length(text)),
+               i -> CAST(ascii(text[i+1]) AS BIGINT)),
+             (a, b) -> (a * 31 + b) % 1000000007) END AS checksum,
+         CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           CAST(list_sum(list_transform(range(length(text)), i -> ascii(text[i+1]))) AS DOUBLE)
+             / octet_length(encode(text)) END AS mean_byte,
          64 AS px_width,
          CAST(octet_length(encode(text)) // 64 AS INT) AS px_height
          FROM documents ORDER BY media_id""") { (s, dir) =>

@@ -19,8 +19,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    oracle-checked.
   *  - `doc_simhash_pairs` — weighted-token SimHash is engine-side;
   *    DedupSpec pins signatures and verifies the Hamming pigeonhole.
-  *  - `doc_langid` — heuristic n-gram/stopword models are engine-side;
-  *    TextSpec verifies predictions on crafted per-language fixtures.
   *  - `ev_hll_users` — HLL++ estimates are engine-specific; the spec
   *    bounds them against exact counts within the configured rsd.
   *

@@ -248,6 +248,15 @@ object Dedup {
     * Label state is one (id, label) row per document; `localCheckpoint`
     * truncates the growing plan lineage each round. The driver-side loop
     * only ever compares one Boolean per round (`changed`), never data.
+    *
+    * The convergence check rides the propagation pass: each node's
+    * PREVIOUS label travels through the min-aggregation as a null-padded
+    * side column (`min` ignores nulls, and only the self row carries it),
+    * so "did anything change" is a filter over the round's checkpointed
+    * output — one shuffle job per round total, not propagation + a second
+    * join-shaped check. (Large-star/small-star would cut ROUNDS to
+    * O(log n); near-dup components are chain-shallow, so fewer jobs per
+    * round is worth more than fewer rounds here.)
     */
   def dupGroups(docs: DataFrame, pairs: DataFrame,
                 idCol: String = "doc_id", maxIters: Int = 20): DataFrame = {
@@ -266,21 +275,26 @@ object Dedup {
     var labels = edges.select(col("src").as("id"))
       .distinct().withColumn("label", col("id"))
       .localCheckpoint()
+    val labelType = labels.schema("label").dataType
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val viaNeighbors = edges
         .join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
+        .select(col("dst").as("id"), col("label"),
+          lit(null).cast(labelType).as("prev"))
+      val self = labels.select(col("id"), col("label"),
+        col("label").as("prev"))
       // superseded round checkpoints become unreachable when `labels` is
       // reassigned; the ContextCleaner reclaims their blocks on GC, so at
       // most the current and previous rounds are ever strongly held
-      val next = labels.union(viaNeighbors)
-        .groupBy("id").agg(min("label").as("label"))
+      val next = self.union(viaNeighbors)
+        .groupBy("id").agg(min("label").as("label"), min("prev").as("prev"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev")).isEmpty
-      labels = next
+      // next is already materialized (eager checkpoint): this filter scans
+      // the round's cached blocks — no join, no shuffle, no recompute.
+      converged = next.filter(col("label") < col("prev")).isEmpty
+      labels = next.select("id", "label")
       iter += 1
     }
     // Silent partial propagation would emit WRONG groups — fail loudly.

@@ -86,7 +86,12 @@ class TextSpec extends SparkSpec {
     val crafted = Seq("the cat and the hat is in that box for it",
       "  leading and   multi  space ", "99 bottles!! of 99 beers?? on-the-wall",
       "\u4e00\u9fff chinese chars", "zzz qqq xxx", "der hund und die katze ist nicht hier",
-      "le chat est dans la maison pour que", "a").zipWithIndex
+      "le chat est dans la maison pour que", "a",
+      // non-ASCII mixed case: forces UTF8String's slow lowercase path \u2014
+      // pins that the fused kernel lowercases exactly like Spark's lower()
+      // (dotted \u0130, German \u00df/umlauts, accented caps) beyond the ASCII cases
+      "\u0130stanbul ISTANBUL Stra\u00dfe GR\u00dcN \u00c9lan \u00c9COLE the cat",
+      "\u00c7A VA tr\u00e8s BIEN je suis L\u00c0 que le").zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
     val fixture = graft.source.Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
