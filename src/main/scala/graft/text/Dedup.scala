@@ -149,11 +149,40 @@ object Dedup {
     */
   def prefixJaccardPairs(docs: DataFrame, blockCols: Seq[String], threshold: Double,
                          textCol: String = "text", idCol: String = "doc_id",
-                         commonVocab: Int = 10000): DataFrame = {
+                         commonVocab: Int = 10000,
+                         hotBucketCap: Int = 100000): DataFrame = {
     val d = docs.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         array_distinct(split(col(textCol), "\\s+")).as("w"): _*)
       .withColumn("nw", size(col("w")))
+    val cand = prefixCandidates(d, blockCols, threshold, commonVocab, hotBucketCap)
+    val aSide = d.select(col("id").as("a_id"), col("w").as("a_w"), col("nw").as("a_nw"))
+    val bSide = d.select(col("id").as("b_id"), col("w").as("b_w"), col("nw").as("b_nw"))
+    cand.join(aSide, "a_id").join(bSide, "b_id")
+      .withColumn("inter", size(array_intersect(col("a_w"), col("b_w"))))
+      .select(col("a_id"), col("b_id"),
+        (col("inter") / (col("a_nw") + col("b_nw") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Candidate (a_id, b_id) generation for [[prefixJaccardPairs]] —
+    * exposed for candidate-volume measurement. `d` must carry
+    * (id, blockCols…, w: array<string> distinct tokens, nw: size).
+    *
+    * Hot-bucket safety: one degenerate token shared by N documents makes
+    * an N² bucket — at 100 TB a single such token would pin the whole
+    * join on one task. Buckets whose prefix-occurrence count exceeds
+    * `hotBucketCap` go through a GRID-SALTED self-join instead: row x with
+    * group g=hash(x) mod G is replicated to cells (g, *) on the a-side and
+    * (*, g) on the b-side, so pair (x,y) meets in exactly ONE cell
+    * (g_x, g_y) — identical pair set, spread over G² tasks. Lossless by
+    * construction (no pair is dropped, none duplicated); the per-bucket
+    * count aggregation is map-side-combined and vocabulary-sized, and the
+    * driver holds at most the few (bucket, count) rows above the cap.
+    */
+  private[text] def prefixCandidates(d: DataFrame, blockCols: Seq[String],
+                                     threshold: Double, commonVocab: Int,
+                                     hotBucketCap: Int): DataFrame = {
     // Canonical token order = document frequency ascending (rare first —
     // rare prefix tokens minimize bucket collisions), realized as a BOUNDED
     // dictionary: only the top `commonVocab` tokens get distinct ranks
@@ -175,8 +204,35 @@ object Dedup {
     // needs it.
     val prefixes = d.select((col("id") +: blockCols.map(col)) :+ col("nw") :+
       posexplode(HashExpressions.prefixTokens(col("w"), ranks, threshold)): _*)
+      .withColumnRenamed("col", "token")
     val a = prefixes.toDF("a_id" +: blockCols :+ "a_nw" :+ "a_pos" :+ "token": _*)
     val b = prefixes.toDF("b_id" +: blockCols :+ "b_nw" :+ "b_pos" :+ "token": _*)
+    // Hot buckets: tokens whose prefix occurrence count exceeds the cap.
+    // The degenerate case is a handful of tokens by construction (prefixes
+    // prefer RARE tokens), so the driver-side set is tiny; limit(64) keeps
+    // the grid path bounded even against an adversarial corpus — buckets
+    // beyond it stay on the plain join, still correct, just unspread.
+    val hotRows = prefixes.groupBy(col("token"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > hotBucketCap)
+      .orderBy(col("n").desc, col("token")).limit(64).collect()
+    val joined =
+      if (hotRows.isEmpty) a.join(b, blockCols :+ "token")
+      else {
+        val hot = hotRows.map(_.getString(0)).toSeq
+        val maxN = hotRows.map(_.getLong(1)).max
+        val grid = math.min(32L, (maxN + hotBucketCap - 1) / hotBucketCap).toInt
+        val cold = a.filter(!col("token").isin(hot: _*))
+          .join(b.filter(!col("token").isin(hot: _*)), blockCols :+ "token")
+        val aHot = a.filter(col("token").isin(hot: _*))
+          .withColumn("g1", pmod(xxhash64(col("a_id")), lit(grid.toLong)))
+          .withColumn("g2", explode(sequence(lit(0L), lit(grid - 1L))))
+        val bHot = b.filter(col("token").isin(hot: _*))
+          .withColumn("g2", pmod(xxhash64(col("b_id")), lit(grid.toLong)))
+          .withColumn("g1", explode(sequence(lit(0L), lit(grid - 1L))))
+        cold.unionByName(
+          aHot.join(bHot, blockCols ++ Seq("token", "g1", "g2"))
+            .drop("g1", "g2"))
+      }
     // Candidate pruning, both lossless (PPJoin, Xiao et al. WWW'08):
     //  - length filter: Jaccard ≤ min/max, so J ≥ t forces
     //    t·|B| ≤ |A| ≤ |B|/t;
@@ -188,20 +244,13 @@ object Dedup {
     // The 1e-9 slack loosens the FP products/ceil only ever toward keeping.
     val eps = 1e-9
     val alpha = ceil((lit(threshold) / (1 + threshold)) * (col("a_nw") + col("b_nw")) - eps)
-    val cand = a.join(b, blockCols :+ "token")
+    joined
       .filter(col("a_id") < col("b_id"))
       .filter(col("a_nw") >= lit(threshold) * col("b_nw") - eps &&
         col("b_nw") >= lit(threshold) * col("a_nw") - eps)
       .filter(lit(1) + least(col("a_nw") - col("a_pos") - 1,
         col("b_nw") - col("b_pos") - 1) >= alpha)
       .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
-    val aSide = d.select(col("id").as("a_id"), col("w").as("a_w"), col("nw").as("a_nw"))
-    val bSide = d.select(col("id").as("b_id"), col("w").as("b_w"), col("nw").as("b_nw"))
-    cand.join(aSide, "a_id").join(bSide, "b_id")
-      .withColumn("inter", size(array_intersect(col("a_w"), col("b_w"))))
-      .select(col("a_id"), col("b_id"),
-        (col("inter") / (col("a_nw") + col("b_nw") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** Word w-grams as strings (space-joined runs; short texts yield their

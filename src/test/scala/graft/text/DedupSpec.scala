@@ -130,6 +130,91 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hot-bucket grid join is lossless (degenerate shared token)") {
+    import spark.implicits._
+    // every document shares token "hot" and it lands in every prefix
+    // (threshold 0.5 → prefixes cover half the tokens; "hot" is the most
+    // frequent token so it sorts LAST, but tiny docs still include it —
+    // force it by making docs 2 tokens wide). hotBucketCap=10 forces the
+    // grid-salted path; the result must equal the quadratic kernel's.
+    val rows = (1L to 50L).map(i => (i, s"hot t$i"))
+    val d = rows.toDF("doc_id", "text").withColumn("blk", lit("b"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val grid = key(Dedup.prefixJaccardPairs(d, Seq("blk"), threshold = 0.3,
+      hotBucketCap = 10))
+    val plain = key(Dedup.prefixJaccardPairs(d, Seq("blk"), threshold = 0.3))
+    val slow = key(Dedup.jaccardPairs(d, Seq("blk"), threshold = 0.3))
+    assert(grid == slow, s"missing=${(slow -- grid).take(3)} extra=${(grid -- slow).take(3)}")
+    assert(plain == slow)
+    assert(slow.nonEmpty) // J("hot tX", "hot tY") = 1/3 ≥ 0.3: all pairs
+  }
+
+  test("hot-bucket grid join is lossless on randomized skewed corpora (property)") {
+    import spark.implicits._
+    // seeded random corpora with a few super-hot tokens mixed into a small
+    // vocabulary — sweeps thresholds and caps; the grid path must always
+    // reproduce the quadratic kernel exactly
+    val rnd = new scala.util.Random(777)
+    (1 to 2).foreach { round =>
+      val vocab = (1 to 20).map(i => s"w$i")
+      val rows = (1 to 60).map { id =>
+        val n = 4 + rnd.nextInt(10)
+        val toks = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))) ++
+          (if (id % 2 == 0) Seq("hotA") else Seq.empty) ++
+          (if (id % 3 == 0) Seq("hotB") else Seq.empty)
+        (id.toLong, rnd.shuffle(toks).mkString(" "))
+      }
+      val d = rows.toDF("doc_id", "text").withColumn("blk", lit("b"))
+      Seq(0.4, 0.7).foreach { t =>
+        def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val grid = key(Dedup.prefixJaccardPairs(d, Seq("blk"), t, hotBucketCap = 5))
+        val slow = key(Dedup.jaccardPairs(d, Seq("blk"), t))
+        assert(grid == slow,
+          s"round=$round t=$t missing=${(slow -- grid).take(3)} extra=${(grid -- slow).take(3)}")
+      }
+    }
+  }
+
+  test("Zipfian vocabulary collapses candidate volume (realistic-corpus evidence)") {
+    import spark.implicits._
+    // The fixture corpus's 31-token vocabulary is the adversarial case for
+    // token-bucket candidates (dense buckets). Real text is Zipfian: a long
+    // rare tail fills the (rare-first) prefixes, so buckets are sparse.
+    // Evidence: on a Zipf(1.0) corpus over a 2000-token vocabulary, the
+    // candidate count collapses to a small multiple of the result count
+    // and a tiny fraction of C(n,2).
+    val rnd = new scala.util.Random(4242)
+    val v = 2000
+    // inverse-CDF Zipf sampler (s=1): P(k) ∝ 1/k
+    val cdf = {
+      val h = (1 to v).map(1.0 / _)
+      val total = h.sum
+      h.scanLeft(0.0)(_ + _).tail.map(_ / total).toArray
+    }
+    def draw(): String = {
+      val u = rnd.nextDouble()
+      val i = java.util.Arrays.binarySearch(cdf, u)
+      s"z${if (i >= 0) i + 1 else -i}"
+    }
+    val n = 400
+    val rows = (1 to n).map { id =>
+      (id.toLong, Seq.fill(12 + rnd.nextInt(8))(draw()).mkString(" "))
+    }
+    val d = rows.toDF("doc_id", "text").withColumn("blk", lit("b"))
+      .select(col("doc_id").as("id"), col("blk"),
+        array_distinct(split(col("text"), "\\s+")).as("w"))
+      .withColumn("nw", size(col("w")))
+    val candidates = Dedup.prefixCandidates(d, Seq("blk"), threshold = 0.8,
+      commonVocab = 10000, hotBucketCap = 100000).count()
+    val allPairs = n.toLong * (n - 1) / 2 // 79,800
+    // fixture corpus measured ~78k candidates for 401 results (dense worst
+    // case); Zipfian text must prune to well under 5% of the pair space
+    assert(candidates < allPairs / 20,
+      s"candidates=$candidates of $allPairs pairs — prefix filter failed to prune")
+  }
+
   test("minhash scales candidates via banding, not n²") {
     // sanity: with one band of all rows (bands=1), only near-identical
     // signatures collide; candidate count stays far below C(n,2)
