@@ -422,6 +422,31 @@ object CorpusQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // IVF recall curve, measured IN-ENGINE each round (not only in a spec):
+    // recall@10 of partial-probe IVF against the exact brute-force top-10,
+    // for nProbe ∈ {1, 2, 4, 16}. The 16 row is the full-probe anchor
+    // (= exhaustive search, recall exactly 1.0 — the same identity the
+    // ann_ivf_topk oracle rests on); the partial rows are the production
+    // recall/cost trade. Rows-only by nature (recall < 1 by construction);
+    // IvfSpec gates the curve: monotone, 1.0 at full probe.
+    Q.unchecked("ann_ivf_recall") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val model = graft.sim.Ivf.train(emb, nCentroids = 16, dim = 64, iters = 2)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select(col("q_id"), col("n_id"))
+      val denom = exact.agg(count(lit(1)).as("n_exact"))
+      Seq(1, 2, 4, 16).map { p =>
+          graft.sim.Ivf.search(emb, queries, model, k = 10, nProbe = p)
+            .select(lit(p).as("n_probe"), col("q_id"), col("n_id"))
+        }.reduce(_ unionByName _)
+        .join(exact, Seq("q_id", "n_id")) // hits = IVF ∩ exact
+        .groupBy(col("n_probe")).agg(count(lit(1)).as("hits"))
+        .crossJoin(denom) // 4 × 1-row aggregate
+        .select(col("n_probe"), (col("hits") / col("n_exact")).as("recall_at_10"))
+        .orderBy(col("n_probe"))
+    },
+
     // Embedding near-duplicate pairs by angular SimHash: ALL pairs whose
     // 36-bit Rademacher sign signatures differ in ≤ 8 bits, with the exact
     // cosine per pair. Deterministically complete (pigeonhole over 9

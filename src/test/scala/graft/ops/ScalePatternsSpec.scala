@@ -54,10 +54,39 @@ class ScalePatternsSpec extends SparkSpec {
     // pruned read touches only the one partition's rows
     val expected = ev.filter(col("event_date") === "2024-01-02").count()
     assert(filtered.count() == expected && expected > 0)
-    // the scan's selected partition count is 1 of ~30 days
-    val scanned = filtered.queryExecution.executedPlan.collectLeaves()
-      .map(_.toString).mkString
-    assert(scanned.contains("event_date"), "partition column must drive the scan")
+    // DIRECTORY-level proof, not just plan text: the scan selected exactly
+    // 1 of the ~30 date directories on disk
+    val scan = filtered.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec leaf"))
+    val totalDays = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("event_date="))
+    assert(totalDays > 20, s"fixture spans ~30 days, saw $totalDays")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 of $totalDays partitions, scanned ${scan.selectedPartitions.partitionCount}")
+  }
+
+  test("dynamic partition pruning fires for dim-filtered joins on the partition key") {
+    // THE 100 TB star-join pattern: the fact table is date-partitioned and
+    // the date filter lives on a DIMENSION — static pruning can't see it,
+    // DPP injects the dim's qualifying keys into the fact scan's partition
+    // filters at runtime, so the fact side still reads only the matching
+    // directories.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("event_date", to_date(col("ts")))
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(dir)
+    val dim = ev.select(col("event_date").as("d")).distinct()
+      .withColumn("tag", when(dayofmonth(col("d")) === 2, "keep").otherwise("skip"))
+    val fact = spark.read.parquet(dir)
+    val joined = fact.join(broadcast(dim),
+        fact("event_date") === dim("d") && dim("tag") === "keep")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic pruning subquery on the fact scan:\n${plan.take(800)}")
+    val expected = ev.filter(dayofmonth(col("event_date")) === 2).count()
+    assert(joined.count() == expected && expected > 0)
   }
 
   test("bucketed tables join without a shuffle exchange") {

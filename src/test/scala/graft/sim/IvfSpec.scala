@@ -39,4 +39,51 @@ class IvfSpec extends SparkSpec {
     assert(r8 == 1.0, s"full probe must be exact, got $r8")
     assert(r2 <= r8 && r2 > 0.1, s"r2=$r2 r8=$r8")
   }
+
+  test("registered recall curve (ann_ivf_recall): monotone, exact at full probe") {
+    // the driver-visible recall query — gate the curve shape here so a
+    // regression in the IVF path fails the build, not just the eyeball.
+    // The fixture embeddings are i.i.d. RANDOM unit vectors (max pairwise
+    // cos ≈ 0.48) — the adversarial case for any clustering index, so the
+    // partial-probe recall here is a floor, not the headline (measured
+    // ≈ 0.19/0.33/0.55 at nProbe 1/2/4); the ≥ 0.9 gate lives on the
+    // clustered corpus below, the data shape IVF exists for.
+    val q = graft.queries.CorpusQueries.all.find(_.name == "ann_ivf_recall")
+      .getOrElse(fail("ann_ivf_recall not registered")).fn
+    val rows = q(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    info(s"fixture (random vectors) recall@10 by nProbe: ${rows.toSeq.sortBy(_._1)}")
+    assert(rows.keySet == Set(1, 2, 4, 16))
+    assert(rows(16) == 1.0, s"full probe must be exact, got ${rows(16)}")
+    assert(rows(1) <= rows(2) + 1e-9 && rows(2) <= rows(4) + 1e-9 &&
+      rows(4) <= rows(16), s"recall must be monotone in nProbe: $rows")
+    assert(rows(4) >= 0.35, s"random-vector recall@10 at nProbe=4 regressed: ${rows(4)}")
+  }
+
+  test("clustered corpus: recall@10 ≥ 0.9 at nProbe=4 of 16") {
+    // real embedding corpora cluster (that is WHY IVF works); build one:
+    // 16 seeded Gaussian clusters, queries drawn near centers — partial
+    // probe must find nearly all true neighbors because neighbors share
+    // the query's cluster.
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val dim = 64
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextGaussian()))
+    def point(c: Array[Double]): Array[Float] = {
+      val v = c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val rows = (0 until 800).map(i => (i.toLong, point(centers(i % 16))))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = Ivf.train(emb, nCentroids = 16, dim = dim, iters = 3)
+    val got = Ivf.search(emb, queries, model, k = 10, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    info(s"clustered recall@10 at nProbe=4/16: $recall")
+    assert(recall >= 0.9, s"clustered-corpus recall@10 at nProbe=4 was $recall")
+  }
 }
