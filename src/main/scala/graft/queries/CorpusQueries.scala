@@ -41,7 +41,9 @@ object CorpusQueries {
     * the signature — and therefore the result SET — is engine-independent.
     */
   private def embSimhashDupSql(nPlanes: Int, dim: Int, maxHamming: Int,
-                               seed: Long): String = {
+                               seed: Long,
+                               corpusSql: String =
+                                 "SELECT vec_id, embedding FROM embeddings"): String = {
     val m = Similarity.signPlanes(nPlanes, dim, seed)
     val planeRows = (0 until nPlanes).map { p =>
       val vals = (0 until dim)
@@ -49,9 +51,10 @@ object CorpusQueries {
       s"($p, [$vals])"
     }.mkString(", ")
     s"""WITH planes(p, s) AS (VALUES $planeRows),
+       corpus AS ($corpusSql),
        e AS (SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
-         FROM embeddings),
+         FROM corpus),
        sig AS (SELECT e.vec_id,
          CAST(SUM(CASE WHEN list_sum(list_transform(range(len(e.embedding)),
              i -> CAST(e.embedding[i+1] AS DOUBLE) * p.s[i+1])) > 0
@@ -228,6 +231,60 @@ object CorpusQueries {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("lang"), col("doc_id"), col("quality"), col("rnk"))
+        .orderBy(col("lang"), col("rnk"))
+    },
+
+    // Within-document repetition metrics (Gopher-style repetition filter
+    // signals): adjacent-bigram totals and the top-bigram fraction. All
+    // counts are exact BIGINTs; top_ratio is one IEEE division of exact
+    // integers — bit-identical in both engines. DuckDB's toks[i] is
+    // 1-based like Spark's element_at, and range(1, n) is 1..n-1.
+    Q("doc_repetition",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+           FROM documents),
+         g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+           FROM t WHERE len(toks) >= 2),
+         c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+         SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+           CAST(MAX(cnt) AS BIGINT) AS top_count,
+           CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS top_ratio
+         FROM c GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      Text.repetitionStats(Tables(s, dir, "documents")).orderBy(col("doc_id"))
+    },
+
+    // Corpus-frequency rarity: mean corpus-wide occurrence count of each
+    // document's tokens. The frequency table is re-aggregated from the
+    // per-doc partials and joined back on the token key — counts shuffle,
+    // text doesn't. Exact integer sums; one final IEEE division.
+    Q("doc_token_rarity",
+      """WITH dt AS (SELECT doc_id, tok, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+                 FROM documents)
+           GROUP BY doc_id, tok),
+         f AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS freq FROM dt GROUP BY tok)
+         SELECT doc_id, CAST(SUM(c * freq) AS BIGINT) AS sum_freq,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(c * freq) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS mean_token_freq
+         FROM dt JOIN f USING (tok) GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      Text.tokenRarity(Tables(s, dir, "documents")).orderBy(col("doc_id"))
+    },
+
+    // Budget-capped stratified sampling: exactly 20 docs per language by
+    // md5(doc_id) rank — the reproducible "take k per stratum" curation
+    // step. Both engines compute the identical md5 hex, so the sample and
+    // its order are engine-independent.
+    Q("doc_stratified_sample",
+      """SELECT lang, doc_id, rnk FROM (
+           SELECT lang, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rnk
+           FROM documents)
+         WHERE rnk <= 20 ORDER BY lang, rnk""") { (s, dir) =>
+      Text.stratifiedSample(Tables(s, dir, "documents"), k = 20)
+        .select(col("lang"), col("doc_id"), col("rnk"))
         .orderBy(col("lang"), col("rnk"))
     },
 
@@ -460,6 +517,37 @@ object CorpusQueries {
         maxHamming = 8, seed = 7L)) { (s, dir) =>
       Similarity.simhashDupPairs(Tables(s, dir, "embeddings"), maxHamming = 8,
           nPlanes = 36, chunkBits = 4, dim = 64, seed = 7L)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // The SCALE configuration of the same operator: Hamming ≤ 2 over three
+    // 12-bit chunks — 4096 buckets/chunk, so candidate volume is
+    // 3·n²/2^13 instead of 9·n²/2^5 (256× less; the loose ≤8-of-36 config
+    // above fishes the binomial tail of an i.i.d. corpus, whose pair
+    // density is a CONSTANT fraction of n² — output itself quadratic; see
+    // SCALE.md "second decade"). An i.i.d. corpus has ~no Hamming-≤2 pairs,
+    // so for non-vacuous evidence at every sf the corpus is augmented with
+    // 50 PLANTED angular duplicates: vec·0.5 under a fresh id — a different
+    // vector with the identical direction. Halving is exact in IEEE
+    // arithmetic (exponent decrement), so sign bits — and the pigeonhole
+    // guarantee — are preserved bit-exactly in both engines, and the
+    // detector must recover exactly the 50 planted pairs (plus any natural
+    // signature collisions). The oracle replays the same augmentation.
+    Q("emb_dup_pairs_tight", embSimhashDupSql(nPlanes = 36, dim = 64,
+        maxHamming = 2, seed = 7L,
+        corpusSql = """SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+            list_transform(embedding, x -> CAST(x * CAST(0.5 AS REAL) AS REAL))
+          FROM embeddings WHERE vec_id < 50""")) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x * lit(0.5f)).cast("float")).as("embedding"))
+      Similarity.simhashDupPairs(emb.unionAll(planted), maxHamming = 2,
+          nPlanes = 36, chunkBits = 12, dim = 64, seed = 7L)
         .orderBy(col("a_id"), col("b_id"))
     },
 

@@ -188,6 +188,77 @@ object Text {
         size(col("chunk")).as("n_tokens"))
   }
 
+  /** Adjacent word-bigram strings ("w1 w2") of a token array. Caller must
+    * guarantee at least 2 tokens (`sequence(1, n-1)` would run DESCENDING
+    * for n = 1 — Spark's default step is -1 when start > stop).
+    */
+  def wordBigrams(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+
+  /** Within-document repetition metrics (the Gopher-style repetition
+    * filters): per document, the total/distinct adjacent-bigram counts and
+    * the fraction held by the single most frequent bigram. High `top_ratio`
+    * flags boilerplate and degenerate generations. Shape: explode bigrams →
+    * two-level hash aggregation — (doc_id, gram) partials combine map-side,
+    * so the shuffle carries one row per distinct bigram per doc, not one
+    * per occurrence; documents with < 2 tokens are dropped (no bigrams).
+    */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(wordBigrams(col("toks"))).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        max(col("cnt")).as("top_count"))
+      .select(col("doc_id"), col("n_bigrams"), col("distinct_bigrams"),
+        col("top_count"),
+        (col("top_count").cast("double") / col("n_bigrams")).as("top_ratio"))
+  }
+
+  /** Corpus-frequency rarity score: mean corpus-wide occurrence count of a
+    * document's tokens — low values flag documents of rare/noisy vocabulary,
+    * high values flag stopword soup. Two-pass distributed shape: per-doc
+    * token counts `c` (one shuffle on (doc_id, tok)), global frequency as a
+    * re-aggregation OF THOSE PARTIALS (not a second pass over occurrences),
+    * then a token-keyed join carrying counts only — the text itself never
+    * shuffles, and every double is one IEEE division of exact BIGINTs.
+    * AQE broadcasts the frequency side when the vocabulary is small.
+    */
+  def tokenRarity(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val freq = perDoc.groupBy(col("tok")).agg(sum(col("c")).as("freq"))
+    perDoc.join(freq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("freq")).as("sum_freq"),
+        sum(col("c")).as("n_tokens"))
+      .select(col("doc_id"), col("sum_freq"), col("n_tokens"),
+        (col("sum_freq").cast("double") / col("n_tokens")).as("mean_token_freq"))
+  }
+
+  /** Budget-capped per-stratum sampling: exactly `k` documents per stratum,
+    * chosen by md5-of-id rank — reproducible across reruns, engines, and
+    * partitionings (unlike `df.sample`), and uniform because the hash is
+    * uncorrelated with content. The window sorts each stratum by
+    * (md5(doc_id), doc_id); at 100 TB the per-stratum sort is the standard
+    * top-k window (rank pushdown limits the sort to k per partition).
+    */
+  def stratifiedSample(docs: org.apache.spark.sql.DataFrame, k: Int,
+                       stratumCol: String = "lang"): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Content fingerprint: polynomial rolling hash over the text's bytes
     * (base 1000003, modulo 2^31−1) — order-sensitive, unlike a
     * bag-of-words hash. Native kernel: one pass over the UTF8 bytes.

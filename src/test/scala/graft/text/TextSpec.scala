@@ -139,4 +139,53 @@ class TextSpec extends SparkSpec {
     // single-token document → one 1-token chunk
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "solo", 1)))
   }
+
+  test("repetitionStats: hand-computed bigram counts, <2-token docs dropped") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b c"),  // bigrams: a b, b a, a b, b c
+      (2L, "x"),          // no bigrams → dropped
+      (3L, "a  b\tb"))    // \s+ tokenization → a b, b b
+      .toDF("doc_id", "text")
+    val out = Text.repetitionStats(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 4L, 3L, 2L, 0.5),
+      (3L, 2L, 2L, 1L, 0.5)))
+  }
+
+  test("tokenRarity: mean corpus frequency from exact integer partials") {
+    import spark.implicits._
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // corpus freq: a=2, b=2, c=1
+    val out = Text.tokenRarity(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 6L, 3L, 2.0),   // a·2 + a·2 + b·2 = 6 over 3 tokens
+      (2L, 3L, 2L, 1.5)))  // b·2 + c·1 = 3 over 2 tokens
+  }
+
+  test("stratifiedSample: exactly k per stratum, hash-rank order, rerun-stable") {
+    import spark.implicits._
+    val d = (1L to 30L).map(i => (i, s"doc $i", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val take = Text.stratifiedSample(d, k = 4)
+      .select(col("lang"), col("doc_id"), col("rnk")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(take.count(_._1 == "en") == 4 && take.count(_._1 == "de") == 4)
+    // rank agrees with an independent md5 sort of the stratum
+    val expectEn = (1L to 30L).filter(_ % 2 == 0)
+      .sortBy(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+      .take(4)
+    assert(take.filter(_._1 == "en").sortBy(_._3).map(_._2).toSeq == expectEn)
+    // deterministic under repartitioning
+    val again = Text.stratifiedSample(d.repartition(7), k = 4)
+      .select(col("lang"), col("doc_id"), col("rnk")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(take.sortBy(x => (x._1, x._3)).toSeq == again.sortBy(x => (x._1, x._3)).toSeq)
+  }
 }

@@ -168,9 +168,45 @@ def main(sf: float, out: str):
             "documents": n_doc, "embeddings": n_emb}}, f, indent=2)
 
 
+def main_zipf_docs(n_doc: int, out: str):
+    """A documents table with a REALISTIC vocabulary: Zipf(1.0) draws over
+    a 2000-token vocabulary (same distribution as DedupSpec's candidate-
+    volume evidence, at fixture scale). The stock fixture's 30-word
+    vocabulary makes every document pair near-identical in token-set
+    space, so pair-query output grows quadratically there by semantics,
+    not by engine defect; this corpus shows the same plans at the same
+    row count with natural-language-like token sharing."""
+    rng = np.random.default_rng(42)
+    vocab = np.array([f"w{i}" for i in range(2000)])
+    ranks = np.arange(1, 2001, dtype=np.float64)
+    p = (1.0 / ranks); p /= p.sum()
+    texts = []
+    for _ in range(n_doc):
+        n = rng.integers(10, 101)
+        texts.append(" ".join(vocab[rng.choice(2000, n, p=p)]))
+    dup_mask = rng.random(n_doc) < 0.05
+    for i in np.flatnonzero(dup_mask):
+        src = int(rng.integers(0, n_doc))
+        toks = texts[src].split()
+        pos = len(toks) if rng.random() < 0.9 else max(len(toks) - 1, 0)
+        texts[i] = " ".join(toks[:pos] + ["dup"] + toks[pos:])
+    langs = ["en", "de", "es", "fr", "zh"]
+    write(f"{out}/documents.parquet", pa.table({
+        "doc_id": pa.array(np.arange(n_doc), pa.int64()),
+        "text": texts,
+        "lang": np.array(langs)[rng.choice(5, n_doc, p=[0.4, .15, .15, .15, .15])],
+        "source": [f"src{i % 20}" for i in range(n_doc)],
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}))
+
+
 if __name__ == "__main__":
     import os
-    sf = float(sys.argv[1])
-    out = sys.argv[2]
-    os.makedirs(out, exist_ok=True)
-    main(sf, out)
+    if sys.argv[1] == "--zipf-docs":
+        n_doc, out = int(sys.argv[2]), sys.argv[3]
+        os.makedirs(out, exist_ok=True)
+        main_zipf_docs(n_doc, out)
+    else:
+        sf = float(sys.argv[1])
+        out = sys.argv[2]
+        os.makedirs(out, exist_ok=True)
+        main(sf, out)
