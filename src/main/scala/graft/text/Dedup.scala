@@ -104,9 +104,21 @@ object Dedup {
   /** SimHash near-dup pairs: bucket by 16-bit chunks (pigeonhole: any pair
     * within Hamming distance 3 shares at least one of 4 chunks), verify
     * with `bit_count(xor) <= maxHamming`.
+    *
+    * Hot-bucket safety (same grid treatment as [[prefixCandidates]]):
+    * SimHash signatures CONCENTRATE on corpora whose token-frequency
+    * profiles repeat — measured on the 30-token fixture vocabulary AND on
+    * Zipf text, single 16-bit buckets can hold thousands of documents,
+    * pinning an N² cell on one reduce task. Buckets above `hotBucketCap`
+    * occurrences go through the lossless grid-salted self-join: row with
+    * group g is replicated to cells (g,·)/(·,g), every pair meets in
+    * exactly one cell, the same candidate set spreads over G² tasks.
+    * The Hamming verify runs BEFORE the pair dedup, so the dedup shuffle
+    * carries only verified pairs.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                   textCol: String = "text", idCol: String = "doc_id",
+                   hotBucketCap: Int = 100000): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val chunked = sh.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)), c =>
@@ -115,12 +127,37 @@ object Dedup {
       .select(col("id"), col("sig"), col("ck.chunk"), col("ck.ch"))
     val a = chunked.toDF("a_id", "a_sig", "chunk", "ch")
     val b = chunked.toDF("b_id", "b_sig", "chunk", "ch")
-    a.join(b, Seq("chunk", "ch"))
+    // (chunk, ch) packs into one long: chunk ∈ [0,4), ch ∈ [0,2^16)
+    def bkey(chunkC: Column, chC: Column): Column =
+      chunkC.cast("long") * 65536L + chC
+    val hotRows = chunked.groupBy(col("chunk"), col("ch"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > hotBucketCap)
+      .orderBy(col("n").desc, col("chunk"), col("ch")).limit(64).collect()
+    val joined =
+      if (hotRows.isEmpty) a.join(b, Seq("chunk", "ch"))
+      else {
+        val hotKeys = hotRows.map(r => (r.getInt(0).toLong << 16) | r.getLong(1)).toSeq
+        val maxN = hotRows.map(_.getLong(2)).max
+        val grid = math.min(32L, (maxN + hotBucketCap - 1) / hotBucketCap).toInt
+        val aK = a.withColumn("bk", bkey(col("chunk"), col("ch")))
+        val bK = b.withColumn("bk", bkey(col("chunk"), col("ch")))
+        val cold = aK.filter(!col("bk").isin(hotKeys: _*)).drop("bk")
+          .join(bK.filter(!col("bk").isin(hotKeys: _*)).drop("bk"), Seq("chunk", "ch"))
+        val aHot = aK.filter(col("bk").isin(hotKeys: _*)).drop("bk")
+          .withColumn("g1", pmod(xxhash64(col("a_id")), lit(grid.toLong)))
+          .withColumn("g2", explode(sequence(lit(0L), lit(grid - 1L))))
+        val bHot = bK.filter(col("bk").isin(hotKeys: _*)).drop("bk")
+          .withColumn("g2", pmod(xxhash64(col("b_id")), lit(grid.toLong)))
+          .withColumn("g1", explode(sequence(lit(0L), lit(grid - 1L))))
+        cold.unionByName(
+          aHot.join(bHot, Seq("chunk", "ch", "g1", "g2")).drop("g1", "g2"))
+      }
+    joined
       .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
   /** Exact Jaccard-threshold pairs AT SCALE: prefix-filtered candidate

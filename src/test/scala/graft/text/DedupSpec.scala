@@ -52,6 +52,21 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhash hot-bucket grid path equals the plain bucket join") {
+    import spark.implicits._
+    // near-identical docs → concentrated signatures → dense 16-bit
+    // buckets; hotBucketCap=5 forces (some) buckets onto the grid path.
+    val rows = (1L to 40L).map(i => (i, if (i % 2 == 0) base else nearDup))
+    val d = rows.toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val grid = key(Dedup.simhashPairs(d, maxHamming = 16, hotBucketCap = 5))
+    val plain = key(Dedup.simhashPairs(d, maxHamming = 16))
+    assert(grid == plain,
+      s"missing=${(plain -- grid).take(3)} extra=${(grid -- plain).take(3)}")
+    assert(plain.nonEmpty)
+  }
+
   test("jaccardPairs blocks and scores exactly") {
     import spark.implicits._
     val d = Seq((1L, "g1", base), (2L, "g1", base), (3L, "g2", base))
