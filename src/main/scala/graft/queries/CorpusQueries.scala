@@ -288,6 +288,46 @@ object CorpusQueries {
         .orderBy(col("lang"), col("rnk"))
     },
 
+    // Sequence packing: greedy doc_id-order concatenation into ~512-token
+    // bins WITHIN each language stratum (global cumsum would be a
+    // single-partition window; per-stratum windows sort in parallel).
+    // All arithmetic is integer (SUM window, integer div), so bins are
+    // engine-independent. DuckDB's // is floor division ≡ Spark's `div`
+    // on the non-negative prefix sums.
+    Q("doc_pack_bins",
+      """WITH t AS (SELECT lang, doc_id,
+           len(regexp_split_to_array(text, '\s+')) AS n_tokens FROM documents),
+         c AS (SELECT lang, doc_id, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t)
+         SELECT lang, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM c GROUP BY lang, bin ORDER BY lang, bin""") { (s, dir) =>
+      Text.packBins(Tables(s, dir, "documents"), targetTokens = 512)
+        .orderBy(col("lang"), col("bin"))
+    },
+
+    // Weighted mixture sampling: per-language keep rates through the
+    // deterministic md5 bucket (en 50%, de 30%, es 20%, fr 10%, zh 100%)
+    // — the mixture-composition step of a training-data pipeline. The
+    // oracle replays the identical bucket arithmetic and CASE rates.
+    Q("doc_mixture_sample",
+      """SELECT doc_id, lang FROM (SELECT doc_id, lang,
+           list_reduce(list_transform(range(8),
+               i -> CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), i + 1, 1)) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) % 10 AS bucket
+           FROM documents)
+         WHERE bucket < CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 3
+           WHEN 'es' THEN 2 WHEN 'fr' THEN 1 WHEN 'zh' THEN 10 ELSE 0 END
+         ORDER BY doc_id""") { (s, dir) =>
+      Text.mixtureSample(Tables(s, dir, "documents"),
+          Map("en" -> 5, "de" -> 3, "es" -> 2, "fr" -> 1, "zh" -> 10))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact word-set Jaccard near-dup pairs, blocked on (lang, source).
     Q("doc_jaccard_pairs",
       """WITH d AS (SELECT doc_id, lang, source,

@@ -188,11 +188,19 @@ object Text {
         size(col("chunk")).as("n_tokens"))
   }
 
-  /** Adjacent word-bigram strings ("w1 w2") of a token array. Caller must
+  /** Adjacent word-bigram strings ("w1 w2") of a token array — native
+    * kernel (one JVM loop per row; see TextExpressions.WordBigrams).
+    * Empty array for < 2 tokens.
+    */
+  def wordBigrams(toks: Column): Column =
+    graft.functions.TextExpressions.wordBigrams(toks)
+
+  /** The composed-HOF formulation of [[wordBigrams]] — kept as the
+    * equivalence reference (TextSpec pins kernel ≡ composed). Caller must
     * guarantee at least 2 tokens (`sequence(1, n-1)` would run DESCENDING
     * for n = 1 — Spark's default step is -1 when start > stop).
     */
-  def wordBigrams(toks: Column): Column =
+  def wordBigramsComposed(toks: Column): Column =
     transform(sequence(lit(1), size(toks) - 1),
       i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
 
@@ -257,6 +265,49 @@ object Text {
     docs
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+  }
+
+  /** Sequence packing — the training-data step that concatenates short
+    * documents into ~`targetTokens`-token sequences: greedy in `doc_id`
+    * order WITHIN each stratum, bin = floor(prefix-token-count /
+    * target). Packing runs per-stratum (not globally) on purpose: a
+    * global ordered cumsum would be a single-partition window — the
+    * anti-pattern — while per-stratum windows sort in parallel; real
+    * deployments stratify by (lang, shard/day) so each stratum fits a
+    * task. Integer `div` keeps bin assignment exact at any prefix size.
+    */
+  def packBins(docs: org.apache.spark.sql.DataFrame, targetTokens: Int,
+               stratumCol: String = "lang"): org.apache.spark.sql.DataFrame = {
+    require(targetTokens >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("doc_id"))
+    docs
+      .select(col(stratumCol), col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) div $targetTokens"))
+      .groupBy(col(stratumCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Weighted mixture sampling: per-stratum keep rates (in tenths),
+    * applied through the deterministic md5 bucket — the "40% web, 100%
+    * reference" mixture step of a training-data pipeline, reproducible
+    * across engines and reruns. Pure narrow expression: streams, scales,
+    * no shuffle.
+    */
+  def mixtureSample(docs: org.apache.spark.sql.DataFrame,
+                    tenths: Map[String, Int],
+                    stratumCol: String = "lang"): org.apache.spark.sql.DataFrame = {
+    require(tenths.values.forall(r => r >= 0 && r <= 10))
+    val rate = tenths.foldLeft(lit(0)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket", hashModBucket(col("doc_id")))
+      .filter(col("bucket") < rate)
   }
 
   /** Content fingerprint: polynomial rolling hash over the text's bytes

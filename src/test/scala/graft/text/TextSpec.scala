@@ -155,6 +155,22 @@ class TextSpec extends SparkSpec {
       (3L, 2L, 2L, 1L, 0.5)))
   }
 
+  test("wordBigrams kernel equals the composed HOF formulation") {
+    import spark.implicits._
+    val d = Seq("a b c d", "x y", "solo pair here", "über ñ 中文 mix")
+      .toDF("text")
+      .select(Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2) // composed form needs ≥ 2 tokens
+    val both = d.select(
+      Text.wordBigrams(col("toks")).as("k"),
+      Text.wordBigramsComposed(col("toks")).as("c")).collect()
+    both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // kernel alone: < 2 tokens → empty array, no error
+    val e = Seq("solo").toDF("text")
+      .select(Text.wordBigrams(Text.tokens(col("text")))).collect()
+    assert(e(0).getSeq[String](0).isEmpty)
+  }
+
   test("tokenRarity: mean corpus frequency from exact integer partials") {
     import spark.implicits._
     val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
@@ -165,6 +181,38 @@ class TextSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       (1L, 6L, 3L, 2.0),   // a·2 + a·2 + b·2 = 6 over 3 tokens
       (2L, 3L, 2L, 1.5)))  // b·2 + c·1 = 3 over 2 tokens
+  }
+
+  test("packBins: greedy per-stratum packing, bins near target, all tokens kept") {
+    import spark.implicits._
+    // lang a: docs of 3 tokens each; target 7 → bins of floor(prefix/7)
+    val d = (1L to 10L).map(i => (i, "t1 t2 t3", if (i <= 6) "a" else "b"))
+      .toDF("doc_id", "text", "lang")
+    val out = Text.packBins(d, targetTokens = 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    // lang a prefix sums before each doc: 0,3,6,9,12,15 → bins 0,0,0,1,1,2
+    assert(out.filter(_._1 == "a").map(x => (x._2, x._3, x._4)).toSeq ==
+      Seq((0L, 3L, 9L), (1L, 2L, 6L), (2L, 1L, 3L)))
+    // no token lost: bin totals sum to the corpus token count
+    assert(out.map(_._4).sum == 30L)
+    // packing is per-stratum: lang b restarts at bin 0
+    assert(out.filter(_._1 == "b").map(_._2).min == 0L)
+  }
+
+  test("mixtureSample: per-stratum rates via deterministic buckets") {
+    import spark.implicits._
+    val d = (1L to 400L).map(i => (i, "x", if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "text", "lang")
+    val out = Text.mixtureSample(d, Map("en" -> 5, "zh" -> 10)).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    // zh keeps everything; en keeps buckets 0-4 (~half, hash-determined)
+    assert(out.count(_._2 == "zh") == 200)
+    val en = out.count(_._2 == "en")
+    assert(en > 60 && en < 140, s"en kept $en of 200")
+    // unknown stratum (rate absent) keeps nothing
+    val out2 = Text.mixtureSample(d, Map("zh" -> 10)).collect()
+    assert(!out2.map(_.getString(2)).contains("en"))
   }
 
   test("stratifiedSample: exactly k per stratum, hash-rank order, rerun-stable") {
