@@ -169,6 +169,46 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** |A ∩ B| of two SORTED, DISTINCT string arrays by a single merge walk
+    * — O(|A|+|B|) with zero allocation, vs `size(array_intersect(...))`
+    * which builds a hash set AND materializes the intersection array per
+    * call. This is the exact-verify kernel of the pair pipeline, invoked
+    * once per CANDIDATE. Neutral on the ≤30-distinct-token fixture corpus
+    * (measured — candidate generation dominates there); it targets real
+    * documents with hundreds+ of distinct tokens, where the per-pair
+    * hash-set build is the verify cost. Precondition: both inputs
+    * ascending by UTF8String binary order with no duplicates — exactly
+    * what `array_sort(array_distinct(...))` produces (Spark's string
+    * ordering IS the UTF8 binary order).
+    */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sorted_intersect_size"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements()
+      val nb = b.numElements()
+      var i = 0
+      var j = 0
+      var c = 0
+      while (i < na && j < nb) {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ---- Column API ----
 
   def shingleHashes(tokens: Column, w: Int): Column =
@@ -182,4 +222,8 @@ object HashExpressions {
 
   def prefixTokens(tokens: Column, ranks: Map[String, Int], threshold: Double): Column =
     ColumnBridge.column(PrefixTokens(ColumnBridge.expression(tokens), ranks, threshold))
+
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectSize(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

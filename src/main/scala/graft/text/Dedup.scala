@@ -188,15 +188,20 @@ object Dedup {
                          textCol: String = "text", idCol: String = "doc_id",
                          commonVocab: Int = 10000,
                          hotBucketCap: Int = 100000): DataFrame = {
+    // token sets are SORTED once per document so the per-candidate verify
+    // can merge-walk (SortedIntersectSize) instead of building an
+    // intersection array per pair; PrefixTokens re-sorts by rank
+    // internally, so w's stored order is free
     val d = docs.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
-        array_distinct(split(col(textCol), "\\s+")).as("w"): _*)
+        array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
       .withColumn("nw", size(col("w")))
     val cand = prefixCandidates(d, blockCols, threshold, commonVocab, hotBucketCap)
     val aSide = d.select(col("id").as("a_id"), col("w").as("a_w"), col("nw").as("a_nw"))
     val bSide = d.select(col("id").as("b_id"), col("w").as("b_w"), col("nw").as("b_nw"))
     cand.join(aSide, "a_id").join(bSide, "b_id")
-      .withColumn("inter", size(array_intersect(col("a_w"), col("b_w"))))
+      .withColumn("inter",
+        HashExpressions.sortedIntersectSize(col("a_w"), col("b_w")))
       .select(col("a_id"), col("b_id"),
         (col("inter") / (col("a_nw") + col("b_nw") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
