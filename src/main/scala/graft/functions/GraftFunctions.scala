@@ -67,6 +67,18 @@ object GraftFunctions {
       }
       HashExpressions.PrefixTokens(es(0), Map.empty, t)
     },
+    "word_bigrams" -> { es =>
+      if (es.length != 1) throw new IllegalArgumentException(
+        s"word_bigrams(tokens) takes 1 argument, got ${es.length}")
+      TextExpressions.WordBigrams(es(0))
+    },
+    // sorted_intersect_size(a, b): |A ∩ B| of two sorted distinct string
+    // arrays (merge walk) — pair with array_sort(array_distinct(...))
+    "sorted_intersect_size" -> { es =>
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"sorted_intersect_size(a, b) takes 2 arguments, got ${es.length}")
+      HashExpressions.SortedIntersectSize(es(0), es(1))
+    },
     "minhash_sig" -> { es =>
       // minhash_sig(shingle_hashes, numHashes [, seed])
       val k = if (es.length > 1) intLit(es(1), "numHashes") else 64

@@ -35,6 +35,20 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getSeq[String](4) == Seq("aa", "bb"))
   }
 
+  test("word_bigrams and sorted_intersect_size are callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT word_bigrams(split('a b c', ' ')) AS g,
+                word_bigrams(array('solo')) AS e,
+                sorted_intersect_size(
+                  array_sort(array_distinct(split('c a b', ' '))),
+                  array_sort(array_distinct(split('b d c b', ' ')))) AS i
+      """).collect()(0)
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getSeq[String](1).isEmpty)
+    assert(r.getInt(2) == 2) // {a,b,c} ∩ {b,c,d} = {b,c}
+  }
+
   test("SQL kernels agree with the Column API") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
