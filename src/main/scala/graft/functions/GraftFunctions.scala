@@ -70,7 +70,14 @@ object GraftFunctions {
     "word_bigrams" -> { es =>
       if (es.length != 1) throw new IllegalArgumentException(
         s"word_bigrams(tokens) takes 1 argument, got ${es.length}")
-      TextExpressions.WordBigrams(es(0))
+      TextExpressions.WordNgrams(es(0), 2, emitShort = false)
+    },
+    // word_ngrams(tokens, w): decontamination-style grams (short texts
+    // yield their single sub-w gram)
+    "word_ngrams" -> { es =>
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"word_ngrams(tokens, w) takes 2 arguments, got ${es.length}")
+      TextExpressions.WordNgrams(es(0), intLit(es(1), "gram width"), emitShort = true)
     },
     // sorted_intersect_size(a, b): |A ∩ B| of two sorted distinct string
     // arrays (merge walk) — pair with array_sort(array_distinct(...))

@@ -162,43 +162,54 @@ object TextExpressions {
     ColumnBridge.column(TextFeatures(ColumnBridge.expression(text),
       stopProfiles.toSeq, bigramProfiles.toSeq))
 
-  /** Adjacent word-bigram strings of a token array in ONE tight loop per
-    * row. The `transform(sequence(...), concat_ws)` formulation walks an
+  /** Space-joined word n-gram strings of a token array in ONE tight loop
+    * per row. The `transform(sequence(...), …)` formulations walk an
     * interpreted expression tree per ELEMENT (HOFs are CodegenFallback);
-    * this kernel is one JVM loop per row reusing the previous token.
-    * Same outputs; ~20% off end-to-end `doc_repetition` at sf1 (the
-    * query's cost is dominated by its two aggregations, not the bigram
-    * construction). Returns an empty array for < 2 tokens (no
-    * descending-`sequence` edge case).
+    * this kernel is one JVM loop per row. Two short-input conventions,
+    * matching the two composed formulations it replaces:
+    *  - `emitShort = false` (bigrams/repetition): < w tokens → empty
+    *    array (the caller drops gram-less docs);
+    *  - `emitShort = true` (decontamination grams): < w tokens → ONE
+    *    gram joining all tokens, like `slice(toks, 1, w)` over
+    *    `sequence(0, greatest(n - w, 0))`.
+    * End-to-end effect is modest where aggregation dominates
+    * (`doc_repetition` ~20% at sf1); the point is keeping every per-token
+    * path out of the interpreted HOF regime.
     */
-  case class WordBigrams(child: Expression)
+  case class WordNgrams(child: Expression, w: Int, emitShort: Boolean)
       extends UnaryExpression with CodegenFallback {
+    require(w >= 1)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def prettyName: String = "word_bigrams"
+    override def prettyName: String = "word_ngrams"
 
     private val space = UTF8String.fromString(" ")
 
     override def nullSafeEval(v: Any): Any = {
       val toks = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       val n = toks.numElements()
-      if (n < 2) new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-      else {
-        val out = new Array[Any](n - 1)
-        var prev = toks.getUTF8String(0)
-        var i = 0
-        while (i < n - 1) {
-          val next = toks.getUTF8String(i + 1)
-          out(i) = UTF8String.concat(prev, space, next)
-          prev = next
-          i += 1
-        }
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      val count =
+        if (n >= w) n - w + 1
+        else if (emitShort) 1
+        else 0
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        val width = math.min(w, n - i)
+        val parts = new Array[UTF8String](width)
+        var j = 0
+        while (j < width) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(space, parts: _*)
+        i += 1
       }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   def wordBigrams(toks: Column): Column =
-    ColumnBridge.column(WordBigrams(ColumnBridge.expression(toks)))
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(toks), 2, emitShort = false))
+
+  def wordNgrams(toks: Column, w: Int, emitShort: Boolean): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(toks), w, emitShort))
 }

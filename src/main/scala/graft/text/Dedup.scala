@@ -296,9 +296,18 @@ object Dedup {
   }
 
   /** Word w-grams as strings (space-joined runs; short texts yield their
-    * single sub-`w` gram) — the decontamination overlap unit.
+    * single sub-`w` gram) — the decontamination overlap unit. Native
+    * kernel (one loop per row; the composed `transform(sequence, slice,
+    * array_join)` form walks an interpreted tree per gram). DedupSpec
+    * pins kernel ≡ composed.
     */
-  private def gramStrings(text: Column, w: Int): Column = {
+  private[text] def gramStrings(text: Column, w: Int): Column =
+    graft.functions.TextExpressions.wordNgrams(split(text, "\\s+"), w, emitShort = true)
+
+  /** The composed-HOF formulation of [[gramStrings]] — equivalence
+    * reference only.
+    */
+  private[text] def gramStringsComposed(text: Column, w: Int): Column = {
     val toks = split(text, "\\s+")
     transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
       i => array_join(slice(toks, i + 1, lit(w)), " "))

@@ -67,6 +67,16 @@ class DedupSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("gramStrings kernel equals the composed HOF formulation incl. short texts") {
+    import spark.implicits._
+    val d = Seq("a b c d e", "x y", "solo", "t1  t2\tt3").toDF("text")
+    val both = d.select(
+      Dedup.gramStrings(col("text"), 3).as("k"),
+      Dedup.gramStringsComposed(col("text"), 3).as("c")).collect()
+    both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+      s"${r.getSeq[String](0)} vs ${r.getSeq[String](1)}"))
+  }
+
   test("jaccardPairs blocks and scores exactly") {
     import spark.implicits._
     val d = Seq((1L, "g1", base), (2L, "g1", base), (3L, "g2", base))
