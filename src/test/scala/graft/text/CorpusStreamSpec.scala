@@ -45,4 +45,30 @@ class CorpusStreamSpec extends SparkSpec {
       s"missing=${(batch -- streamed).take(2)} extra=${(streamed -- batch).take(2)}")
     assert(streamed.nonEmpty)
   }
+
+  test("mixture sampling streams: per-stratum rates on a document stream") {
+    import spark.implicits._
+    val docs = graft.source.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang")).limit(200)
+    val rows = docs.as[(Long, String, String)].collect().toSeq
+    val rates = Map("en" -> 5, "de" -> 3, "es" -> 2, "fr" -> 1, "zh" -> 10)
+
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = Text.mixtureSample(input.toDF().toDF("doc_id", "text", "lang"), rates)
+      .select(col("doc_id"), col("lang"))
+      .writeStream.format("memory").queryName("mixture_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(100))
+      input.addData(rows.drop(100))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val streamed = key(spark.table("mixture_stream_out"))
+    val batch = key(Text.mixtureSample(docs, rates).select(col("doc_id"), col("lang")))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
