@@ -335,6 +335,39 @@ object Analytics {
         .orderBy(col("month"))
     },
 
+    // Rolling 7-day revenue — the RANGE-frame window surface, expressed
+    // scale-clean: an unpartitioned `rangeBetween` window funnels all
+    // rows through one task (the monthly_revenue_growth lesson), so the
+    // rolling sum is a broadcast non-equi self-join over the DAILY
+    // aggregate (one row per day — tiny at any corpus size). Day revenue
+    // stays DECIMAL through the window sum (order-independent), cast to
+    // double once at the end; both engines agree bit-for-bit.
+    Q("ev_rolling_7d_revenue",
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(12,2))) AS rev
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT CAST(a.day AS TIMESTAMP) AS day,
+           CAST(a.rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(b.rev) AS DOUBLE) AS rolling_7d_revenue,
+           CAST(COUNT(*) AS BIGINT) AS days_in_window
+         FROM daily a JOIN daily b ON b.day BETWEEN a.day - 6 AND a.day
+         GROUP BY a.day, a.rev ORDER BY day""") { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("rev"))
+      val b = daily.select(col("day").as("b_day"), col("rev").as("b_rev"))
+      daily.join(broadcast(b),
+          col("b_day").between(date_sub(col("day"), 6), col("day")))
+        .groupBy(col("day"), col("rev"))
+        .agg(sum(col("b_rev")).cast("double").as("rolling_7d_revenue"),
+          count(lit(1)).as("days_in_window"))
+        .select(col("day").cast("timestamp").as("day"),
+          col("rev").cast("double").as("day_revenue"),
+          col("rolling_7d_revenue"), col("days_in_window"))
+        .orderBy(col("day"))
+    },
+
     // ============ clickstream semantics over the events table ============
     // (batch twins of ops.Pipelines; same shapes the streaming queries emit)
 
