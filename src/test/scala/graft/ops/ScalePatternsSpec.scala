@@ -135,4 +135,31 @@ class ScalePatternsSpec extends SparkSpec {
     assert(math.abs(fromDaily - exact).toDouble / exact < 0.05,
       s"estimate $fromDaily vs exact $exact")
   }
+
+  test("round-4 operators keep the scale-clean plan shapes") {
+    val docs = Tables(spark, sfDir, "documents")
+
+    // packBins: the window is PARTITIONED (per-stratum sort), never the
+    // single-task unpartitioned window (whose spec would have no
+    // partition column before the ordering)
+    val packLogical = graft.text.Text.packBins(docs, 512)
+      .queryExecution.optimizedPlan.toString
+    assert(packLogical.contains("windowspecdefinition(lang"), packLogical)
+
+    // tokenRarity: partial aggregation before the shuffle (two-level agg)
+    val rarityPlan = graft.text.Text.tokenRarity(docs)
+      .queryExecution.executedPlan.toString
+    assert(rarityPlan.contains("partial_count") || rarityPlan.contains("partial"),
+      rarityPlan)
+
+    // mixtureSample: pure narrow pipeline — no Exchange at all
+    val mixPlan = graft.text.Text.mixtureSample(docs, Map("en" -> 5))
+      .queryExecution.executedPlan.toString
+    assert(!mixPlan.contains("Exchange"), mixPlan)
+
+    // rolling revenue: the range self-join broadcasts the daily aggregate
+    val roll = graft.SparkEntry.queries("ev_rolling_7d_revenue")(spark, sfDir)
+    val rollPlan = roll.queryExecution.executedPlan.toString
+    assert(rollPlan.contains("BroadcastNestedLoopJoin"), rollPlan)
+  }
 }
