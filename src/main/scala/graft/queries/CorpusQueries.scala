@@ -288,6 +288,28 @@ object CorpusQueries {
         .orderBy(col("lang"), col("rnk"))
     },
 
+    // Per-document top-3 TF-IDF terms (keyword extraction). IDF stays the
+    // exact ratio N/df (ln would differ in the last ULP across libm
+    // implementations and is a monotone transform anyway), so the score
+    // is one IEEE division of exact BIGINTs in both engines and the
+    // ranking ties break on the token string.
+    Q("doc_tfidf_terms",
+      """WITH dt AS (SELECT doc_id, tok, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+                 FROM documents)
+           GROUP BY doc_id, tok),
+         dfq AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok),
+         nq AS (SELECT COUNT(*) AS n FROM documents)
+         SELECT doc_id, tok, score, rnk FROM (
+           SELECT doc_id, tok, CAST(c * n AS DOUBLE) / df AS score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY CAST(c * n AS DOUBLE) / df DESC, tok) AS INT) AS rnk
+           FROM dt JOIN dfq USING (tok) CROSS JOIN nq)
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""") { (s, dir) =>
+      Text.tfidfTopTerms(Tables(s, dir, "documents"), k = 3)
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
     // Sequence packing: greedy doc_id-order concatenation into ~512-token
     // bins WITHIN each language stratum (global cumsum would be a
     // single-partition window; per-stratum windows sort in parallel).

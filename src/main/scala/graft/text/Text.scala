@@ -267,6 +267,32 @@ object Text {
       .filter(col("rnk") <= k)
   }
 
+  /** Per-document top-k TF-IDF terms (keyword extraction). IDF is the
+    * exact ratio N/df — not `ln(N/df)` — so the score `c·N/df` is one
+    * IEEE division of exact integers and the ranking is engine-exact
+    * (ln differs in the last ULP across libm implementations; the
+    * monotone transform changes no ordering, so the rational form loses
+    * nothing). Shape: per-doc token counts (one shuffle), document
+    * frequency re-aggregated FROM those partials, token-keyed join of
+    * counts only, per-doc window top-k.
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val df = perDoc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    perDoc.join(df, "tok").crossJoin(broadcast(n)) // 1-row aggregate
+      .select(col("doc_id"), col("tok"),
+        ((col("c") * col("n")).cast("double") / col("df")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("tok"), col("score"), col("rnk"))
+  }
+
   /** Sequence packing — the training-data step that concatenates short
     * documents into ~`targetTokens`-token sequences: greedy in `doc_id`
     * order WITHIN each stratum, bin = floor(prefix-token-count /

@@ -183,6 +183,25 @@ class TextSpec extends SparkSpec {
       (2L, 3L, 2L, 1.5)))  // b·2 + c·1 = 3 over 2 tokens
   }
 
+  test("tfidfTopTerms: rare tokens outrank common ones, ties break on token") {
+    import spark.implicits._
+    // "rare" appears in 1 doc, "common" in all 3 → idf 3 vs 1
+    val d = Seq(
+      (1L, "common rare common"),
+      (2L, "common common other"),
+      (3L, "common other other"))
+      .toDF("doc_id", "text")
+    val out = Text.tfidfTopTerms(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._4)
+    // doc 1: rare → 1·3/1 = 3.0 beats common → 2·3/3 = 2.0
+    assert(d1.map(x => (x._2, x._3)).toSeq == Seq(("rare", 3.0), ("common", 2.0)))
+    // doc 3: other (2·3/2 = 3.0) beats common (1·3/3 = 1.0)
+    val d3 = out.filter(_._1 == 3L).sortBy(_._4)
+    assert(d3.head._2 == "other" && d3.head._3 == 3.0)
+    assert(out.count(_._1 == 2L) == 2)
+  }
+
   test("packBins: greedy per-stratum packing, bins near target, all tokens kept") {
     import spark.implicits._
     // lang a: docs of 3 tokens each; target 7 → bins of floor(prefix/7)
