@@ -21,6 +21,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    DedupSpec pins signatures and verifies the Hamming pigeonhole.
   *  - `ev_hll_users` — HLL++ estimates are engine-specific; the spec
   *    bounds them against exact counts within the configured rsd.
+  *  - `ann_ivf_recall` — a META query (recall@10 of partial-probe IVF vs
+  *    the oracle-green exact result, per nProbe); the exact surfaces it
+  *    measures against ARE oracle-checked, and IvfSpec gates the curve.
   *
   * Determinism contract (so the DuckDB hash-compare is meaningful):
   *  - every result is fully ordered by its key columns, in both engines;

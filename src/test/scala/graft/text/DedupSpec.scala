@@ -67,6 +67,35 @@ class DedupSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("SortedIntersectSize equals size(array_intersect) on randomized arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def arr() = Seq.fill(rnd.nextInt(20))(s"t${rnd.nextInt(12)}")
+    val rows = Seq.fill(300)((arr(), arr()))
+    val d = rows.toDF("a", "b")
+      .select(array_sort(array_distinct(col("a"))).as("a"),
+        array_sort(array_distinct(col("b"))).as("b"))
+    val out = d.select(
+      graft.functions.HashExpressions.sortedIntersectSize(col("a"), col("b")).as("k"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
+  test("WordNgrams kernel equals the composed gram form on randomized texts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def text() = Seq.fill(rnd.nextInt(9) + 1)(s"w${rnd.nextInt(6)}")
+      .mkString(if (rnd.nextBoolean()) " " else "  ") // multi-space too
+    val d = Seq.fill(200)(text()).toDF("text")
+    Seq(2, 3, 5).foreach { w =>
+      val out = d.select(
+        Dedup.gramStrings(col("text"), w).as("k"),
+        Dedup.gramStringsComposed(col("text"), w).as("c")).collect()
+      out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"w=$w: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}"))
+    }
+  }
+
   test("gramStrings kernel equals the composed HOF formulation incl. short texts") {
     import spark.implicits._
     val d = Seq("a b c d e", "x y", "solo", "t1  t2\tt3").toDF("text")
