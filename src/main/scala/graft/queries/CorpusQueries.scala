@@ -40,17 +40,15 @@ object CorpusQueries {
     * ±1 entries make every projection term an exact double sign flip, so
     * the signature — and therefore the result SET — is engine-independent.
     */
-  private def embSimhashDupSql(nPlanes: Int, dim: Int, maxHamming: Int,
-                               seed: Long,
-                               corpusSql: String =
-                                 "SELECT vec_id, embedding FROM embeddings"): String = {
+  private def embSigCtes(nPlanes: Int, dim: Int, maxHamming: Int, seed: Long,
+                         corpusSql: String): String = {
     val m = Similarity.signPlanes(nPlanes, dim, seed)
     val planeRows = (0 until nPlanes).map { p =>
       val vals = (0 until dim)
         .map(j => if (m(p * dim + j) > 0) "1.0" else "-1.0").mkString(",")
       s"($p, [$vals])"
     }.mkString(", ")
-    s"""WITH planes(p, s) AS (VALUES $planeRows),
+    s"""planes(p, s) AS (VALUES $planeRows),
        corpus AS ($corpusSql),
        e AS (SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
@@ -63,14 +61,59 @@ object CorpusQueries {
        pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
          FROM sig a JOIN sig b ON a.vec_id < b.vec_id
-         WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming)
+         WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming)"""
+  }
+
+  /** The planted-duplicate corpus for the tight-threshold embedding dedup
+    * evidence: fixture embeddings are i.i.d. (no Hamming-≤2 pairs), so 50
+    * angular duplicates are planted as vec·0.5 under fresh ids — halving is
+    * IEEE-exact (exponent decrement), so sign bits and the pigeonhole
+    * guarantee are preserved bit-identically in both engines.
+    */
+  private val plantedCorpusSql =
+    """SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+            list_transform(embedding, x -> CAST(x * CAST(0.5 AS REAL) AS REAL))
+          FROM embeddings WHERE vec_id < 50"""
+
+  private def plantedCorpus(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(0.5f)).cast("float")).as("embedding"))
+    emb.unionAll(planted)
+  }
+
+  private def embSimhashDupSql(nPlanes: Int, dim: Int, maxHamming: Int,
+                               seed: Long,
+                               corpusSql: String =
+                                 "SELECT vec_id, embedding FROM embeddings"): String =
+    s"""WITH ${embSigCtes(nPlanes, dim, maxHamming, seed, corpusSql)}
      SELECT pr.a_id, pr.b_id, pr.hamming,
        list_sum(list_transform(range(len(ea.embedding)),
          i -> CAST(ea.embedding[i+1] AS DOUBLE) * CAST(eb.embedding[i+1] AS DOUBLE)))
          / (ea.norm * eb.norm) AS cos
      FROM pairs pr JOIN e ea ON ea.vec_id = pr.a_id JOIN e eb ON eb.vec_id = pr.b_id
      ORDER BY a_id, b_id"""
-  }
+
+  /** Oracle for `emb_dup_groups`: the recursive-CTE transitive closure over
+    * the identical signature-pair set (the `doc_dup_groups` oracle shape,
+    * applied to the embedding near-dup graph).
+    */
+  private def embSimhashGroupsSql(nPlanes: Int, dim: Int, maxHamming: Int,
+                                  seed: Long, corpusSql: String): String =
+    s"""WITH RECURSIVE ${embSigCtes(nPlanes, dim, maxHamming, seed, corpusSql)},
+       ed AS (SELECT a_id AS s, b_id AS t FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+       reach(s, t) AS (SELECT s, t FROM ed
+         UNION SELECT r.s, ed.t FROM reach r JOIN ed ON r.t = ed.s)
+     SELECT vec_id, CAST(LEAST(vec_id, coalesce(m.mn, vec_id)) AS BIGINT) AS group_id
+     FROM corpus LEFT JOIN
+       (SELECT s, min(t) AS mn FROM reach GROUP BY s) m ON m.s = vec_id
+     ORDER BY vec_id"""
 
   /** Oracle for `doc_langid`: the stopword/bigram scoring is deterministic
     * integer arithmetic over literal profiles, so DuckDB can replay it —
@@ -160,6 +203,36 @@ object CorpusQueries {
         .withColumn("bucket", Text.hashModBucket(col("doc_id")))
         .filter(col("bucket") < 3)
         .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII redaction — the pre-training scrub pass (emails, then IPv4s),
+    // plus per-document match counts. The fixture text carries no PII, so
+    // each row is salted with a synthetic email + IP derived from its
+    // doc_id: every document exercises both patterns non-vacuously, and
+    // the oracle replays the identical salt. The patterns live in the
+    // Java∩RE2 regex subset (Text.emailPattern Scaladoc), so both engines
+    // produce byte-identical redactions.
+    Q("doc_pii_redacted",
+      s"""WITH s AS (SELECT doc_id,
+           'user' || CAST(doc_id AS VARCHAR) || '@example.com 10.0.' ||
+             CAST(doc_id % 250 AS VARCHAR) || '.7 ' || text AS t
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(t, '${Text.emailPattern}', '<EMAIL>', 'g'),
+             '${Text.ipv4Pattern}', '<IP>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(t, '${Text.emailPattern}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '${Text.ipv4Pattern}')) AS BIGINT) AS n_ips
+         FROM s ORDER BY doc_id""") { (s, dir) =>
+      val salted = concat(lit("user"), col("doc_id").cast("string"),
+        lit("@example.com 10.0."), (col("doc_id") % 250).cast("string"),
+        lit(".7 "), col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), salted.as("t"))
+        .select(col("doc_id"),
+          Text.redactPii(col("t")).as("redacted"),
+          regexp_count(col("t"), lit(Text.emailPattern)).cast("long").as("n_emails"),
+          regexp_count(col("t"), lit(Text.ipv4Pattern)).cast("long").as("n_ips"))
         .orderBy(col("doc_id"))
     },
 
@@ -596,21 +669,25 @@ object CorpusQueries {
     // detector must recover exactly the 50 planted pairs (plus any natural
     // signature collisions). The oracle replays the same augmentation.
     Q("emb_dup_pairs_tight", embSimhashDupSql(nPlanes = 36, dim = 64,
-        maxHamming = 2, seed = 7L,
-        corpusSql = """SELECT vec_id, embedding FROM embeddings
-          UNION ALL
-          SELECT vec_id + 1000000,
-            list_transform(embedding, x -> CAST(x * CAST(0.5 AS REAL) AS REAL))
-          FROM embeddings WHERE vec_id < 50""")) { (s, dir) =>
-      val emb = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val planted = emb.filter(col("vec_id") < 50)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"),
-            x => (x * lit(0.5f)).cast("float")).as("embedding"))
-      Similarity.simhashDupPairs(emb.unionAll(planted), maxHamming = 2,
+        maxHamming = 2, seed = 7L, corpusSql = plantedCorpusSql)) { (s, dir) =>
+      Similarity.simhashDupPairs(plantedCorpus(s, dir), maxHamming = 2,
           nPlanes = 36, chunkBits = 12, dim = 64, seed = 7L)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Semantic-dedup survivor groups (the SemDeDup-shaped step): connected
+    // components over the exact embedding near-dup graph, labels = min
+    // vec_id per component — one row per corpus vector, group_id the
+    // canonical survivor to keep. Same planted-duplicate corpus as
+    // `emb_dup_pairs_tight` (each planted vector must land in its source's
+    // group), same min-label CC engine as `doc_dup_groups`, recursive-CTE
+    // closure oracle over the identical pair set.
+    Q("emb_dup_groups", embSimhashGroupsSql(nPlanes = 36, dim = 64,
+        maxHamming = 2, seed = 7L, corpusSql = plantedCorpusSql)) { (s, dir) =>
+      val corpus = plantedCorpus(s, dir)
+      val pairs = Similarity.simhashDupPairs(corpus, maxHamming = 2,
+        nPlanes = 36, chunkBits = 12, dim = 64, seed = 7L)
+      Dedup.dupGroups(corpus, pairs, idCol = "vec_id").orderBy(col("vec_id"))
     },
 
     // ---- multimodal plumbing (deterministic fake payloads) ----

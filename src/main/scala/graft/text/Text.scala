@@ -149,6 +149,28 @@ object Text {
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long") % buckets
 
+  /** PII scrubbing — the pre-training redaction pass every distributed
+    * corpus pipeline runs before text leaves the ingest boundary. The
+    * patterns deliberately stay inside the regex subset with identical
+    * semantics in Java (`java.util.regex`, Spark codegen) and RE2
+    * (DuckDB, and the Go/Rust scrubbers these corpora typically meet):
+    * character classes, bounded repetition and `\b` on ASCII text — no
+    * lookaround, no backreferences, so any engine replays the result
+    * byte-identically. `regexp_replace` is a narrow codegen'd expression:
+    * the scrub runs scan-side, streams, and never shuffles.
+    */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  val ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Emails first, then IPv4s: a redacted email can never create an IP
+    * match, and the placeholders contain no pattern characters.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      ipv4Pattern, "<IP>")
+
   /** The standard curation stage chain — fused text features, quality
     * gate, content fingerprint, deterministic hash sample — as ONE shared
     * definition: the registered batch queries, the streaming backfill

@@ -47,4 +47,14 @@ class PlanSpec extends SparkSpec {
     val p = plan("ev_minutely_views")
     assert(p.contains("PushedFilters:") && p.contains("event_type"), p.take(600))
   }
+
+  test("doc_pii_redacted: scrub is a narrow scan-side project, no shuffle before the sort") {
+    val p = plan("doc_pii_redacted")
+    // exactly the one Exchange the final global ORDER BY requires — the
+    // regex passes themselves must not repartition anything
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(800))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("lang"), read)
+  }
 }

@@ -104,4 +104,21 @@ class SimilaritySpec extends SparkSpec {
       s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
     assert(expect.nonEmpty, "property run found no pairs - weaken threshold")
   }
+
+  test("emb_dup_groups: every planted duplicate lands in its source's group") {
+    // the registered semantic-dedup grouping query, run on fixture data:
+    // a planted vector (vec·0.5 under id+1e6) is angularly identical to
+    // its source, so CC must put both under one label — and that label is
+    // the source id whenever the source has no lower-id near-dup of its own
+    val out = graft.SparkEntry.queries("emb_dup_groups")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = out.keys.filter(_ >= 1000000L)
+    assert(planted.size == 50)
+    planted.foreach { p =>
+      assert(out(p) == out(p - 1000000L),
+        s"planted $p labeled ${out(p)} but source has ${out(p - 1000000L)}")
+    }
+    // labels are canonical: every group_id is itself a member mapping to itself
+    out.values.toSet.foreach { g: Long => assert(out(g) == g) }
+  }
 }

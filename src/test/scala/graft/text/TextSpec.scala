@@ -255,4 +255,29 @@ class TextSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
     assert(take.sortBy(x => (x._1, x._3)).toSeq == again.sortBy(x => (x._1, x._3)).toSeq)
   }
+
+  test("redactPii: emails and IPv4s replaced, clean text untouched") {
+    import spark.implicits._
+    val d = Seq(
+      ("mail me at jane.doe+spam@sub.example.co.uk today",
+        "mail me at <EMAIL> today"),
+      ("host 192.168.001.1 and 8.8.8.8 respond", "host <IP> and <IP> respond"),
+      ("a@b.io x 10.0.0.1", "<EMAIL> x <IP>"),
+      // version strings have only 3 octet groups; emails need a TLD
+      ("release 1.2.3 by user@localhost done", "release 1.2.3 by user@localhost done"),
+      ("plain text, no pii at all", "plain text, no pii at all"),
+      ("", "")).toDF("text", "expect")
+    val out = d.withColumn("got", Text.redactPii(col("text")))
+      .filter(col("got") =!= col("expect"))
+    assert(out.isEmpty, out.collect().mkString("; "))
+  }
+
+  test("redactPii: email pass cannot create or destroy IP matches") {
+    import spark.implicits._
+    // an address whose local/domain parts are digit-dotted: the email
+    // pattern consumes it whole, so no IP fragment survives
+    val d = Seq("ping 1.2.3.4@9.8.7.com then 5.6.7.8").toDF("text")
+    val got = d.select(Text.redactPii(col("text"))).as[String].head()
+    assert(got == "ping <EMAIL> then <IP>")
+  }
 }
