@@ -628,10 +628,10 @@ object CorpusQueries {
       val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
         .select(col("q_id"), col("n_id"))
       val denom = exact.agg(count(lit(1)).as("n_exact"))
-      Seq(1, 2, 4, 16).map { p =>
-          graft.sim.Ivf.search(emb, queries, model, k = 10, nProbe = p)
-            .select(lit(p).as("n_probe"), col("q_id"), col("n_id"))
-        }.reduce(_ unionByName _)
+      // one shared assignment scan + candidate rerank serves all 4 depths
+      graft.sim.Ivf.searchMulti(emb, queries, model, k = 10,
+          probes = Seq(1, 2, 4, 16))
+        .select(col("n_probe"), col("q_id"), col("n_id"))
         .join(exact, Seq("q_id", "n_id")) // hits = IVF ∩ exact
         .groupBy(col("n_probe")).agg(count(lit(1)).as("hits"))
         .crossJoin(denom) // 4 × 1-row aggregate

@@ -118,4 +118,50 @@ object Ivf {
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
   }
+
+  /** [[search]] at SEVERAL probe depths in one pass — the recall-curve /
+    * parameter-sweep shape. A candidate (q, n) is reachable at depth p iff
+    * n's list is among q's top-p probes, i.e. iff the MINIMUM probe rank
+    * that reaches it is ≤ p — so one assignment scan, one bucket join and
+    * one exact-cosine rerank (at the deepest probe) serve every depth, and
+    * each depth is a filter over the shared candidate set. At corpus scale
+    * the assignment scan dominates search cost; running it once instead of
+    * once per depth is the difference between a sweep costing one search
+    * and costing |depths| of them. Candidates are checkpointed so the
+    * per-depth branches scan cached (q, n, cos, min_probe) rows — bounded
+    * by the depth-maxProbe candidate volume, never the corpus.
+    *
+    * Row-identical to running [[search]] per depth (IvfSpec property).
+    */
+  def searchMulti(corpus: DataFrame, queries: DataFrame, model: IvfModel,
+                  k: Int, probes: Seq[Int],
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probes.nonEmpty, "searchMulti needs at least one probe depth")
+    val flat = model.flat
+    val assignedCorpus = corpus.select(col(idCol).as("n_id"),
+      element_at(VectorExpressions.nearestCentroids(
+        col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"))
+    val probed = queries.select(col(idCol).as("q_id"),
+        posexplode(VectorExpressions.nearestCentroids(
+          col(vecCol), flat, model.k, model.dim, probes.max)))
+      .select(col("q_id"), (col("pos") + 1).as("probe_rank"), col("col").as("cluster"))
+    def side(df: DataFrame, role: String): DataFrame =
+      df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
+        Similarity.l2Norm(col(vecCol)).as(s"${role}_norm"))
+    val candidates = assignedCorpus.join(probed, "cluster")
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id")).agg(min("probe_rank").as("min_probe"))
+      .join(side(queries, "q"), "q_id").join(side(corpus, "n"), "n_id")
+      .select(col("q_id"), col("n_id"), col("min_probe"),
+        (Similarity.dot(col("q_vec"), col("n_vec")) /
+          (col("q_norm") * col("n_norm"))).as("cos"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    probes.map { p =>
+      candidates.filter(col("min_probe") <= p)
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .select(lit(p).as("n_probe"), col("q_id"), col("n_id"),
+          col("cos"), col("rnk"))
+    }.reduce(_ unionByName _)
+  }
 }

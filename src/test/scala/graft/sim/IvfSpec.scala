@@ -86,4 +86,29 @@ class IvfSpec extends SparkSpec {
     info(s"clustered recall@10 at nProbe=4/16: $recall")
     assert(recall >= 0.9, s"clustered-corpus recall@10 at nProbe=4 was $recall")
   }
+
+  test("searchMulti: row-identical to per-depth search at every probe depth") {
+    // the min-probe-rank factoring shares one assignment scan across
+    // depths; this pins that it changes NOTHING about the results
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val dim = 32
+    val emb = (0 until 300)
+      .map(i => (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 12)
+    val model = Ivf.train(emb, nCentroids = 8, dim = dim, iters = 2)
+    val depths = Seq(1, 3, 8)
+    val multi = Ivf.searchMulti(emb, queries, model, k = 5, probes = depths)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+      .groupBy(_._1)
+    depths.foreach { p =>
+      val single = Ivf.search(emb, queries, model, k = 5, nProbe = p)
+        .collect().map(r => (p, r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(multi.getOrElse(p, Array.empty).toSet == single,
+        s"depth $p diverged from single-probe search")
+      assert(single.nonEmpty)
+    }
+  }
 }
