@@ -64,6 +64,22 @@ object CorpusQueries {
          WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming)"""
   }
 
+  /** The composite quality score as DuckDB SQL — the exact arithmetic of
+    * `Text.qualityScore` (int-ratio inputs, fixed combination order →
+    * identical doubles; POSIX `[[:punct:]]` equals Java `\p{Punct}` on
+    * ASCII). Shared by `doc_quality_topk` and `doc_e2e_curated` so the
+    * fragment cannot drift between oracles.
+    */
+  private val qualitySql =
+    """greatest(0.0, least(1.0,
+             least(len(regexp_split_to_array(text, '\s+')) / 64.0, 1.0) * 0.4 +
+             least((len(list_distinct(regexp_split_to_array(text, '\s+'))) /
+                    len(regexp_split_to_array(text, '\s+'))) * 2.0, 1.0) * 0.4 +
+             (1.0 - ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) /
+                       greatest(length(text), 1) +
+                     (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) /
+                       greatest(length(text), 1))) * 0.2))"""
+
   /** The planted-duplicate corpus for the tight-threshold embedding dedup
     * evidence: fixture embeddings are i.i.d. (no Hamming-≤2 pairs), so 50
     * angular duplicates are planted as vec·0.5 under fresh ids — halving is
@@ -281,15 +297,7 @@ object CorpusQueries {
     // Text.tokens exactly — a literal-space split would agree only on
     // single-spaced fixtures)
     Q("doc_quality_topk",
-      """WITH q AS (SELECT doc_id, lang,
-           greatest(0.0, least(1.0,
-             least(len(regexp_split_to_array(text, '\s+')) / 64.0, 1.0) * 0.4 +
-             least((len(list_distinct(regexp_split_to_array(text, '\s+'))) /
-                    len(regexp_split_to_array(text, '\s+'))) * 2.0, 1.0) * 0.4 +
-             (1.0 - ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) /
-                       greatest(length(text), 1) +
-                     (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) /
-                       greatest(length(text), 1))) * 0.2)) AS quality
+      s"""WITH q AS (SELECT doc_id, lang, $qualitySql AS quality
            FROM documents)
          SELECT lang, doc_id, quality, rnk FROM (
            SELECT lang, doc_id, quality,
@@ -488,6 +496,51 @@ object CorpusQueries {
       val docs = Tables(s, dir, "documents")
       Dedup.decontaminate(docs, docs.filter(col("doc_id") < 3), w = 3)
         .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The END-TO-END curation pipeline as ONE declarative plan: exact-dedup
+    // survivor (keep min doc_id per content fingerprint) → quality gate →
+    // benchmark decontamination → deterministic 80% hash sample. Every
+    // stage is individually oracle-proven above; this registration proves
+    // they COMPOSE — one Catalyst plan, no materialization barriers, and
+    // TEXT NEVER SHUFFLES: decontamination is a broadcast gram join + an
+    // ids-only anti join, then text is consumed scan-side into
+    // (quality, fingerprint) and only those slim columns enter the
+    // survivor window's exchange. Stage order is safe to rearrange because
+    // equal text ⇒ equal fingerprint, quality and contamination status
+    // (the predicates are fingerprint-uniform); only the hash-sample
+    // filter keys on doc_id, so it stays AFTER survivor selection, exactly
+    // as the oracle sequences it. The oracle chains the same four proven
+    // fragments.
+    Q("doc_e2e_curated",
+      s"""WITH g AS (SELECT doc_id,
+           unnest(list_transform(range(0, greatest(len(regexp_split_to_array(text, '\\s+')) - 3, 0) + 1),
+             i -> array_to_string(list_slice(regexp_split_to_array(text, '\\s+'), i + 1, i + 3), ' '))) AS g
+           FROM documents),
+         bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 3),
+         bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (g)),
+         surv AS (SELECT doc_id, lang, text FROM documents
+           WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))),
+         q AS (SELECT doc_id, lang, $qualitySql AS quality FROM surv)
+         SELECT doc_id, lang, quality FROM q
+         WHERE quality >= 0.5
+           AND doc_id NOT IN (SELECT doc_id FROM bad)
+           AND list_reduce(list_transform(range(8),
+                 i -> CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), i + 1, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 10 < 8
+         ORDER BY doc_id""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val clean = Dedup.decontaminate(docs, docs.filter(col("doc_id") < 3), w = 3)
+      val slim = clean.select(col("doc_id"), col("lang"),
+        Text.qualityScore(col("text")).as("quality"),
+        Text.fingerprint(col("text")).as("fingerprint"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
+      slim.withColumn("min_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("min_id") && col("quality") >= 0.5 &&
+          Text.hashModBucket(col("doc_id")) < 8)
+        .select(col("doc_id"), col("lang"), col("quality"))
         .orderBy(col("doc_id"))
     },
 

@@ -48,6 +48,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters:") && p.contains("event_type"), p.take(600))
   }
 
+  test("doc_e2e_curated: no exchange in the pipeline ever carries the text column") {
+    // the e2e chain's scale claim: text is consumed scan-side into
+    // (quality, fingerprint); every shuffle moves slim columns only
+    val df = graft.SparkEntry.queries("doc_e2e_curated")(spark, sfDir)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val lines = formatted.linesIterator.toSeq
+    val offenders = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) (Exchange|BroadcastExchange).*""") =>
+        // the node's Input [...] line follows within the next few lines
+        (l, lines.slice(i + 1, i + 4).find(_.startsWith("Input")))
+    }.collect { case (node, Some(in)) if in.contains("text#") => s"$node :: $in" }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+    assert(lines.exists(_.contains("BroadcastHashJoin LeftAnti")), "anti join not broadcast")
+  }
+
   test("doc_pii_redacted: scrub is a narrow scan-side project, no shuffle before the sort") {
     val p = plan("doc_pii_redacted")
     // exactly the one Exchange the final global ORDER BY requires — the
