@@ -71,4 +71,36 @@ class CorpusStreamSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("PII scrub streams: redaction output identical batch vs stream") {
+    import spark.implicits._
+    // salt a synthetic email+IP per row (the fixture text has no PII),
+    // exactly as the registered doc_pii_redacted query does
+    def scrub(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id"),
+        Text.redactPii(concat(lit("user"), col("doc_id").cast("string"),
+          lit("@example.com 10.0."), (col("doc_id") % 250).cast("string"),
+          lit(".7 "), col("text"))).as("redacted"))
+
+    val docs = graft.source.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(150)
+    val rows = docs.as[(Long, String)].collect().toSeq
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = scrub(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(75))
+      input.addData(rows.drop(75))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val streamed = key(spark.table("pii_stream_out"))
+    assert(streamed == key(scrub(docs)))
+    assert(streamed.nonEmpty &&
+      streamed.forall { case (_, t) => t.contains("<EMAIL>") && t.contains("<IP>") })
+  }
 }
