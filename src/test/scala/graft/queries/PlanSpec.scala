@@ -48,20 +48,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters:") && p.contains("event_type"), p.take(600))
   }
 
-  test("doc_e2e_curated: no exchange in the pipeline ever carries the text column") {
-    // the e2e chain's scale claim: text is consumed scan-side into
-    // (quality, fingerprint); every shuffle moves slim columns only
-    val df = graft.SparkEntry.queries("doc_e2e_curated")(spark, sfDir)
-    val formatted = df.queryExecution.explainString(
+  /** Exchanges (shuffle or broadcast) whose input still contains the raw
+    * text column — the payload-never-rides-the-shuffle claim, checkable.
+    */
+  private def textCarryingExchanges(name: String): (Seq[String], Seq[String]) = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    val lines = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val lines = formatted.linesIterator.toSeq
+      .linesIterator.toSeq
     val offenders = lines.zipWithIndex.collect {
       case (l, i) if l.matches("""\(\d+\) (Exchange|BroadcastExchange).*""") =>
         // the node's Input [...] line follows within the next few lines
         (l, lines.slice(i + 1, i + 4).find(_.startsWith("Input")))
     }.collect { case (node, Some(in)) if in.contains("text#") => s"$node :: $in" }
+    (offenders, lines)
+  }
+
+  test("doc_e2e_curated: no exchange in the pipeline ever carries the text column") {
+    // the e2e chain's scale claim: text is consumed scan-side into
+    // (quality, fingerprint); every shuffle moves slim columns only
+    val (offenders, lines) = textCarryingExchanges("doc_e2e_curated")
     assert(offenders.isEmpty, offenders.mkString("\n"))
     assert(lines.exists(_.contains("BroadcastHashJoin LeftAnti")), "anti join not broadcast")
+  }
+
+  test("doc_exact_dedup: text reduced to its fingerprint before the aggregation shuffle") {
+    val (offenders, _) = textCarryingExchanges("doc_exact_dedup")
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("doc_decontaminated: gram join broadcast, no text on any exchange") {
+    val (offenders, lines) = textCarryingExchanges("doc_decontaminated")
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+    assert(lines.exists(_.contains("BroadcastHashJoin")), "gram join not broadcast")
   }
 
   test("doc_pii_redacted: scrub is a narrow scan-side project, no shuffle before the sort") {
