@@ -261,7 +261,7 @@ class TextSpec extends SparkSpec {
     val d = Seq(
       ("mail me at jane.doe+spam@sub.example.co.uk today",
         "mail me at <EMAIL> today"),
-      ("host 192.168.001.1 and 8.8.8.8 respond", "host <IP> and <IP> respond"),
+      ("host 192.168.001.1 and 203.0.113.9 respond", "host <IP> and <IP> respond"),
       ("a@b.io x 10.0.0.1", "<EMAIL> x <IP>"),
       // version strings have only 3 octet groups; emails need a TLD
       ("release 1.2.3 by user@localhost done", "release 1.2.3 by user@localhost done"),
