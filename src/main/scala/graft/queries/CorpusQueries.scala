@@ -544,6 +544,30 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // INCREMENTAL dedup — the growing-corpus shape: a new batch (doc_id ≥
+    // 250) dedups against the EXISTING corpus's fingerprint index
+    // (fp-only anti join; at 100 TB the old side is the standing
+    // fingerprint index, never the old text) and then within itself
+    // (min-id survivor per fingerprint over slim columns). Text never
+    // shuffles, and nothing of the old corpus is re-read beyond its
+    // fingerprints. The fixture corpus has no exact duplicates, so the
+    // drops here are vacuous by construction — DedupSpec plants
+    // cross-batch and within-batch duplicates and pins both drop paths.
+    Q("doc_incremental_dedup",
+      """WITH old AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250),
+         newd AS (SELECT doc_id, lang, md5(text) AS fp FROM documents WHERE doc_id >= 250),
+         surv AS (SELECT doc_id, lang, fp FROM newd
+           WHERE fp NOT IN (SELECT fp FROM old))
+         SELECT doc_id, lang FROM surv
+         WHERE doc_id IN (SELECT MIN(doc_id) FROM surv GROUP BY fp)
+         ORDER BY doc_id""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.incremental(docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // MinHash+LSH near-dup pairs — banded bucket join, no SQL oracle
     // (minhash permutations are engine-side); DedupSpec checks candidates
     // against exact shingle Jaccard.

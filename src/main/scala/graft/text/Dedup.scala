@@ -27,6 +27,29 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental exact dedup — the growing-corpus shape: keep the rows of
+    * `batch` that are (a) not content-identical to anything in `existing`
+    * and (b) the min-id survivor within the batch itself. The existing
+    * corpus contributes ONLY its fingerprint set (at production scale,
+    * the standing fingerprint index — its text is never re-read), the
+    * anti join and survivor window key on the fingerprint. Payload
+    * columns the caller's downstream projection drops are pruned out of
+    * every exchange by Catalyst (the registered query keeps only
+    * (doc_id, lang) and its plan shuffles no text — plan-asserted);
+    * callers that keep the text in the output pay exactly one shuffle of
+    * the surviving batch, never of the existing corpus.
+    */
+  def incremental(batch: DataFrame, existing: DataFrame,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val oldFps = existing.select(md5(col(textCol)).as("__fp")).distinct()
+    val surv = batch.withColumn("__fp", md5(col(textCol)))
+      .join(oldFps, Seq("__fp"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+    surv.withColumn("__min_id", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__min_id"))
+      .drop("__fp", "__min_id")
+  }
+
   /** `w`-word shingles of a text column, deduplicated, as 64-bit hashes
     * (native kernel; hashes match `xxhash64(concat_ws(" ", …))`).
     */

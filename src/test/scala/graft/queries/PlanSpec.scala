@@ -83,6 +83,11 @@ class PlanSpec extends SparkSpec {
     assert(lines.exists(_.contains("BroadcastHashJoin")), "gram join not broadcast")
   }
 
+  test("doc_incremental_dedup: only fingerprints shuffle, text pruned from every exchange") {
+    val (offenders, _) = textCarryingExchanges("doc_incremental_dedup")
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("doc_pii_redacted: scrub is a narrow scan-side project, no shuffle before the sort") {
     val p = plan("doc_pii_redacted")
     // exactly the one Exchange the final global ORDER BY requires — the

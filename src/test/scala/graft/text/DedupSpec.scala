@@ -277,6 +277,29 @@ class DedupSpec extends SparkSpec {
     assert(cand < 60, s"banding should prune candidates, got $cand")
   }
 
+  test("incremental: drops cross-batch dups against the index and keeps min-id within batch") {
+    val existing = docs(
+      (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta"))
+    val batch = docs(
+      (10L, "alpha beta gamma"),   // dup of existing 1 → dropped
+      (11L, "eta theta iota"),     // fresh → kept
+      (13L, "eta theta iota"),     // within-batch dup of 11 → dropped
+      (12L, "kappa lambda mu"),    // fresh → kept
+      (14L, "delta epsilon zeta")) // dup of existing 2 → dropped
+    val kept = Dedup.incremental(batch, existing)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L), s"kept=$kept")
+    // survivors keep their payload columns untouched
+    val texts = Dedup.incremental(batch, existing)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(11L) == "eta theta iota" && texts(12L) == "kappa lambda mu")
+    // empty batch and empty index both behave
+    assert(Dedup.incremental(docs(), existing).isEmpty)
+    // empty index → within-batch dedup only: just the 13→11 dup drops
+    assert(Dedup.incremental(batch, docs()).count() == 4)
+  }
+
   test("decontaminate drops exactly the docs sharing a benchmark n-gram") {
     val bench = docs((100L, "alpha beta gamma delta"))
     val corpus = docs(
