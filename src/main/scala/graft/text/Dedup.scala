@@ -50,6 +50,26 @@ object Dedup {
       .drop("__fp", "__min_id")
   }
 
+  /** The streaming form of [[incremental]]: a document stream dedups
+    * against the standing fingerprint index (stream-static anti join —
+    * the static side is the index, re-read per micro-batch) and within
+    * itself via `dropDuplicates` on the fingerprint. Two documented
+    * differences from the batch form, both inherent to streaming: the
+    * within-stream survivor is FIRST-SEEN (arrival order), not min-id —
+    * a global min needs a window, which streams can't do — and the
+    * within-stream dedup state is unbounded unless the caller uses
+    * `withWatermark` + `dropDuplicatesWithinWatermark` upstream for the
+    * bounded-state variant. Cross-batch drops are identical to batch.
+    */
+  def incrementalStream(stream: DataFrame, existing: DataFrame,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val oldFps = existing.select(md5(col(textCol)).as("__fp")).distinct()
+    stream.withColumn("__fp", md5(col(textCol)))
+      .join(oldFps, Seq("__fp"), "left_anti")
+      .dropDuplicates("__fp")
+      .drop("__fp")
+  }
+
   /** `w`-word shingles of a text column, deduplicated, as 64-bit hashes
     * (native kernel; hashes match `xxhash64(concat_ws(" ", …))`).
     */

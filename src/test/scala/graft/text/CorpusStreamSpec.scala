@@ -103,4 +103,32 @@ class CorpusStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty &&
       streamed.forall { case (_, t) => t.contains("<EMAIL>") && t.contains("<IP>") })
   }
+
+  test("incremental dedup streams: index drops cross-batch, first-seen wins within stream") {
+    import spark.implicits._
+    val existing = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // arrival order: 13 arrives before 11 (same text) → 13 survives
+    // (FIRST-SEEN, the documented streaming difference from batch min-id)
+    val arrivals = Seq(
+      (10L, "alpha beta gamma"),   // dup of index 1 → dropped
+      (13L, "eta theta iota"),     // fresh, first arrival → kept
+      (11L, "eta theta iota"),     // later same-content arrival → dropped
+      (12L, "kappa lambda mu"),    // fresh → kept
+      (14L, "delta epsilon zeta")) // dup of index 2 → dropped
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Dedup.incrementalStream(input.toDF().toDF("doc_id", "text"), existing)
+      .writeStream.format("memory").queryName("incr_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals.take(2)) // 13 ("eta theta iota") in batch one
+      input.addData(arrivals.drop(2)) // its dup 11 in batch TWO: the drop
+                                      // requires dedup state to span batches
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.table("incr_stream_out").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(13L, 12L), s"kept=$kept")
+  }
 }
