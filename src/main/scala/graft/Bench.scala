@@ -1,17 +1,47 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
-/** Driver benchmark: every registered query at SPARK_GRAFT_SF_DIR, one
-  * JSON line of per-query seconds. Queries are fully materialized through
-  * the noop sink (count() could let Catalyst skip work). One warmup query
-  * first — the first action pays JIT/codegen costs that would otherwise
-  * land on whichever query runs first.
+/** Driver benchmark: every registered query at SPARK_GRAFT_SF_DIR.
+  *
+  * Variance-proof protocol (round 5):
+  *   - the suite runs SPARK_GRAFT_BENCH_REPS times (default 3) after a
+  *     warmup pass, and the reported per-query number is the MEDIAN
+  *     across reps — single runs at sf0.1 have shown ±20% machine-load
+  *     noise, so one sample proves nothing;
+  *   - the FULL artifact (per-rep seconds, medians, spread, load average
+  *     before/after each rep) is written by Bench itself to
+  *     SPARK_GRAFT_BENCH_OUT (default BENCH_local_r05.json in the cwd) —
+  *     the round artifact must never depend on how much log tail the
+  *     driver captured;
+  *   - stdout still carries the driver contract: exactly one JSON line
+  *     `{"metric":"total","value":median,"unit":"sec","queries":{...}}`.
+  *
+  * Queries are fully materialized through the noop sink (count() could
+  * let Catalyst skip work). The warmup pass pays JIT/codegen costs that
+  * would otherwise land on whichever query runs first.
   */
 object Bench {
+  private def loadAvg(): String =
+    try new String(Files.readAllBytes(Paths.get("/proc/loadavg")),
+      StandardCharsets.UTF_8).trim.split(" ").take(3).mkString(",")
+    catch { case _: Throwable => "" }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_r05.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,12 +71,45 @@ object Bench {
     materialize("doc_quality")
     materialize("ev_top_types")
     materialize("top_customers")
+
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> materialize(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    case class Rep(idx: Int, loadBefore: String, loadAfter: String,
+                   secs: Map[String, Double], total: Double)
+    val repRuns = (1 to reps).map { i =>
+      val lb = loadAvg()
+      val secs = names.map(n => n -> materialize(n)).toMap
+      val la = loadAvg()
+      val total = secs.values.filter(_ >= 0).sum
+      System.err.println(f"[bench] rep $i/$reps total=$total%.1fs load=$lb->$la")
+      Rep(i, lb, la, secs, total)
+    }
+
+    val medians = names.map { n =>
+      n -> median(repRuns.map(_.secs(n)).filter(_ >= 0))
+    }
+    val spreads = names.map { n =>
+      val xs = repRuns.map(_.secs(n)).filter(_ >= 0)
+      n -> (if (xs.isEmpty) -1.0 else xs.max - xs.min)
+    }
+    val medianTotal = medians.map(_._2).filter(_ >= 0).sum
+
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    val driverLine =
+      s"""{"metric":"total","value":$medianTotal,"unit":"sec","queries":${jmap(medians)},"sf":"$sfDir","reps":$reps}"""
+
+    val repsJson = repRuns.map { r =>
+      s"""{"rep":${r.idx},"load_before":"${r.loadBefore}","load_after":"${r.loadAfter}","total":${f"${r.total}%.2f"},"queries":${jmap(names.map(n => n -> r.secs(n)))}}"""
+    }.mkString("[", ",", "]")
+    val artifact =
+      s"""{"metric":"total","value":$medianTotal,"unit":"sec","sf":"$sfDir","reps":$reps,
+         |"queries":${jmap(medians)},
+         |"spread":${jmap(spreads)},
+         |"runs":$repsJson}""".stripMargin
+    Files.write(Paths.get(outPath), artifact.getBytes(StandardCharsets.UTF_8))
+    System.err.println(s"[bench] full artifact -> $outPath")
+
+    println(driverLine)
     spark.stop()
   }
 }

@@ -101,30 +101,37 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs.
     *
     * signature → `bands` bands of `numHashes/bands` rows → explode to
-    * (band_idx, band_hash) buckets → self-join per bucket → exact Jaccard
-    * on shingle sets for surviving candidates. Only bucket-mates are ever
+    * per-band bucket hashes (the band index is folded INTO the hash, so
+    * the join key is one long) → self-join per bucket → exact Jaccard on
+    * shingle sets for surviving candidates. Only bucket-mates are ever
     * compared; band count tunes the recall/cost curve (match probability
     * ≈ 1-(1-s^r)^b for Jaccard s).
+    *
+    * Hot-bucket safety (same grid treatment as [[prefixCandidates]] /
+    * [[simhashPairs]]): a boilerplate-heavy corpus — near-identical
+    * documents that survive exact dedup — collides in EVERY band, putting
+    * an N² cell on one reduce task. Band buckets above `hotBucketCap`
+    * occurrences go through the lossless grid-salted self-join: row with
+    * group g is replicated to cells (g,·)/(·,g), every pair meets in
+    * exactly one cell, the same candidate multiset spreads over G² tasks.
+    *
+    * Verify ordering differs from [[simhashPairs]] DELIBERATELY: there the
+    * verify inputs (the two 64-bit signatures) already ride the bucket
+    * rows, so verifying before the pair dedup is free and shrinks the
+    * dedup shuffle to true pairs. Here the verify inputs are the SHINGLE
+    * SETS — joining them onto the pre-dedup candidate multiset would
+    * multiply payload bytes by the band-collision count (boilerplate
+    * corpora collide in all `bands` bands), whereas the dedup shuffle
+    * carries 16-byte ID pairs with map-side partial dedup. Measured on a
+    * 2k-doc boilerplate corpus: candidates dedup first = 1 payload join
+    * per unique pair; verify first = `bands`× the payload traffic.
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.7,
                    numHashes: Int = 64, bands: Int = 16, shingleW: Int = 3,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val rows = numHashes / bands
-    // Bucket join and candidate dedup carry IDs only; shingle sets join
-    // back for exact verification of the (much smaller) candidate set —
-    // shuffling the shingle arrays through every band collision would
-    // multiply payload bytes by the collision count.
-    val buckets = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleW).as("sh"))
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-      .select(col("id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows)))
-            .as("bh")))).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bh"))
-    val cand = buckets.toDF("a_id", "band", "bh")
-      .join(buckets.toDF("b_id", "band", "bh"), Seq("band", "bh"))
-      .filter(col("a_id") < col("b_id"))
+                   textCol: String = "text", idCol: String = "doc_id",
+                   hotBucketCap: Int = 100000): DataFrame = {
+    val cand = minhashCandidates(docs, numHashes, bands, shingleW,
+      textCol, idCol, hotBucketCap)
       .dropDuplicates("a_id", "b_id")
     def side(role: String): DataFrame = docs
       .select(col(idCol).as(s"${role}_id"),
@@ -136,6 +143,52 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         (col("inter") / (col("a_n") + col("b_n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Candidate (a_id, b_id) multiset for [[minhashPairs]] — the band
+    * bucket self-join, exposed for candidate-volume/spread measurement.
+    * IDs only: shuffling shingle arrays through every band collision
+    * would multiply payload bytes by the collision count.
+    */
+  private[text] def minhashCandidates(docs: DataFrame, numHashes: Int,
+                                      bands: Int, shingleW: Int,
+                                      textCol: String, idCol: String,
+                                      hotBucketCap: Int): DataFrame = {
+    val rows = numHashes / bands
+    val buckets = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleW).as("sh"))
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows)))))
+          .as("bh"))
+    val a = buckets.toDF("a_id", "bh")
+    val b = buckets.toDF("b_id", "bh")
+    // Hot buckets: band hashes shared by more than `hotBucketCap` docs.
+    // The aggregation map-side-combines to (distinct band hash) size and
+    // the driver holds at most 64 (bh, n) rows — the bounded-collect class;
+    // buckets beyond limit(64) stay on the plain join: correct, unspread.
+    val hotRows = buckets.groupBy(col("bh"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > hotBucketCap)
+      .orderBy(col("n").desc, col("bh")).limit(64).collect()
+    val joined =
+      if (hotRows.isEmpty) a.join(b, Seq("bh"))
+      else {
+        val hot = hotRows.map(_.getLong(0)).toSeq
+        val maxN = hotRows.map(_.getLong(1)).max
+        val grid = math.min(32L, (maxN + hotBucketCap - 1) / hotBucketCap).toInt
+        val cold = a.filter(!col("bh").isin(hot: _*))
+          .join(b.filter(!col("bh").isin(hot: _*)), Seq("bh"))
+        val aHot = a.filter(col("bh").isin(hot: _*))
+          .withColumn("g1", pmod(xxhash64(col("a_id")), lit(grid.toLong)))
+          .withColumn("g2", explode(sequence(lit(0L), lit(grid - 1L))))
+        val bHot = b.filter(col("bh").isin(hot: _*))
+          .withColumn("g2", pmod(xxhash64(col("b_id")), lit(grid.toLong)))
+          .withColumn("g1", explode(sequence(lit(0L), lit(grid - 1L))))
+        cold.unionByName(
+          aHot.join(bHot, Seq("bh", "g1", "g2")).drop("g1", "g2"))
+      }
+    joined.filter(col("a_id") < col("b_id")).select("a_id", "b_id")
   }
 
   /** 64-bit SimHash over whitespace tokens: per-token xxhash64, each bit

@@ -14,9 +14,16 @@ import graft.source.Tables
   *
   * Prints one line: docs, candidates (post length+positional filter,
   * deduplicated), results, candidates-per-result.
+  *
+  * `--minhash-boilerplate [nDocs] [cap]` instead measures the minhash
+  * band-bucket HOT path on a planted boilerplate corpus (near-identical
+  * docs that collide in every band): candidate volume and the max
+  * rows-per-task of the bucket join, plain vs grid-salted — the spread
+  * evidence for the 100 TB hot-bucket claim.
   */
 object PairStats {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--minhash-boilerplate")) return minhashHot(args)
     val dir = args(0)
     val threshold = if (args.length > 1) args(1).toDouble else 0.8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -42,6 +49,52 @@ object PairStats {
     val amp = if (results > 0) candidates.toDouble / results else Double.NaN
     println(f"[pairstats] docs=$nDocs candidates=$candidates " +
       f"results=$results candidates_per_result=$amp%.1f threshold=$threshold")
+    spark.stop()
+  }
+
+  private def minhashHot(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toInt else 2000
+    val cap = if (args.length > 2) args(2).toInt else 200
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing would merge the small partitions and blur the
+      // per-task spread this tool exists to measure; the broadcast join a
+      // 2k-doc corpus gets would hide the hot reduce cell entirely — at
+      // 100 TB the bucket side is not broadcastable, so force the
+      // sort-merge/shuffle-hash shape the claim is about
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // boilerplate corpus: template text with one varying token — survives
+    // exact dedup, collides in every minhash band (the adversarial shape)
+    val tmpl = "terms of service apply to all users of this site please " +
+      "read carefully before continuing to use the product version"
+    val docs = (1 to n).map(i => (i.toLong, s"$tmpl ${i % 4}"))
+      .toDF("doc_id", "text").repartition(32)
+
+    def spread(capVal: Int): (Long, Long, Int) = {
+      val cand = Dedup.minhashCandidates(docs, numHashes = 64, bands = 16,
+        shingleW = 3, textCol = "text", idCol = "doc_id", hotBucketCap = capVal)
+      val perTask = cand
+        .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+        .groupBy("pid").count().collect()
+      (perTask.map(_.getLong(1)).sum, perTask.map(_.getLong(1)).max,
+        perTask.length)
+    }
+    val (candPlain, maxPlain, tasksPlain) = spread(Int.MaxValue)
+    val (candGrid, maxGrid, tasksGrid) = spread(cap)
+    val uniq = Dedup.minhashCandidates(docs, 64, 16, 3, "text", "doc_id", cap)
+      .dropDuplicates("a_id", "b_id").count()
+    println(f"[minhash-hot] docs=$n cap=$cap unique_pairs=$uniq " +
+      f"plain: candidates=$candPlain max_task_rows=$maxPlain tasks=$tasksPlain; " +
+      f"grid: candidates=$candGrid max_task_rows=$maxGrid tasks=$tasksGrid " +
+      f"spread=${maxPlain.toDouble / maxGrid}%.1fx")
     spark.stop()
   }
 }

@@ -269,6 +269,23 @@ class DedupSpec extends SparkSpec {
       s"candidates=$candidates of $allPairs pairs — prefix filter failed to prune")
   }
 
+  test("minhash hot-bucket grid path equals the plain band join (boilerplate corpus)") {
+    import spark.implicits._
+    // boilerplate: near-identical docs that would survive exact dedup but
+    // collide in EVERY band — the corpus shape that pins an N² cell on one
+    // task without salting. hotBucketCap=5 forces the grid path.
+    val rows = (1L to 40L).map(i => (i, if (i % 2 == 0) base else nearDup))
+    val d = rows.toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val grid = key(Dedup.minhashPairs(d, threshold = 0.5, hotBucketCap = 5))
+    val plain = key(Dedup.minhashPairs(d, threshold = 0.5))
+    assert(grid == plain,
+      s"missing=${(plain -- grid).take(3)} extra=${(grid -- plain).take(3)}")
+    // every identical pair is present: 20 even-id docs alone give C(20,2)
+    assert(plain.size >= 190, s"got ${plain.size}")
+  }
+
   test("minhash scales candidates via banding, not n²") {
     // sanity: with one band of all rows (bands=1), only near-identical
     // signatures collide; candidate count stays far below C(n,2)
