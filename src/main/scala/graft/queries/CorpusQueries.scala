@@ -13,6 +13,27 @@ import graft.text.{Dedup, Text}
   */
 object CorpusQueries {
 
+  /** Train-once IVF model per (fixture dir, config): the registered IVF
+    * queries share one persisted centroid set instead of each re-scanning
+    * the corpus `iters` times — the shape a real pipeline has (train
+    * once, query for days). The path fingerprints the fixture file's
+    * (size, mtime) so a regenerated corpus retrains instead of serving a
+    * stale model; the store lives under java.io.tmpdir (fixture dirs are
+    * read-only).
+    */
+  private def ivfModel(s: org.apache.spark.sql.SparkSession, dir: String,
+                       nCentroids: Int, dim: Int, iters: Int): graft.sim.Ivf.IvfModel = {
+    val f = new java.io.File(dir, "embeddings.parquet")
+    val tag = s"$dir|${f.length}|${f.lastModified}|$nCentroids|$dim|$iters"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_ivf_models"),
+      key).getAbsolutePath
+    graft.sim.Ivf.trainOrLoad(Tables(s, dir, "embeddings"),
+      nCentroids, dim, iters, path)
+  }
+
   /** Exact top-10 cosine neighbors of the first 20 vectors — the oracle for
     * both `ann_brute_topk` and `ann_ivf_topk` (IVF probing every inverted
     * list is exhaustive search, so its result set is identical by
@@ -684,8 +705,9 @@ object CorpusQueries {
       // one Lloyd round: at FULL probe the result is exact regardless of
       // centroid quality (centroids only shape the inverted lists), so
       // extra training rounds buy nothing here; IvfSpec covers multi-round
-      // training + partial-probe recall
-      val model = graft.sim.Ivf.train(emb, nCentroids = 16, dim = 64, iters = 1)
+      // training + partial-probe recall. trainOrLoad: first consumer per
+      // fixture trains + persists, every later run loads the centroids.
+      val model = ivfModel(s, dir, nCentroids = 16, dim = 64, iters = 1)
       graft.sim.Ivf.search(emb, emb.filter(col("vec_id") < 20), model,
           k = 10, nProbe = 16)
         .orderBy(col("q_id"), col("rnk"))
@@ -701,7 +723,7 @@ object CorpusQueries {
     Q.unchecked("ann_ivf_recall") { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
-      val model = graft.sim.Ivf.train(emb, nCentroids = 16, dim = 64, iters = 2)
+      val model = ivfModel(s, dir, nCentroids = 16, dim = 64, iters = 2)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
         .select(col("q_id"), col("n_id"))
       val denom = exact.agg(count(lit(1)).as("n_exact"))
