@@ -164,6 +164,40 @@ object Multimodal {
     media.mapPartitions(_.map(Codec.resize(_, factor)))
   }
 
+  /** Deterministic PNG fixture assets: real encoded PNG payloads, pinned as
+    * Base64 so the bytes — and hence `n_bytes`/`checksum` — are build-time
+    * constants, independent of any runtime encoder. Source bitmaps are
+    * closed-form (asset k, size w×h: `rgb(x,y) = ((x*41+y*23+k*11)%256,
+    * (x*17+y*67+k*5)%256, (x*29+y*53+7+k*3)%256)`), so the decoded
+    * component sum is exact arithmetic, not a codec artifact — PNG is
+    * lossless and `TYPE_INT_RGB` roundtrips the components bit-for-bit.
+    * Dims: 8×6, 5×9, 16×3.
+    */
+  val PngFixtureAssets: Seq[(Long, String)] = Seq(
+    9000001L -> ("iVBORw0KGgoAAAANSUhEUgAAAAgAAAAGCAIAAABxZ0isAAAAoUlEQVR4XgGWAGn/AAAABykRJFIi" +
+      "QXszXqREe81VmPZmtR930gAXQzxAVFlpZXaSdpO7h7DkmM0Nqeo2ugcALoZxV5eOgKirqbnI0srl" +
+      "+9sCJOwfTf08AEXJpm7aw5fr4MD8/ekNGhIeNzsvVGRAcQBcDNuFHfiuLhXXPzIAUE8pYWxScol7" +
+      "g6YAc08QnGAtxXFK7oJnF5OEQKShabW+ksbbFwNDcXTxQcQAAAAASUVORK5CYII="),
+    9000002L -> ("iVBORw0KGgoAAAANSUhEUgAAAAUAAAAJCAIAAAB1z3HJAAAAm0lEQVR4XgGQAG//AAsFCjQWJ10n" +
+      "RIY4Ya9JfgAiSD9LWVx0anmde5bGjLMAOYt0YpyRi62utL7L3c/oAFDOqXnfxqLw48sBAPQSHQBn" +
+      "Ed6QIvu5MxjiRDULVVIAflQTp2Uw0HZN+YdqIpiHAJWXSL6oZee5ghDKnznbvACs2n3V65r+/Lcn" +
+      "DdRQHvEAwx2y7C7PFT/sPlAJZ2EmjHpBtZE4XQEAAAAASUVORK5CYII="),
+    9000003L -> ("iVBORw0KGgoAAAANSUhEUgAAABAAAAADCAIAAAAV0xgDAAAAnklEQVR4XgGTAGz/ABYKDT8bKmgs" +
+      "R5E9ZLpOgeNfngxwuzWB2F6S9YejErC0L9nFTALWaSvnhlT4o30JwAAtTUJWXl9/b3yogJnRkbb6" +
+      "otMjs/BMxA111Sqe5kfH92TwCIEZGZ5CKrtrO9iUTPUARJB3baGUlrKxv8PO6NTrEeUIOvYlYwdC" +
+      "jBhftSl83jqZB0u2MFzTWW3wgn4Nq48qePhFmdo6b/cAAAAASUVORK5CYII="))
+
+  /** The fixture assets as a media table. Metadata dims are deliberately 0:
+    * a correct `px_width`/`px_height` downstream can only come from a real
+    * `javax.imageio` decode of the payload, never from metadata echo.
+    */
+  def pngFixtureMedia(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    PngFixtureAssets.map { case (id, b64) =>
+      MediaRow(id, java.util.Base64.getDecoder.decode(b64), "png", 0, 0)
+    }.toDF()
+  }
+
   /** Build a media table from the documents fixture (text bytes standing in
     * for encoded media) — lets the plumbing run against driver test data.
     */

@@ -803,14 +803,19 @@ object CorpusQueries {
     },
 
     // Decoded features via the batch-shaped mapPartitions codec. The codec
-    // dispatches on magic bytes: PNG/JPEG payloads decode through
-    // javax.imageio (pinned against known images in MultimodalSpec); the
-    // fixture payloads are document text bytes, so every row takes the
+    // dispatches on magic bytes: document rows carry text bytes and take the
     // byte-statistics path — whose outputs (modular rolling checksum, mean
-    // byte, metadata dims) the oracle replays in SQL. The fixture text is
-    // pure ASCII, so DuckDB's per-character ascii() equals the byte value.
+    // byte, metadata dims) the oracle replays in SQL (the fixture text is
+    // pure ASCII, so DuckDB's per-character ascii() equals the byte value).
+    // Three real PNG assets (Multimodal.PngFixtureAssets, build-time Base64
+    // constants) are unioned in so the javax.imageio branch runs UNDER THE
+    // DRIVER CHECK, not just in MultimodalSpec: their metadata dims are 0,
+    // so the oracle's literal px_width/px_height/mean_byte rows — exact
+    // arithmetic from the closed-form source bitmaps — can only match if
+    // the engine genuinely decoded the pixels.
     Q("mm_decoded_features",
-      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+      """SELECT * FROM (
+         SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
          CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames,
          CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE
            list_reduce(list_transform(range(length(text)),
@@ -821,9 +826,20 @@ object CorpusQueries {
              / octet_length(encode(text)) END AS mean_byte,
          64 AS px_width,
          CAST(octet_length(encode(text)) // 64 AS INT) AS px_height
-         FROM documents ORDER BY media_id""") { (s, dir) =>
+         FROM documents
+         UNION ALL
+         SELECT 9000001, 218, 1, CAST(388385599 AS BIGINT),
+                CAST(17264 AS DOUBLE) / 144, 8, 6
+         UNION ALL
+         SELECT 9000002, 212, 1, CAST(901232868 AS BIGINT),
+                CAST(16820 AS DOUBLE) / 135, 5, 9
+         UNION ALL
+         SELECT 9000003, 215, 1, CAST(537020428 AS BIGINT),
+                CAST(17816 AS DOUBLE) / 144, 16, 3
+         ) ORDER BY media_id""") { (s, dir) =>
       import s.implicits._
       val media = Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+        .unionByName(Multimodal.pngFixtureMedia(s))
         .as[Multimodal.MediaRow]
       Multimodal.decodeFeatures(media).toDF().orderBy(col("media_id"))
     })

@@ -65,6 +65,33 @@ class MultimodalSpec extends SparkSpec {
     assert(f.checksum == Codec.checksum(png))
   }
 
+  test("PngFixtureAssets: pinned Base64 payloads decode to closed-form truth") {
+    // The driver-checked `mm_decoded_features` oracle carries these exact
+    // values as literal rows; this spec re-derives them from the payloads
+    // AND from the closed-form bitmap definition, so a drifting JDK codec
+    // or edited constant fails here before it fails the driver check.
+    val expected = Seq( // (media_id, n_bytes, checksum, sum, w, h)
+      (9000001L, 218, 388385599L, 17264L, 8, 6),
+      (9000002L, 212, 901232868L, 16820L, 5, 9),
+      (9000003L, 215, 537020428L, 17816L, 16, 3))
+    Multimodal.PngFixtureAssets.zip(expected).zipWithIndex.foreach {
+      case (((id, b64), (eid, nb, cks, sum, w, h)), k) =>
+        assert(id == eid)
+        val bytes = java.util.Base64.getDecoder.decode(b64)
+        assert(bytes.length == nb && Codec.detectFormat(bytes) == "png")
+        assert(Codec.checksum(bytes) == cks)
+        val f = Codec.decode(MediaRow(id, bytes, "png", 0, 0))
+        assert(f.px_width == w && f.px_height == h && f.n_frames == 1)
+        assert(f.mean_byte == sum.toDouble / (w * h * 3))
+        // closed-form source bitmap reproduces the pinned component sum
+        var s = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          s += (x * 41 + y * 23 + k * 11) % 256 + (x * 17 + y * 67 + k * 5) % 256 +
+            (x * 29 + y * 53 + 7 + k * 3) % 256
+        assert(s == sum)
+    }
+  }
+
   test("decode: JPEG roundtrip decodes with correct dims and sane intensity") {
     val (w, h) = (32, 24)
     val jpg = encode(testImage(w, h), "jpg")
