@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.gen.ZipfCorpus
 import graft.mm.Multimodal
 import graft.sim.Similarity
 import graft.source.Tables
@@ -470,6 +471,30 @@ object CorpusQueries {
       // blocked form survives only as DedupSpec's verification kernel.
       Dedup.prefixJaccardPairs(Tables(s, dir, "documents"),
           blockCols = Seq("lang", "source"), threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // The same lossless PPJoin plan over a REALISTIC corpus: the fixture
+    // documents' 31-token vocabulary is the adversarial dense case for
+    // token buckets, so this twin runs on the deterministic Zipf(1)
+    // ~2047-word corpus (ZipfCorpus — generated bit-identically in both
+    // engines from doc_id alone, with planted near-dups every 50 docs) and
+    // re-proves the non-degenerate candidate volume under the driver's
+    // oracle check every round. Unblocked: the candidate stage is a token
+    // bucket join either way.
+    Q("doc_jaccard_pairs_zipf",
+      s"""WITH z AS (${ZipfCorpus.sql}),
+         d AS (SELECT doc_id,
+           list_distinct(regexp_split_to_array(text, '\\s+')) AS w FROM z)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           len(list_intersect(a.w, b.w)) /
+             (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.w, b.w)) /
+             (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+         ORDER BY a_id, b_id""") { (s, dir) =>
+      Dedup.prefixJaccardPairs(ZipfCorpus(s, dir),
+          blockCols = Seq.empty, threshold = 0.8)
         .orderBy(col("a_id"), col("b_id"))
     },
 

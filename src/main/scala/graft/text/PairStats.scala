@@ -20,12 +20,19 @@ import graft.source.Tables
   * docs that collide in every band): candidate volume and the max
   * rows-per-task of the bucket join, plain vs grid-salted — the spread
   * evidence for the 100 TB hot-bucket claim.
+  *
+  * `--zipf <sfDir> [threshold]` runs the same measurement on the
+  * deterministic Zipf(1) corpus (`ZipfCorpus`, unblocked — the corpus
+  * behind the registered `doc_jaccard_pairs_zipf`): the realistic
+  * candidate-volume datapoint, vs the fixture's dense worst case.
   */
 object PairStats {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--minhash-boilerplate")) return minhashHot(args)
-    val dir = args(0)
-    val threshold = if (args.length > 1) args(1).toDouble else 0.8
+    val zipf = args.headOption.contains("--zipf")
+    val rest = if (zipf) args.drop(1) else args
+    val dir = rest(0)
+    val threshold = if (rest.length > 1) rest(1).toDouble else 0.8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,8 +42,9 @@ object PairStats {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = Tables(spark, dir, "documents")
-    val blockCols = Seq("lang", "source")
+    val docs = if (zipf) graft.gen.ZipfCorpus(spark, dir)
+               else Tables(spark, dir, "documents")
+    val blockCols = if (zipf) Seq.empty[String] else Seq("lang", "source")
     val d = docs.select(
       (col("doc_id").as("id") +: blockCols.map(col)) :+
         array_sort(array_distinct(split(col("text"), "\\s+"))).as("w"): _*)
