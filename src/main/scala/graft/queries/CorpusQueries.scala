@@ -453,6 +453,26 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Asymmetric containment pairs (|A∩B|/|A| ≥ 0.9, directed): the
+    // quote/subset-document relation Jaccard misses — a short doc
+    // swallowed by a long one scores low Jaccard (length filter prunes
+    // it) but containment 1.0. Engine: probe-prefix × inverted-index
+    // AllPairs with the asymmetric bound α = ⌈t·|A|⌉ and product-metered
+    // grid-salted hot buckets; oracle: the quadratic inequality join.
+    Q("doc_containment_pairs",
+      """WITH d AS (SELECT doc_id, lang, source,
+           list_distinct(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           len(list_intersect(a.w, b.w)) / len(a.w) AS containment
+         FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+           AND a.doc_id <> b.doc_id
+         WHERE len(list_intersect(a.w, b.w)) / len(a.w) >= 0.9
+         ORDER BY a_id, b_id""") { (s, dir) =>
+      Dedup.containmentPairs(Tables(s, dir, "documents"),
+          blockCols = Seq("lang", "source"), threshold = 0.9)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Exact word-set Jaccard near-dup pairs, blocked on (lang, source).
     Q("doc_jaccard_pairs",
       """WITH d AS (SELECT doc_id, lang, source,

@@ -303,6 +303,25 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The canonical token order both AllPairs pipelines sort by: document
+    * frequency ascending (rare first — rare prefix tokens minimize bucket
+    * collisions), realized as a BOUNDED dictionary of the top
+    * `commonVocab` tokens (most frequent = highest rank = sorted last);
+    * the rare tail shares rank 0 with ties broken on the token string.
+    * Any fixed total order preserves losslessness, so truncating the
+    * dictionary only affects candidate volume among rare tokens — which
+    * rarely collide anyway. The df aggregation map-side-combines to
+    * vocabulary size; the driver holds ≤ commonVocab strings (the
+    * IVF-centroid class of bounded collect).
+    */
+  private def tokenRanks(d: DataFrame, commonVocab: Int): Map[String, Int] = {
+    val top = d.select(explode(col("w")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(commonVocab).collect()
+    top.iterator.zipWithIndex
+      .map { case (r, i) => r.getString(0) -> (commonVocab - i) }.toMap
+  }
+
   /** Candidate (a_id, b_id) generation for [[prefixJaccardPairs]] —
     * exposed for candidate-volume measurement. `d` must carry
     * (id, blockCols…, w: array<string> distinct tokens, nw: size).
@@ -321,22 +340,7 @@ object Dedup {
   private[text] def prefixCandidates(d: DataFrame, blockCols: Seq[String],
                                      threshold: Double, commonVocab: Int,
                                      hotBucketCap: Int): DataFrame = {
-    // Canonical token order = document frequency ascending (rare first —
-    // rare prefix tokens minimize bucket collisions), realized as a BOUNDED
-    // dictionary: only the top `commonVocab` tokens get distinct ranks
-    // (most frequent = highest = sorted last); the rare tail shares rank 0
-    // with ties on the token string. Any fixed total order preserves
-    // losslessness, so truncating the dictionary only affects candidate
-    // volume among rare tokens — which rarely collide anyway. The df
-    // aggregation map-side-combines to vocabulary size, and the driver
-    // holds ≤ commonVocab strings (the IVF-centroid class of bounded
-    // collect), replacing a token-level frequency shuffle join + a
-    // per-document window with one narrow kernel.
-    val top = d.select(explode(col("w")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("token")).limit(commonVocab).collect()
-    val ranks = top.iterator.zipWithIndex
-      .map { case (r, i) => r.getString(0) -> (commonVocab - i) }.toMap
+    val ranks = tokenRanks(d, commonVocab)
     // posexplode: the index within the prefix array equals the token's
     // position in the full canonical sort — PPJoin's positional filter
     // needs it.
@@ -502,6 +506,130 @@ object Dedup {
     docs.select(col(idCol))
       .join(labels, docs(idCol) === labels("id"), "left")
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("group_id"))
+  }
+
+  /** Asymmetric CONTAINMENT pairs: directed (a, b) with
+    * |A∩B| / |A| ≥ threshold — "document A's token set is (nearly) inside
+    * document B's". The near-dup relation Jaccard can't express: a short
+    * doc quoted wholesale by a long one has high containment but low
+    * Jaccard (the length filter of the symmetric join would prune the
+    * pair outright). The pretraining-curation use is quote/boilerplate
+    * provenance and subset-document removal (keep the superset, drop the
+    * contained fragment).
+    *
+    * Same AllPairs machinery as [[prefixJaccardPairs]], adapted to the
+    * asymmetric overlap bound α = ⌈t·|A|⌉ (depends only on A):
+    *  - the CONTAINED side keeps its canonical prefix — the Jaccard
+    *    prefix length |A| − ⌊t·|A|⌋ + 1 is ≥ the containment-tight
+    *    |A| − α + 1, so reusing [[HashExpressions.prefixTokens]] stays
+    *    lossless;
+    *  - the CONTAINER side has NO length upper bound (any |B| ≥ α can
+    *    contain A), so no prefix can be taken: B contributes its FULL
+    *    canonically-ordered token list — the classic probe-prefix ×
+    *    inverted-index shape of set-containment joins;
+    *  - length filter: |B| ≥ α; positional filter: at the first shared
+    *    token, 1 + min(|A|−p_a−1, |B|−p_b−1) ≥ α (a true pair always
+    *    passes at its first common token, which the prefix lemma places
+    *    inside A's prefix; B's full list always holds it).
+    *
+    * The B-side full-token index is frequency-skewed by construction, so
+    * hot buckets are measured by their a×b PRODUCT (the join cost) and
+    * grid-salted exactly like the symmetric pipelines — pair (x,y) meets
+    * in one (g_x, g_y) cell, spread over G² tasks, lossless.
+    */
+  def containmentPairs(docs: DataFrame, blockCols: Seq[String], threshold: Double,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       commonVocab: Int = 10000,
+                       hotBucketCap: Int = 100000): DataFrame = {
+    val d = docs.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
+      .withColumn("nw", size(col("w")))
+    val cand = containmentCandidates(d, blockCols, threshold, commonVocab, hotBucketCap)
+    val aSide = d.select(col("id").as("a_id"), col("w").as("a_w"), col("nw").as("a_nw"))
+    val bSide = d.select(col("id").as("b_id"), col("w").as("b_w"), col("nw").as("b_nw"))
+    cand.join(aSide, "a_id").join(bSide, "b_id")
+      .withColumn("inter",
+        HashExpressions.sortedIntersectSize(col("a_w"), col("b_w")))
+      .select(col("a_id"), col("b_id"),
+        (col("inter") / col("a_nw")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Candidate (a_id, b_id) generation for [[containmentPairs]] — exposed
+    * for candidate-volume measurement (PairStats).
+    */
+  private[text] def containmentCandidates(d: DataFrame, blockCols: Seq[String],
+                                          threshold: Double, commonVocab: Int,
+                                          hotBucketCap: Int): DataFrame = {
+    val ranks = tokenRanks(d, commonVocab)
+    val aPref = d.select((col("id") +: blockCols.map(col)) :+ col("nw") :+
+      posexplode(HashExpressions.prefixTokens(col("w"), ranks, threshold)): _*)
+      .withColumnRenamed("col", "token")
+      .toDF("a_id" +: blockCols :+ "a_nw" :+ "a_pos" :+ "token": _*)
+    // container side: full canonical order (threshold ~0 ⇒ prefix = whole
+    // list; ⌊εn⌋ = 0 for any real corpus size, so nothing is truncated)
+    val bAll = d.select((col("id") +: blockCols.map(col)) :+ col("nw") :+
+      posexplode(HashExpressions.prefixTokens(col("w"), ranks, 1e-9)): _*)
+      .withColumnRenamed("col", "token")
+      .toDF("b_id" +: blockCols :+ "b_nw" :+ "b_pos" :+ "token": _*)
+    // hot buckets by JOIN COST (a-count × b-count per token): the b side
+    // indexes every token, so frequent tokens are hot by construction —
+    // but their a-side prefix occurrences are few (prefixes prefer rare
+    // tokens), so the product is the honest cost measure. Bounded
+    // driver-side state as in prefixCandidates: ≤64 hot tokens.
+    val aCnt = aPref.groupBy(col("token")).agg(count(lit(1)).as("na"))
+    val bCnt = bAll.groupBy(col("token")).agg(count(lit(1)).as("nb"))
+    val hotRows = aCnt.join(bCnt, "token")
+      .filter(col("na") * col("nb") > hotBucketCap)
+      .orderBy((col("na") * col("nb")).desc, col("token")).limit(64).collect()
+    val joined =
+      if (hotRows.isEmpty) aPref.join(bAll, blockCols :+ "token")
+      else {
+        val hot = hotRows.map(_.getString(0)).toSeq
+        val maxProd = hotRows.map(r => r.getLong(1) * r.getLong(2)).max
+        // G² cells shrink a product-P bucket to ~P/G² per cell
+        val grid = math.min(32L,
+          math.ceil(math.sqrt(maxProd.toDouble / hotBucketCap)).toLong).toInt
+        val cold = aPref.filter(!col("token").isin(hot: _*))
+          .join(bAll.filter(!col("token").isin(hot: _*)), blockCols :+ "token")
+        val aHot = aPref.filter(col("token").isin(hot: _*))
+          .withColumn("g1", pmod(xxhash64(col("a_id")), lit(grid.toLong)))
+          .withColumn("g2", explode(sequence(lit(0L), lit(grid - 1L))))
+        val bHot = bAll.filter(col("token").isin(hot: _*))
+          .withColumn("g2", pmod(xxhash64(col("b_id")), lit(grid.toLong)))
+          .withColumn("g1", explode(sequence(lit(0L), lit(grid - 1L))))
+        cold.unionByName(
+          aHot.join(bHot, blockCols ++ Seq("token", "g1", "g2"))
+            .drop("g1", "g2"))
+      }
+    val eps = 1e-9
+    val alpha = ceil(lit(threshold) * col("a_nw") - eps)
+    joined
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(col("b_nw") >= alpha)
+      .filter(lit(1) + least(col("a_nw") - col("a_pos") - 1,
+        col("b_nw") - col("b_pos") - 1) >= alpha)
+      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+  }
+
+  /** Exact containment within a blocking key — the quadratic verification
+    * kernel for [[containmentPairs]] (DedupSpec pins set-equality).
+    */
+  def containmentPairsQuadratic(docs: DataFrame, blockCols: Seq[String], threshold: Double,
+                                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val d = docs.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        array_distinct(split(col(textCol), "\\s+")).as("w"): _*)
+      .withColumn("nw", size(col("w")))
+    val a = d.toDF("a_id" +: blockCols :+ "a_w" :+ "a_nw": _*)
+    val b = d.toDF("b_id" +: blockCols :+ "b_w" :+ "b_nw": _*)
+    a.join(b, blockCols)
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_w"), col("b_w"))))
+      .select(col("a_id"), col("b_id"),
+        (col("inter") / col("a_nw")).as("containment"))
+      .filter(col("containment") >= threshold)
   }
 
   /** Exact word-set Jaccard within a blocking key — the verification

@@ -130,6 +130,58 @@ class DedupSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("containmentPairs finds the directed subset relation Jaccard misses") {
+    import spark.implicits._
+    // doc 1's 8 tokens all appear in 24-token doc 2: containment(1→2)=1.0
+    // while Jaccard = 8/24 ≈ 0.33 — the symmetric join's length filter
+    // (|A| ≥ t·|B|) prunes the pair before a candidate even forms.
+    val small = (1 to 8).map(i => s"s$i").mkString(" ")
+    val big = ((1 to 8).map(i => s"s$i") ++ (1 to 16).map(i => s"b$i")).mkString(" ")
+    val d = docs((1L, small), (2L, big), (3L, other)).withColumn("blk", lit("g"))
+    val got = Dedup.containmentPairs(d, Seq("blk"), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0)), s"got=$got") // directed: (2,1) is 1/3
+    assert(Dedup.prefixJaccardPairs(d, Seq("blk"), threshold = 0.9).count() == 0)
+  }
+
+  test("containmentPairs equals the quadratic kernel on the fixture corpus") {
+    val d = graft.source.Tables(spark, sfDir, "documents")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val fast = Dedup.containmentPairs(d, Seq("lang", "source"), threshold = 0.9)
+      .collect().map(key).toSet
+    val slow = Dedup.containmentPairsQuadratic(d, Seq("lang", "source"), threshold = 0.9)
+      .collect().map(key).toSet
+    assert(fast == slow, s"missing=${(slow -- fast).take(3)} extra=${(fast -- slow).take(3)}")
+    assert(fast.nonEmpty)
+  }
+
+  test("containment losslessness holds on randomized corpora incl. grid path (property)") {
+    // sweeps seeded duplicate-heavy small-vocab corpora across thresholds,
+    // and re-runs each with a tiny hotBucketCap so the product-metered
+    // grid-salted path is exercised — all three must agree exactly
+    import spark.implicits._
+    val rnd = new scala.util.Random(54321)
+    (1 to 3).foreach { round =>
+      val vocab = (1 to 25).map(i => s"w$i")
+      val rows = (1 to 70).map { id =>
+        val n = 3 + rnd.nextInt(16)
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val d = rows.toDF("doc_id", "text").withColumn("blk", lit("b"))
+      Seq(0.6, 0.9).foreach { t =>
+        def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val fast = key(Dedup.containmentPairs(d, Seq("blk"), t))
+        val slow = key(Dedup.containmentPairsQuadratic(d, Seq("blk"), t))
+        val grid = key(Dedup.containmentPairs(d, Seq("blk"), t, hotBucketCap = 20))
+        assert(fast == slow,
+          s"round=$round t=$t missing=${(slow -- fast).take(3)} extra=${(fast -- slow).take(3)}")
+        assert(grid == slow, s"round=$round t=$t grid≠plain")
+      }
+    }
+  }
+
   test("prefix filter handles token-disjoint corpora (empty candidate set)") {
     // 60 docs with fully disjoint vocabularies: zero shared prefix tokens
     // → zero candidates → empty result, where the quadratic form would
