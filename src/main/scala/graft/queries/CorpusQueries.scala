@@ -433,6 +433,26 @@ object CorpusQueries {
         .orderBy(col("lang"), col("bin"))
     },
 
+    // Balanced shard export: token-count-balanced deterministic shard
+    // per document — size-desc global rank dealt out snake-wise (LPT
+    // greedy). Engine: two-pass range-partitioned global row numbering
+    // (ops.GlobalRank — a partitionless rank window would serialize the
+    // corpus through one task); oracle: the single-node ROW_NUMBER()
+    // with identical integer snake arithmetic. Integer-exact throughout.
+    Q("doc_shard_assign",
+      """WITH t AS (SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         r AS (SELECT doc_id, n_tokens,
+           ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rank FROM t)
+         SELECT doc_id, n_tokens, rank,
+           CAST(CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8
+             ELSE 7 - (rank - 1) % 8 END AS BIGINT) AS shard
+         FROM r ORDER BY doc_id""") { (s, dir) =>
+      Text.shardAssign(Tables(s, dir, "documents"), nShards = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // Weighted mixture sampling: per-language keep rates through the
     // deterministic md5 bucket (en 50%, de 30%, es 20%, fr 10%, zh 100%)
     // — the mixture-composition step of a training-data pipeline. The

@@ -340,6 +340,32 @@ object Text {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Balanced shard assignment — the training-export step that follows
+    * packing: every document gets a deterministic shard in [0, nShards)
+    * such that shard TOKEN totals come out even, not just row counts.
+    * Longest-processing-time-shaped: rank all docs by token count
+    * descending (doc_id tiebreak makes the order total), then deal ranks
+    * out snake-wise (0,1,…,n−1,n−1,…,1,0,…) so each shard alternates
+    * big and small documents — the greedy balance guarantee without any
+    * per-shard state. The global rank uses [[graft.ops.GlobalRank]]'s
+    * two-pass range-partitioned row numbering, NOT a partitionless
+    * window, so no single task ever sees the whole corpus. All shard
+    * arithmetic is integer-exact (engine-independent).
+    */
+  def shardAssign(docs: org.apache.spark.sql.DataFrame, nShards: Int,
+                  idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    require(nShards >= 1)
+    val ranked = graft.ops.GlobalRank.withGlobalRowNumber(
+      docs.select(col(idCol), tokenCount(col("text")).cast("long").as("n_tokens")),
+      Seq(col("n_tokens").desc, col(idCol)), out = "rank")
+    ranked
+      .withColumn("pos", (col("rank") - 1) % nShards)
+      .withColumn("shard",
+        when(expr(s"((rank - 1) div $nShards) % 2") === 0, col("pos"))
+          .otherwise(lit(nShards - 1) - col("pos")))
+      .drop("pos")
+  }
+
   /** Weighted mixture sampling: per-stratum keep rates (in tenths),
     * applied through the deterministic md5 bucket — the "40% web, 100%
     * reference" mixture step of a training-data pipeline, reproducible
