@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Rolling z-score anomaly detection over a keyed count series — the
+  * "real-time anomaly detection" the reference README claims
+  * (/root/reference/README.md:123-124) but never implements (its
+  * dashboard is an empty file). Implemented batch/stream-agnostic over a
+  * pre-aggregated (key, time-bucket, count) series: a point is anomalous
+  * when it deviates from the trailing window's mean by more than `k`
+  * standard deviations.
+  *
+  * The flag is computed WITHOUT floating point: with n = baseline size,
+  * s = Σx, ss = Σx², the test |x − s/n| > k·σ is equivalent to
+  *
+  *   (n·x − s)² > k² · (n·ss − s²)
+  *
+  * (both sides are the n²-scaled squares: (n·x−s)² = n²(x−mean)² and
+  * n·ss − s² = n²·σ²)
+  *
+  * — all integer arithmetic, carried in DECIMAL(38,0) so it neither
+  * overflows at per-minute counts far beyond 10⁹ nor depends on either
+  * engine's libm (`sqrt`/`stddev` never run). A zero-variance baseline
+  * flags ANY deviation, which is the right semantics for a flat-lining
+  * counter. The baseline frame is the previous `lookback` OBSERVED
+  * buckets (rows, not wall-time — absent minutes don't dilute σ), and
+  * nothing is flagged until `minBaseline` observations exist.
+  *
+  * Scale shape: the input is the per-bucket aggregate (three orders of
+  * magnitude smaller than the raw events; that groupBy is the only
+  * full-data shuffle), and the window partitions by series key, so a
+  * 1000-executor run sorts each key's day of minutes — thousands of
+  * rows — per task. No driver-side state, no UDFs, stays in codegen.
+  */
+object Anomaly {
+
+  /** Flag rows of `counts` whose `valueCol` deviates from the trailing
+    * `lookback`-row mean by more than `k` standard deviations. Emits the
+    * input columns plus the baseline size `n_base` and baseline sum
+    * `s_base` (the evidence a triage UI needs).
+    */
+  def zScoreFlags(counts: DataFrame, keyCol: String, timeCol: String,
+                  valueCol: String, lookback: Int = 30, minBaseline: Int = 10,
+                  k: Int = 3): DataFrame = {
+    require(lookback >= minBaseline && minBaseline >= 2 && k >= 1)
+    val w = Window.partitionBy(keyCol).orderBy(timeCol).rowsBetween(-lookback, -1)
+    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+    counts
+      .withColumn("n_base", count(lit(1)).over(w))
+      .withColumn("s_base", sum(col(valueCol)).over(w))
+      .withColumn("ss_base", sum(dec(col(valueCol)) * dec(col(valueCol))).over(w))
+      .filter(col("n_base") >= minBaseline)
+      .filter {
+        val n = dec(col("n_base"))
+        val s = dec(col("s_base"))
+        val x = dec(col(valueCol))
+        val dev = n * x - s
+        dev * dev > lit(k * k) * (n * col("ss_base") - s * s)
+      }
+      .drop("ss_base")
+  }
+}

@@ -749,6 +749,42 @@ object Analytics {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // Rolling z-score anomaly detection over the per-minute count series —
+    // the capability the reference README claims (README.md:123-124) but
+    // never implements. The flag is the integer inequality
+    // (n·x − s)² > 9·(n·ss − s²) carried in DECIMAL(38,0)/HUGEINT, so
+    // both engines decide it exactly (no stddev/sqrt, no libm); see
+    // ops.Anomaly. Baseline = previous 30 observed minutes per type,
+    // warmup 10.
+    Q("ev_anomalies",
+      """WITH c AS (SELECT event_type,
+           CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+           COUNT(*) AS cnt FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, window_start, cnt,
+           COUNT(*) OVER win AS n_base,
+           CAST(SUM(cnt) OVER win AS BIGINT) AS s_base,
+           SUM(CAST(cnt AS HUGEINT) * cnt) OVER win AS ss_base
+           FROM c
+           WINDOW win AS (PARTITION BY event_type ORDER BY window_start
+             ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, window_start, cnt, n_base, s_base FROM w
+         WHERE n_base >= 10 AND
+           (CAST(n_base AS HUGEINT) * cnt - s_base)
+             * (CAST(n_base AS HUGEINT) * cnt - s_base)
+             > 9 * (n_base * ss_base - CAST(s_base AS HUGEINT) * s_base)
+         ORDER BY event_type, window_start""") { (s, dir) =>
+      val counts = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("minute", col("ts")).as("window_start"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.ops.Anomaly
+        .zScoreFlags(counts, "event_type", "window_start", "cnt",
+          lookback = 30, minBaseline = 10, k = 3)
+        .select(col("event_type"), col("window_start"), col("cnt"),
+          col("n_base"), col("s_base"))
+        .orderBy(col("event_type"), col("window_start"))
+    },
+
     // A6: HLL++ distinct (the reference's approx_count_distinct) — estimate
     // values are engine-specific, so no SQL oracle; the ScalaTest spec
     // checks the estimates against exact counts within the configured rsd.

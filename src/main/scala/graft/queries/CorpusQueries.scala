@@ -223,6 +223,33 @@ object CorpusQueries {
       Dedup.exact(Tables(s, dir, "documents")).orderBy(col("fingerprint"))
     },
 
+    // Sub-document span dedup (C4/RefinedWeb): 8-token tumbling blocks,
+    // global first-occurrence keep ordered by (doc_id, block_idx),
+    // survivors reassembled in place. The oracle replays the identical
+    // partition — both engines split on single spaces and agree on the
+    // block strings byte-for-byte, so the rebuilt text hash-matches.
+    // Spark side groups by md5(block) (map-side combinable, ID-only
+    // shuffles); the oracle groups by the block string itself — same
+    // equivalence classes.
+    Q("doc_span_dedup",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         s AS (SELECT doc_id, toks,
+           unnest(range(0, greatest(len(toks), 1), 8)) AS start FROM d),
+         b AS (SELECT doc_id, CAST(start // 8 AS INT) AS block_idx,
+           array_to_string(list_slice(toks, start + 1, start + 8), ' ') AS block
+           FROM s),
+         f AS (SELECT doc_id, block_idx, block,
+           ROW_NUMBER() OVER (PARTITION BY block ORDER BY doc_id, block_idx) AS rn
+           FROM b)
+         SELECT doc_id,
+           COALESCE(string_agg(block, ' ' ORDER BY block_idx)
+             FILTER (WHERE rn = 1), '') AS text_dedup,
+           CAST(COUNT(*) AS INT) AS n_blocks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept
+         FROM f GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      Dedup.spanDedup(Tables(s, dir, "documents"), k = 8).orderBy(col("doc_id"))
+    },
+
     // Deterministic hash-mod sampling — THE reproducible sampling method
     // for training-data pipelines (rerun-stable, join-free, no RNG state;
     // `df.sample` is seed+partitioning dependent). Bucket = first 8 hex

@@ -88,6 +88,29 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("doc_span_dedup: block shuffles carry hashes and IDs only, drop-list join broadcasts") {
+    val (offenders, lines) = textCarryingExchanges("doc_span_dedup")
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+    // the token array (the text, post-split) must not ride a shuffle either:
+    // blocks reduce to md5 hashes scan-side, reassembly re-derives tokens
+    // from the scan on the streamed side of a broadcast join
+    val tokOffenders = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") =>
+        lines.slice(i + 1, i + 4).find(_.startsWith("Input"))
+    }.flatten.filter(_.contains("toks#"))
+    assert(tokOffenders.isEmpty, tokOffenders.mkString("\n"))
+    assert(lines.exists(_.contains("BroadcastHashJoin")), "drop-list join not broadcast")
+  }
+
+  test("ev_anomalies: one full-data shuffle (the minute pre-aggregation), then key-partitioned window") {
+    val p = plan("ev_anomalies")
+    // partial+final HashAggregate for the per-minute counts, a Window over
+    // event_type, and no extra repartition beyond agg/window/sort exchanges
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(600))
+    assert(p.contains("Window") || p.contains("RunningWindowFunction"), p.take(600))
+    assert("Exchange".r.findAllIn(p).size <= 3, p.take(800))
+  }
+
   test("doc_pii_redacted: scrub is a narrow scan-side project, no shuffle before the sort") {
     val p = plan("doc_pii_redacted")
     // exactly the one Exchange the final global ORDER BY requires — the

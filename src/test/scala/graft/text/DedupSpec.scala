@@ -379,4 +379,64 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L, 3L), s"kept=$kept")
   }
+
+  // ---- sub-document span dedup (C4/RefinedWeb pass) ----
+
+  /** Sequential reference: blocks in (doc_id, block_idx) order, first
+    * occurrence of each block string wins globally.
+    */
+  private def naiveSpanDedup(rows: Seq[(Long, String)], k: Int): Map[Long, (String, Int, Int)] = {
+    val seen = scala.collection.mutable.Set[String]()
+    rows.sortBy(_._1).map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val nb = math.max((toks.length + k - 1) / k, 1)
+      val blocks = (0 until nb).map(i => toks.slice(i * k, i * k + k).mkString(" "))
+      val keptB = blocks.filter(b => if (seen(b)) false else { seen += b; true })
+      id -> (keptB.mkString(" "), nb, keptB.length)
+    }.toMap
+  }
+
+  private def collectSpan(d: org.apache.spark.sql.DataFrame, k: Int): Map[Long, (String, Int, Int)] =
+    Dedup.spanDedup(d, k).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+
+  test("spanDedup removes within-doc repeats and keeps the first occurrence") {
+    // two docs, k=2: doc 1 repeats its own first block; doc 2 reuses it again
+    val d = docs(
+      (1L, "a b c d a b"),   // blocks: "a b" | "c d" | "a b" (self-repeat)
+      (2L, "a b x y"))       // "a b" already claimed by doc 1
+    val out = collectSpan(d, 2)
+    assert(out(1L) == (("a b c d", 3, 2)), s"got ${out(1L)}")
+    assert(out(2L) == (("x y", 2, 1)), s"got ${out(2L)}")
+  }
+
+  test("spanDedup: fully-swallowed doc keeps its row with empty text") {
+    val d = docs((1L, "p q r s"), (2L, "p q r s"))
+    val out = collectSpan(d, 2)
+    assert(out(1L) == (("p q r s", 2, 2)))
+    assert(out(2L) == (("", 2, 0)))
+  }
+
+  test("spanDedup: short tail block dedups like any other and keeps spacing") {
+    val d = docs(
+      (1L, "a b c d e"),  // k=2 → "a b" | "c d" | "e"
+      (2L, "e f g"))      // "e f" | "g" — tail "e" of doc 1 ≠ "e f"
+    val out = collectSpan(d, 2)
+    assert(out(1L) == (("a b c d e", 3, 3)))
+    assert(out(2L) == (("e f g", 2, 2)))
+  }
+
+  test("spanDedup matches the sequential reference on a randomized collision-heavy corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("w0", "w1", "w2", "w3") // 4 words → dense block collisions
+    val rows = (0L until 60L).map { id =>
+      val n = 1 + rnd.nextInt(20)
+      id -> Array.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    for (k <- Seq(1, 3, 8)) {
+      val got = collectSpan(docs(rows: _*).repartition(7), k)
+      val want = naiveSpanDedup(rows, k)
+      assert(got == want, s"k=$k mismatch")
+    }
+  }
 }
