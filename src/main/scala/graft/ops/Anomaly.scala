@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
 /** Rolling z-score anomaly detection over a keyed count series — the
@@ -61,5 +62,63 @@ object Anomaly {
         dev * dev > lit(k * k) * (n * col("ss_base") - s * s)
       }
       .drop("ss_base")
+  }
+
+  /** One input bucket of the streaming form: a (series key, bucket time,
+    * count) row, normally the output of an upstream windowed count.
+    */
+  final case class Bucket(key: String, t: java.sql.Timestamp, cnt: Long)
+
+  /** A flagged bucket with its baseline evidence — same columns the batch
+    * form emits.
+    */
+  final case class Flag(key: String, t: java.sql.Timestamp, cnt: Long,
+                        n_base: Long, s_base: Long)
+
+  /** Per-key trailing buffer: the last `lookback` (epochMs, cnt) buckets
+    * in event-time order.
+    */
+  final case class RingState(buf: List[(Long, Long)])
+
+  /** The ONLINE twin of [[zScoreFlags]] — the reference README's claim is
+    * "real-time anomaly detection", so the detector must run against an
+    * unbounded stream, not just the batch table. Consumes an in-order
+    * stream of per-bucket counts (key, t, cnt), keeps a bounded ring of
+    * the trailing `lookback` buckets per key in `GroupState`, and emits a
+    * [[Flag]] the moment an arriving bucket violates the same all-integer
+    * inequality the batch form decides (BigInt here ≡ DECIMAL(38,0)
+    * there, so batch and stream agree bit-for-bit — spec-pinned).
+    *
+    * State is bounded at `lookback` longs per key (a few hundred bytes);
+    * idle keys are the only growth vector, so production deployments with
+    * unbounded key churn should wrap this with a timeout eviction — for
+    * per-event-type/per-page series the key domain is small and fixed.
+    * Within a micro-batch, a key's buckets are processed in event-time
+    * order, making the result independent of micro-batch boundaries.
+    */
+  def zScoreFlagsStream(buckets: Dataset[Bucket], lookback: Int = 30,
+                        minBaseline: Int = 10, k: Int = 3): Dataset[Flag] = {
+    require(lookback >= minBaseline && minBaseline >= 2 && k >= 1)
+    import buckets.sparkSession.implicits._
+    buckets.groupByKey(_.key)
+      .flatMapGroupsWithState[RingState, Flag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[RingState]) =>
+          var buf = state.getOption.map(_.buf).getOrElse(Nil)
+          val out = List.newBuilder[Flag]
+          rows.toSeq.sortBy(_.t.getTime).foreach { b =>
+            val n = buf.length
+            if (n >= minBaseline) {
+              val s = buf.iterator.map(v => BigInt(v._2)).sum
+              val ss = buf.iterator.map(v => BigInt(v._2) * v._2).sum
+              val dev = BigInt(n) * b.cnt - s
+              if (dev * dev > BigInt(k * k) * (BigInt(n) * ss - s * s))
+                out += Flag(key, b.t, b.cnt, n.toLong, s.toLong)
+            }
+            buf = (buf :+ ((b.t.getTime, b.cnt))).takeRight(lookback)
+          }
+          state.update(RingState(buf))
+          out.result().iterator
+      }
   }
 }

@@ -66,4 +66,47 @@ class AnomalySpec extends SparkSpec {
     assert(want.nonEmpty && (want.size < rows.size / 2), s"degenerate reference: ${want.size}")
     assert(got == want, s"extra=${got -- want} missing=${want -- got}")
   }
+
+  test("streaming detector ≡ batch detector across micro-batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // same spike-bearing mixture as the batch cross-check, two keys
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 120L).flatMap { m =>
+      Seq("a", "b").map { key =>
+        val v = if (rnd.nextInt(10) == 0) 60L + rnd.nextInt(30) else 8L + rnd.nextInt(5)
+        (key, m, v)
+      }
+    }
+    val batchFlags = flagged(series(rows: _*), lookback = 20, minBaseline = 5)
+    assert(batchFlags.nonEmpty, "degenerate fixture: batch flags nothing")
+
+    val stream = MemoryStream[Anomaly.Bucket]
+    val q = Anomaly.zScoreFlagsStream(stream.toDS(), lookback = 20, minBaseline = 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anomaly_stream").start()
+    try {
+      // feed in event-time order, split into uneven micro-batches so the
+      // equality also proves batch-boundary independence
+      rows.sortBy(_._2).grouped(37).foreach { chunk =>
+        stream.addData(chunk.map { case (k, m, v) =>
+          Anomaly.Bucket(k, new Timestamp(m * 60000L), v)
+        }: _*)
+        q.processAllAvailable()
+      }
+      val streamFlags = spark.table("anomaly_stream").as[Anomaly.Flag]
+        .collect().map(f => (f.key, f.t.getTime / 60000L)).toSet
+      assert(streamFlags == batchFlags,
+        s"extra=${streamFlags -- batchFlags} missing=${batchFlags -- streamFlags}")
+      // evidence columns agree too, not just identities
+      val sEv = spark.table("anomaly_stream").as[Anomaly.Flag]
+        .collect().map(f => (f.key, f.t.getTime / 60000L) -> ((f.cnt, f.n_base, f.s_base))).toMap
+      val bEv = Anomaly.zScoreFlags(series(rows: _*), "key", "t", "cnt", 20, 5, 3)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 60000L) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(sEv == bEv)
+    } finally q.stop()
+  }
 }
