@@ -560,7 +560,7 @@ object CorpusQueries {
          WHERE len(list_intersect(a.w, b.w)) /
              (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
          ORDER BY a_id, b_id""") { (s, dir) =>
-      Dedup.prefixJaccardPairs(ZipfCorpus(s, dir),
+      Dedup.prefixJaccardPairs(ZipfCorpus.materialized(s, dir),
           blockCols = Seq.empty, threshold = 0.8)
         .orderBy(col("a_id"), col("b_id"))
     },
