@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency sketches — the heavy-hitter companion to the HLL
+  * distinct-count surface (`ev_hll_users`). At 100 TB "top pages / top
+  * users" cannot be an exact groupBy when the key domain itself won't fit
+  * a reducer's hash table budget per window; the sketch keeps a BOUNDED
+  * summary per partition and merges summaries associatively, so the
+  * aggregation stays one map-side-combined pass with O(k) state per task
+  * regardless of key cardinality.
+  *
+  * Algorithm: Misra–Gries (Misra & Gries 1982; mergeability per Agarwal
+  * et al., "Mergeable Summaries", PODS'12): keep ≤ k counters; a new item
+  * either increments its counter, claims a free slot, or decrements ALL
+  * counters (dropping zeros). Merge = pointwise counter sum, then subtract
+  * the (k+1)-largest combined value and drop non-positives. Guarantees,
+  * for stream length N and true frequency f(i):
+  *
+  *   f(i) − N/(k+1)  ≤  est(i)  ≤  f(i)
+  *
+  * so every item with f(i) > N/(k+1) is guaranteed present. Estimates
+  * (not the guarantee) depend on partitioning/merge order — like HLL the
+  * output is engine-side, so the registered query is rows-only checked
+  * and `SketchesSpec` verifies the bound against exact counts.
+  */
+object Sketches {
+
+  /** Misra–Gries summary over LONG keys; buffer and output are the
+    * counter map. Decrements are folded lazily: `reduce` does the classic
+    * per-item step; `merge` does the summary-sum + (k+1)-th-largest
+    * subtraction.
+    */
+  class MisraGries(k: Int) extends Aggregator[Long, Map[Long, Long], Map[Long, Long]] {
+    require(k >= 1)
+    override def zero: Map[Long, Long] = Map.empty
+
+    override def reduce(b: Map[Long, Long], x: Long): Map[Long, Long] =
+      b.get(x) match {
+        case Some(c) => b.updated(x, c + 1)
+        case None if b.size < k => b.updated(x, 1L)
+        case None =>
+          b.flatMap { case (i, c) => if (c > 1) Some(i -> (c - 1)) else None }
+      }
+
+    override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
+      val s = (a.keySet ++ b.keySet).iterator
+        .map(i => i -> (a.getOrElse(i, 0L) + b.getOrElse(i, 0L))).toMap
+      if (s.size <= k) s
+      else {
+        val d = s.values.toIndexedSeq.sorted(Ordering[Long].reverse).apply(k)
+        s.flatMap { case (i, c) => if (c > d) Some(i -> (c - d)) else None }
+      }
+    }
+
+    override def finish(r: Map[Long, Long]): Map[Long, Long] = r
+    override def bufferEncoder: Encoder[Map[Long, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+    override def outputEncoder: Encoder[Map[Long, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+  }
+
+  /** Top heavy hitters of `keyCol` (long) in `df`, one sketch pass:
+    * (key, est_count, max_underestimate) rows, largest estimates first,
+    * ties on key. `est_count ∈ [f − N/(k+1), f]`; `max_underestimate` is
+    * the N/(k+1) bound computed from the actual row count so a consumer
+    * can read est+bound as the upper interval end.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int, topN: Int): DataFrame = {
+    val mg = udaf(new MisraGries(k))
+    val sk = df.agg(
+      mg(col(keyCol)).as("sketch"), count(lit(1)).as("n_total"))
+    sk.select(explode(col("sketch")).as(Seq("key", "est_count")),
+        (col("n_total") / (k + 1)).cast("long").as("max_underestimate"))
+      .orderBy(col("est_count").desc, col("key"))
+      .limit(topN)
+  }
+}

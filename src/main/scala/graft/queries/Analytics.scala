@@ -785,6 +785,18 @@ object Analytics {
         .orderBy(col("event_type"), col("window_start"))
     },
 
+    // Misra–Gries heavy hitters over users — the frequency-sketch
+    // companion to ev_hll_users: one bounded-state merge-combined pass,
+    // the only shape "top keys" can take once the key domain outgrows a
+    // reducer hash table. Estimates are merge-order-dependent (like HLL)
+    // → rows-only check; SketchesSpec proves the deterministic guarantee
+    // est ∈ [f − N/(k+1), f] against exact counts under adversarial
+    // partitionings.
+    Q.unchecked("ev_heavy_hitters") { (s, dir) =>
+      graft.ops.Sketches.heavyHitters(
+        Tables.events(s, dir), "user_id", k = 64, topN = 20)
+    },
+
     // A6: HLL++ distinct (the reference's approx_count_distinct) — estimate
     // values are engine-specific, so no SQL oracle; the ScalaTest spec
     // checks the estimates against exact counts within the configured rsd.

@@ -21,6 +21,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    DedupSpec pins signatures and verifies the Hamming pigeonhole.
   *  - `ev_hll_users` — HLL++ estimates are engine-specific; the spec
   *    bounds them against exact counts within the configured rsd.
+  *  - `ev_heavy_hitters` — Misra–Gries estimates depend on merge order
+  *    (like HLL); SketchesSpec proves the est ∈ [f − N/(k+1), f]
+  *    guarantee against exact counts under multiple partitionings.
   *  - `ann_ivf_recall` — a META query (recall@10 of partial-probe IVF vs
   *    the oracle-green exact result, per nProbe); the exact surfaces it
   *    measures against ARE oracle-checked, and IvfSpec gates the curve.

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+
+  // skewed synthetic stream: key i ∈ [0, 40) appears 2^(40-i severity)…
+  // use a simple geometric-ish profile with exact known counts
+  private val trueCounts: Map[Long, Long] =
+    (0L until 40L).map(i => i -> (500L / (i + 1) + 1)).toMap
+  private val n: Long = trueCounts.values.sum
+
+  private def stream(parts: Int, seed: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val flat = rnd.shuffle(
+      trueCounts.toSeq.flatMap { case (k, c) => Seq.fill(c.toInt)(k) })
+    flat.toDF("user_id").repartition(parts)
+  }
+
+  test("exact when the key domain fits the sketch") {
+    val out = Sketches.heavyHitters(stream(8, 1), "user_id", k = 64, topN = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == trueCounts)
+  }
+
+  test("MG guarantee holds under adversarial partitionings: est ∈ [f − N/(k+1), f]") {
+    val k = 8
+    val bound = n / (k + 1)
+    for (parts <- Seq(1, 3, 32); seed <- Seq(1, 2)) {
+      val rows = Sketches.heavyHitters(stream(parts, seed), "user_id", k, topN = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.nonEmpty)
+      rows.foreach { case (key, est, maxUnder) =>
+        val f = trueCounts.getOrElse(key, 0L)
+        assert(est <= f, s"parts=$parts seed=$seed: overestimate key=$key $est > $f")
+        assert(f - est <= bound, s"parts=$parts seed=$seed: key=$key err ${f - est} > $bound")
+        assert(maxUnder == bound)
+      }
+      // completeness: every key with f > N/(k+1) must be reported
+      val reported = rows.map(_._1).toSet
+      trueCounts.filter(_._2 > bound).keys.foreach { hh =>
+        assert(reported(hh), s"parts=$parts seed=$seed: heavy hitter $hh missing")
+      }
+    }
+  }
+
+  test("registered query: descending estimates, exact vs groupBy when domain ≤ k") {
+    val df = graft.SparkEntry.queries("ev_heavy_hitters")(spark, sfDir)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ests = rows.map(_._2)
+    assert(ests.zip(ests.tail).forall { case (a, b) => a >= b })
+    // sf0.001 has ≤ 64 distinct users → the sketch must be exact
+    val exact = graft.source.Tables.events(spark, sfDir)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.size <= 64, s"fixture grew: ${exact.size} users; revisit k")
+    rows.foreach { case (key, est) => assert(est == exact(key)) }
+  }
+}
