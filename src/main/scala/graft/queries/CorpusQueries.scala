@@ -250,6 +250,35 @@ object CorpusQueries {
       Dedup.spanDedup(Tables(s, dir, "documents"), k = 8).orderBy(col("doc_id"))
     },
 
+    // Incremental span dedup — C4 at ingest: docs ≥ 250 arrive as a new
+    // batch against the standing block index of docs < 250. A batch block
+    // dies if its hash is already claimed by the index OR it repeats
+    // within the batch; the oracle replays both conditions.
+    Q("doc_span_dedup_incremental",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         s AS (SELECT doc_id, toks,
+           unnest(range(0, greatest(len(toks), 1), 8)) AS start FROM d),
+         b AS (SELECT doc_id, CAST(start // 8 AS INT) AS block_idx,
+           array_to_string(list_slice(toks, start + 1, start + 8), ' ') AS block
+           FROM s),
+         f AS (SELECT doc_id, block_idx, block,
+           ROW_NUMBER() OVER (PARTITION BY block ORDER BY doc_id, block_idx) AS rn,
+           block IN (SELECT DISTINCT block FROM b WHERE doc_id < 250) AS seen
+           FROM b WHERE doc_id >= 250)
+         SELECT doc_id,
+           COALESCE(string_agg(block, ' ' ORDER BY block_idx)
+             FILTER (WHERE rn = 1 AND NOT seen), '') AS text_dedup,
+           CAST(COUNT(*) AS INT) AS n_blocks,
+           CAST(SUM(CASE WHEN rn = 1 AND NOT seen THEN 1 ELSE 0 END) AS INT) AS n_kept
+         FROM f GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.spanDedupIncremental(
+          docs.filter(col("doc_id") >= 250),
+          Dedup.spanBlockIndex(docs.filter(col("doc_id") < 250), k = 8),
+          k = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic hash-mod sampling — THE reproducible sampling method
     // for training-data pipelines (rerun-stable, join-free, no RNG state;
     // `df.sample` is seed+partitioning dependent). Bucket = first 8 hex

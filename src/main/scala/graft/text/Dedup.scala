@@ -685,13 +685,7 @@ object Dedup {
   def spanDedup(docs: DataFrame, k: Int = 8, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
     require(k >= 1)
-    val toks = split(col(textCol), " ")
-    val base = docs.select(col(idCol).as("doc_id"), toks.as("toks"),
-      greatest(floor((size(toks) + (k - 1)) / lit(k)), lit(1)).cast("int").as("nb"))
-    def blockText(i: Column): Column = array_join(slice(col("toks"), i * k + 1, lit(k)), " ")
-    val blocks = base.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), col("nb") - 1), i => md5(blockText(i))))
-        .as(Seq("block_idx", "bh")))
+    val (base, blocks) = spanBlocks(docs, k, textCol, idCol)
     val winners = blocks.groupBy("bh")
       .agg(min(struct(col("doc_id"), col("block_idx"))).as("first"))
     val drops = blocks.join(winners, "bh")
@@ -699,6 +693,68 @@ object Dedup {
         col("block_idx") =!= col("first.block_idx"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("block_idx"))).as("drop_idx"))
+    spanReassemble(base, drops, k)
+  }
+
+  /** Incremental form of [[spanDedup]] — C4 at INGEST: dedup a new
+    * batch's spans against (a) the standing index of every block hash
+    * already in the corpus and (b) the batch itself (first occurrence by
+    * (doc_id, block_idx), as in the one-shot form). Same output schema as
+    * [[spanDedup]]. The standing index contributes only its `bh` column
+    * (at production scale the persisted block-hash table; its text is
+    * never re-read), so the anti lookup is a hash-only join. Callers
+    * advance the index with [[spanBlockIndex]] over the batch — ALL of a
+    * batch's blocks become claimed, including ones the batch itself
+    * dropped, which is what makes sequential ingestion equal the one-shot
+    * pass over the concatenated corpus (spec-pinned).
+    */
+  def spanDedupIncremental(batch: DataFrame, existingIndex: DataFrame,
+                           k: Int = 8, textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1)
+    val (base, blocks) = spanBlocks(batch, k, textCol, idCol)
+    val freshWinners = blocks.groupBy("bh")
+      .agg(min(struct(col("doc_id"), col("block_idx"))).as("first"))
+      .join(existingIndex.select(col("bh")), Seq("bh"), "left_anti")
+    // a block survives iff its hash is unseen AND it is the batch's first
+    // occurrence; `first` is null after the left join exactly when the
+    // hash is already claimed by the standing index
+    val drops = blocks.join(freshWinners, Seq("bh"), "left")
+      .filter(col("first").isNull ||
+        col("doc_id") =!= col("first.doc_id") ||
+        col("block_idx") =!= col("first.block_idx"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("block_idx"))).as("drop_idx"))
+    spanReassemble(base, drops, k)
+  }
+
+  /** The standing block-hash index of a corpus at span granularity `k` —
+    * the state [[spanDedupIncremental]] dedups against. One column `bh`.
+    */
+  def spanBlockIndex(docs: DataFrame, k: Int = 8, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame =
+    spanBlocks(docs, k, textCol, idCol)._2.select("bh").distinct()
+
+  /** Shared scan stage of the span family: (base = (doc_id, toks, nb),
+    * blocks = (doc_id, block_idx, bh)). Text reduces to md5 hashes before
+    * anything shuffles.
+    */
+  private def spanBlocks(docs: DataFrame, k: Int, textCol: String,
+                         idCol: String): (DataFrame, DataFrame) = {
+    val toks = split(col(textCol), " ")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("toks"),
+      greatest(floor((size(toks) + (k - 1)) / lit(k)), lit(1)).cast("int").as("nb"))
+    val blocks = base.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), col("nb") - 1),
+        i => md5(spanBlockText(i, k)))).as(Seq("block_idx", "bh")))
+    (base, blocks)
+  }
+
+  private def spanBlockText(i: Column, k: Int): Column =
+    array_join(slice(col("toks"), i * k + 1, lit(k)), " ")
+
+  /** Rebuild surviving text scan-side from the per-doc drop-list. */
+  private def spanReassemble(base: DataFrame, drops: DataFrame, k: Int): DataFrame =
     base.join(drops, Seq("doc_id"), "left")
       .withColumn("drop_idx",
         coalesce(col("drop_idx"), lit(Array.empty[Int])))
@@ -706,8 +762,7 @@ object Dedup {
         array_join(transform(
           filter(sequence(lit(0), col("nb") - 1),
             i => !array_contains(col("drop_idx"), i)),
-          i => blockText(i)), " ").as("text_dedup"),
+          i => spanBlockText(i, k)), " ").as("text_dedup"),
         col("nb").as("n_blocks"),
         (col("nb") - size(col("drop_idx"))).as("n_kept"))
-  }
 }

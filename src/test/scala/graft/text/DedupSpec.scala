@@ -426,6 +426,33 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == (("e f g", 2, 2)))
   }
 
+  test("incremental span dedup: sequential batches ≡ one-shot pass over the whole corpus") {
+    val rnd = new scala.util.Random(9)
+    val vocab = Array("w0", "w1", "w2", "w3", "w4")
+    val rows = (0L until 80L).map { id =>
+      val n = 1 + rnd.nextInt(16)
+      id -> Array.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val k = 3
+    val oneShot = collectSpan(docs(rows: _*), k)
+    // ingest in three id-ordered batches (first-occurrence order preserved)
+    val batches = Seq(rows.filter(_._1 < 30), rows.filter(r => r._1 >= 30 && r._1 < 55),
+      rows.filter(_._1 >= 55))
+    var index = Dedup.spanBlockIndex(docs(), k)
+    val got = scala.collection.mutable.Map[Long, (String, Int, Int)]()
+    batches.foreach { b =>
+      val d = docs(b: _*)
+      got ++= Dedup.spanDedupIncremental(d, index, k).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      index = index.union(Dedup.spanBlockIndex(d, k)).distinct()
+    }
+    assert(got.toMap == oneShot)
+    // empty index degenerates to the one-shot form
+    assert(Dedup.spanDedupIncremental(docs(rows: _*), Dedup.spanBlockIndex(docs(), k), k)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap == oneShot)
+  }
+
   test("spanDedup matches the sequential reference on a randomized collision-heavy corpus") {
     val rnd = new scala.util.Random(42)
     val vocab = Array("w0", "w1", "w2", "w3") // 4 words → dense block collisions
