@@ -641,6 +641,38 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Tokenizer-training vocabulary export: top tokens by corpus frequency
+    // with cumulative coverage — frequency agg (map-side combined),
+    // distributed top-N, then a running sum over only the ≤ topN winners.
+    Q("doc_vocab_top",
+      """WITH f AS (SELECT t AS token, COUNT(*) AS freq
+           FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS t
+                 FROM documents) GROUP BY 1),
+         tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM f),
+         top AS (SELECT token, freq FROM f ORDER BY freq DESC, token LIMIT 25)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS INT) AS rank,
+           token, freq,
+           CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total AS cum_coverage
+         FROM top, tot ORDER BY rank""") { (s, dir) =>
+      Text.vocabExport(Tables(s, dir, "documents"), topN = 25)
+        .orderBy(col("rank"))
+    },
+
+    // Corpus trigram novelty (distinct/total gram instances — Lee et al.
+    // 2022's dedup motivation statistic). Exact form oracle-checked; the
+    // 100 TB form swaps count(distinct) for the HLL sketch.
+    Q("doc_ngram_novelty",
+      """WITH g AS (SELECT unnest(list_transform(
+             range(0, greatest(len(regexp_split_to_array(text, '\s+')) - 3, 0) + 1),
+             i -> array_to_string(list_slice(regexp_split_to_array(text, '\s+'),
+               i + 1, i + 3), ' '))) AS g FROM documents)
+         SELECT 3 AS w, CAST(COUNT(*) AS BIGINT) AS n_instances,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+           CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS novelty FROM g""") { (s, dir) =>
+      Text.ngramNovelty(Tables(s, dir, "documents"), w = 3)
+    },
+
     // The END-TO-END curation pipeline as ONE declarative plan: exact-dedup
     // survivor (keep min doc_id per content fingerprint) → quality gate →
     // benchmark decontamination → deterministic 80% hash sample. Every

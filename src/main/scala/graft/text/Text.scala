@@ -393,4 +393,52 @@ object Text {
 
   /** Stable 128-bit fingerprint (hex) for exact dedup. */
   def fingerprint(text: Column): Column = md5(text)
+
+  /** Tokenizer-training vocabulary export: the top `topN` tokens by corpus
+    * frequency with each rank's CUMULATIVE coverage of all token
+    * instances — the table a BPE/unigram trainer seeds from and the
+    * "what vocab size buys what coverage" curve a dataset card reports.
+    *
+    * Scale shape: one map-side-combined frequency aggregation
+    * (vocabulary-sized), a distributed top-N (`orderBy.limit` plans as
+    * TakeOrdered — each partition keeps N, no global sort), and only THEN
+    * the unpartitioned running-sum window — over ≤ topN rows, the same
+    * bounded-cardinality class as the k-centroid collects, not the
+    * whole-corpus single-task window `ops.GlobalRank` exists to avoid.
+    * `cum_coverage` is one IEEE division of exact longs per row, so both
+    * engines emit identical bits.
+    */
+  def vocabExport(docs: org.apache.spark.sql.DataFrame,
+                  topN: Int): org.apache.spark.sql.DataFrame = {
+    require(topN >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum(col("freq")).as("total"))
+    val top = freq.orderBy(col("freq").desc, col("token")).limit(topN)
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum",
+        sum(col("freq")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("token"), col("freq"),
+        (col("cum").cast("double") / col("total")).as("cum_coverage"))
+  }
+
+  /** Corpus n-gram novelty: total w-gram instances, distinct w-grams, and
+    * their ratio — the repetition-at-corpus-granularity number dataset
+    * cards report (a low ratio means the corpus re-says the same things;
+    * Lee et al. 2022 motivate dedup with exactly this statistic). One
+    * exploded aggregation; distinct-gram counting shuffles gram hashes
+    * once. The exact form is the oracle-checked query; at 100 TB swap the
+    * exact `count(distinct)` for the mergeable HLL sketch — same plan
+    * shape, bounded state (the `ev_hll_users` precedent).
+    */
+  def ngramNovelty(docs: org.apache.spark.sql.DataFrame,
+                   w: Int): org.apache.spark.sql.DataFrame =
+    docs.select(explode(Dedup.gramStrings(col("text"), w)).as("g"))
+      .agg(count(lit(1)).as("n_instances"),
+        countDistinct(col("g")).as("n_distinct"))
+      .select(lit(w).as("w"), col("n_instances"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_instances")).as("novelty"))
 }

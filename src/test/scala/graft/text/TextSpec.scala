@@ -280,4 +280,28 @@ class TextSpec extends SparkSpec {
     val got = d.select(Text.redactPii(col("text"))).as[String].head()
     assert(got == "ping <EMAIL> then <IP>")
   }
+
+  test("vocabExport: known ranking, exact cumulative coverage, reaches 1.0") {
+    import spark.implicits._
+    // 10 instances total: a×5, b×3, c×2
+    val d = Seq((1L, "a a b a c"), (2L, "b a c b a")).toDF("doc_id", "text")
+    val out = Text.vocabExport(d, topN = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1, "a", 5L, 0.5), (2, "b", 3L, 0.8), (3, "c", 2L, 1.0)))
+    // topN truncation keeps the head of the same ranking
+    val top2 = Text.vocabExport(d, topN = 2).collect().map(_.getString(1))
+    assert(top2.toSeq == Seq("a", "b"))
+  }
+
+  test("ngramNovelty: exact distinct/total trigram ratio on a crafted corpus") {
+    import spark.implicits._
+    // doc 1: 4 tokens → 2 trigrams ("x y z", "y z x"); doc 2 repeats doc 1's
+    // first trigram; doc 3 is short → its single sub-w gram
+    val d = Seq((1L, "x y z x"), (2L, "x y z"), (3L, "q r")).toDF("doc_id", "text")
+    val r = Text.ngramNovelty(d, w = 3).collect()(0)
+    assert(r.getInt(0) == 3)
+    assert(r.getLong(1) == 4L) // instances: 2 + 1 + 1
+    assert(r.getLong(2) == 3L) // distinct: "x y z", "y z x", "q r"
+    assert(r.getDouble(3) == 0.75)
+  }
 }
