@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the event stream: the user-journey transition
+  * graph (the Markov-chain view behind the reference README's promised
+  * "user journey" dashboard, `README.md:121,139-147`) and a deterministic
+  * PageRank over it.
+  *
+  * Scale discipline: the edge list is built with one partition-local
+  * window pass per user (no self-join) and collapses immediately to at
+  * most |V|² aggregated rows, so the iterative stage touches tiny,
+  * corpus-size-independent state no matter how many events were scanned.
+  */
+object Graph {
+
+  /** Directed transition counts between consecutive events of each user
+    * (event-time order, `event_id` tiebreak): edge (src → dst, weight n).
+    * The window is partitioned by user — Spark plans one shuffle on
+    * user_id and sorts within partitions; the subsequent count is
+    * map-side combined on ≤ |V|² keys.
+    */
+  def transitionCounts(events: DataFrame, key: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col(key).as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Damped PageRank over a weighted edge list `(src, dst, n)`, with all
+    * arithmetic in 64-bit integers so the result is engine-independent
+    * (float contributions would sum in partition order). Semantics, fixed
+    * by definition (the DuckDB oracle implements the identical formula):
+    *
+    *   rank₀(v)    = S                       (S = `scale`)
+    *   rankᵢ₊₁(v)  = ⌊15·S/100⌋ + Σ_{u→v} ⌊rankᵢ(u)·85·n(u,v) / (100·outw(u))⌋
+    *
+    * (integer division truncates; all operands are non-negative, so
+    * Spark's `div` and DuckDB's `//` agree). Dangling-node mass is
+    * dropped each round — a defined semantics, not an approximation
+    * accident. `iters` fixed rounds of: join ranks onto the aggregated
+    * edge list, integer-sum per destination — the same bounded-state loop
+    * shape as `Dedup.dupGroups`' label propagation. The iteration state
+    * is |V| rows regardless of how much data produced the edges; for
+    * graphs where |V| itself is huge, checkpoint every few rounds exactly
+    * as `dupGroups` does (here the plans stay tiny: |V| ≤ |event types|).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 10, scale: Long = 1000000L): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val outw = edges.groupBy(col("src")).agg(sum(col("n")).as("outw"))
+    val ew = edges.join(outw, "src") // src, dst, n, outw — ≤ |V|² rows
+    val teleport = scale * 15L / 100L
+    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = ew
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("(rank * 85 * n) div (100 * outw)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("rank"))
+    }
+    ranks
+  }
+}

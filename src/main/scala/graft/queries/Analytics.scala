@@ -30,6 +30,32 @@ object Analytics {
   private def sec(c: Column): Column = date_trunc("second", c)
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** DuckDB oracle for `ev_pagerank`: the same integer recurrence as
+    * `ops.Graph.pageRank`, unrolled into one CTE per power iteration
+    * (standard SQL forbids aggregation in a recursive CTE's recursive
+    * term). `//` is DuckDB's integral division; all operands are
+    * non-negative, so it agrees with Spark's `div`. */
+  private def pageRankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""pr$k AS (SELECT n.node,
+         CAST(150000 + COALESCE(SUM((p.rank * 85 * e.n) // (100 * o.outw)), 0) AS BIGINT) AS rank
+         FROM nodes n
+         LEFT JOIN e ON e.dst = n.node
+         LEFT JOIN pr${k - 1} p ON p.node = e.src
+         LEFT JOIN o ON o.src = e.src
+         GROUP BY n.node)"""
+    }.mkString(",\n       ")
+    s"""WITH t AS (SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         FROM events),
+       e AS (SELECT src, dst, COUNT(*) AS n FROM t WHERE dst IS NOT NULL GROUP BY src, dst),
+       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       o AS (SELECT src, CAST(SUM(n) AS BIGINT) AS outw FROM e GROUP BY src),
+       pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       $steps
+       SELECT node, rank FROM pr$iters ORDER BY node"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // ================= relational layer (TPC-H-ish) =================
@@ -783,6 +809,35 @@ object Analytics {
         .select(col("event_type"), col("window_start"), col("cnt"),
           col("n_base"), col("s_base"))
         .orderBy(col("event_type"), col("window_start"))
+    },
+
+    // User-journey transition graph: directed counts between consecutive
+    // event types of each user (the Markov-chain edge list behind the
+    // README's promised journey dashboard). One partition-local window
+    // pass per user — no self-join — then a map-side-combined count over
+    // ≤ |V|² keys, so the shuffle carries aggregated rows only.
+    Q("ev_transition_counts",
+      """WITH t AS (SELECT event_type AS src,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+           FROM events)
+         SELECT src, dst, COUNT(*) AS n FROM t WHERE dst IS NOT NULL
+         GROUP BY src, dst ORDER BY src, dst""") { (s, dir) =>
+      graft.ops.Graph.transitionCounts(Tables.events(s, dir))
+        .orderBy(col("src"), col("dst"))
+    },
+
+    // Deterministic integer PageRank over that transition graph: 10
+    // damped power iterations carried entirely in BIGINTs (scale 10⁶,
+    // damping 85/100, floored edge contributions — ops.Graph.pageRank
+    // defines the exact recurrence). Float PageRank would sum
+    // contributions in partition order and never hash-match; the integer
+    // fixed point is engine-independent. The oracle unrolls the identical
+    // recurrence as one chained CTE per iteration (recursive CTEs
+    // disallow aggregation in the recursive term).
+    Q("ev_pagerank", pageRankOracle(10)) { (s, dir) =>
+      graft.ops.Graph.pageRank(
+        graft.ops.Graph.transitionCounts(Tables.events(s, dir)), iters = 10)
+        .orderBy(col("node"))
     },
 
     // Misra–Gries heavy hitters over users — the frequency-sketch

@@ -673,6 +673,51 @@ object CorpusQueries {
       Text.ngramNovelty(Tables(s, dir, "documents"), w = 3)
     },
 
+    // Corpus skip-gram co-occurrence table (word2vec/GloVe training
+    // input): directed token pairs at distance 1 and 2, corpus-wide
+    // counts, kept when seen ≥ 3 times. The engine emits pairs with one
+    // zip_with pass over each token array (no positional self-join); the
+    // oracle rebuilds the same pairs from 1-based list indexing. Tokens
+    // cannot contain whitespace, so the "a b" pair key is injective.
+    Q("doc_skipgram_counts",
+      """WITH t AS (SELECT regexp_split_to_array(text, '\s+') AS toks
+           FROM documents),
+         p AS (
+           SELECT unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i + 1])) AS pair, 1 AS dist
+           FROM t WHERE len(toks) >= 2
+           UNION ALL
+           SELECT unnest(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i + 2])) AS pair, 2 AS dist
+           FROM t WHERE len(toks) >= 3)
+         SELECT pair, dist, COUNT(*) AS n FROM p
+         GROUP BY pair, dist HAVING COUNT(*) >= 3
+         ORDER BY pair, dist""") { (s, dir) =>
+      Text.skipgramCounts(Tables(s, dir, "documents"), window = 2, minCount = 3L)
+        .orderBy(col("pair"), col("dist"))
+    },
+
+    // Corpus length profile: docs / exact token & char mass per (lang,
+    // log₂ token bucket) — the one-scan shape every corpus audit starts
+    // with. Bucket = bit-length of the token count (integer-exact in both
+    // engines; float log2 ties at powers of two would not be).
+    Q("doc_length_histogram",
+      """WITH d AS (SELECT lang, n_chars,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT lang, CAST(length(bin(n_tokens)) AS INT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM d GROUP BY lang, bucket ORDER BY lang, bucket""") { (s, dir) =>
+      Text.lengthHistogram(Tables(s, dir, "documents"))
+        .select(col("lang"), col("bucket").cast("int").as("bucket"),
+          col("n_docs"), col("sum_tokens"), col("min_tokens"),
+          col("max_tokens"), col("sum_chars"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+
     // The END-TO-END curation pipeline as ONE declarative plan: exact-dedup
     // survivor (keep min doc_id per content fingerprint) → quality gate →
     // benchmark decontamination → deterministic 80% hash sample. Every

@@ -441,4 +441,51 @@ object Text {
         countDistinct(col("g")).as("n_distinct"))
       .select(lit(w).as("w"), col("n_instances"), col("n_distinct"),
         (col("n_distinct").cast("double") / col("n_instances")).as("novelty"))
+
+  /** Corpus skip-gram co-occurrence counts (the word2vec / GloVe training
+    * input): directed token pairs at distance `d` ∈ [1, window], counted
+    * corpus-wide, keeping pairs seen ≥ `minCount` times. Pairs are
+    * emitted by one higher-order-function pass over each document's token
+    * array (`zip_with` of the array against its own d-shifted slice — no
+    * positional self-join, no per-token explode-then-join), so the only
+    * shuffle carries (pair, dist) partial counts, map-side combined into
+    * a vocabulary²-bounded result. Tokens contain no whitespace by
+    * construction (split on \s+), so "a b" concatenation is injective.
+    */
+  def skipgramCounts(docs: org.apache.spark.sql.DataFrame,
+                     window: Int = 2,
+                     minCount: Long = 3L): org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    def grams(d: Int) = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - d, lit(0))),
+      slice(toks, lit(d + 1), greatest(size(toks) - d, lit(0))),
+      (x, y) => concat_ws(" ", x, y))
+    val tagged = (1 to window).map { d =>
+      transform(grams(d), p => struct(p.as("pair"), lit(d).as("dist")))
+    }
+    docs
+      .select(explode(concat(tagged: _*)).as("pd"))
+      .select(col("pd.pair").as("pair"), col("pd.dist").as("dist"))
+      .groupBy(col("pair"), col("dist"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  /** Corpus length profile: document counts and exact token/char mass per
+    * (lang, log₂ size bucket). The bucket is `length(bin(n_tokens))` —
+    * the bit-length of the token count — so it is integer-exact in both
+    * engines (no float log2 at power-of-two boundaries). One narrow scan,
+    * map-side combined into ≤ |lang|·64 rows.
+    */
+  def lengthHistogram(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nToks = size(split(col("text"), "\\s+")).cast("long")
+    docs
+      .select(col("lang"), col("n_chars"), nToks.as("n_tokens"))
+      .groupBy(col("lang"), length(bin(col("n_tokens"))).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
 }

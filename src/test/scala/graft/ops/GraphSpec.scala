@@ -1,0 +1,73 @@
+package graft.ops
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private def events(parts: Int) = {
+    import spark.implicits._
+    // user 1: a→b→a→c ; user 2: b→b→c ; user 3: a (no transition)
+    Seq(
+      (1L, ts(10), 1L, "a"), (1L, ts(20), 2L, "b"),
+      (1L, ts(30), 3L, "a"), (1L, ts(40), 4L, "c"),
+      (2L, ts(10), 5L, "b"), (2L, ts(20), 6L, "b"), (2L, ts(30), 7L, "c"),
+      (3L, ts(10), 8L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .repartition(parts)
+  }
+
+  test("transitionCounts: consecutive per-user pairs in event-time order") {
+    val got = Graph.transitionCounts(events(4))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("a", "b") -> 1L, ("b", "a") -> 1L, ("a", "c") -> 1L,
+      ("b", "b") -> 1L, ("b", "c") -> 1L))
+  }
+
+  /** Independent driver-side reimplementation of the exact integer
+    * recurrence (Map-based, no Spark) — the spec's oracle. */
+  private def refPageRank(edges: Map[(String, String), Long], iters: Int,
+                          scale: Long): Map[String, Long] = {
+    val nodes = (edges.keys.map(_._1) ++ edges.keys.map(_._2)).toSet
+    val outw = edges.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+    val teleport = scale * 15L / 100L
+    var rank = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val inflow = edges.toSeq
+        .map { case ((u, v), w) => v -> rank(u) * 85L * w / (100L * outw(u)) }
+        .groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).sum }
+      rank = nodes.map(v => v -> (teleport + inflow.getOrElse(v, 0L))).toMap
+    }
+    rank
+  }
+
+  test("pageRank matches the independent integer reference, any partitioning") {
+    val edgeMap = Map(
+      ("a", "b") -> 3L, ("b", "a") -> 1L, ("a", "c") -> 1L,
+      ("b", "b") -> 2L, ("c", "a") -> 5L)
+    val expect = refPageRank(edgeMap, iters = 10, scale = 1000000L)
+    for (parts <- Seq(1, 7)) {
+      import spark.implicits._
+      val edges = edgeMap.toSeq.map { case ((s, d), n) => (s, d, n) }
+        .toDF("src", "dst", "n").repartition(parts)
+      val got = Graph.pageRank(edges, iters = 10)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("pageRank invariants: teleport floor, sink absorbs, source decays") {
+    import spark.implicits._
+    // a → b → c, c is a sink (dangling), a has no inflow
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L)).toDF("src", "dst", "n")
+    val r = Graph.pageRank(edges, iters = 10)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val teleport = 150000L
+    assert(r.values.forall(_ >= teleport))
+    assert(r("a") == teleport) // no incoming edges → teleport only
+    assert(r("b") > r("a") && r("c") > r("b"))
+  }
+}

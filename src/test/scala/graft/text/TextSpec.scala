@@ -304,4 +304,38 @@ class TextSpec extends SparkSpec {
     assert(r.getLong(2) == 3L) // distinct: "x y z", "y z x", "q r"
     assert(r.getDouble(3) == 0.75)
   }
+
+  test("skipgramCounts ≡ brute-force pair enumeration, any partitioning") {
+    import spark.implicits._
+    val texts = Seq("a b c a b", "b c", "a", "c c c c")
+    // driver-side brute force of the same semantics
+    val brute = texts.flatMap { t =>
+      val w = t.split("\\s+")
+      (1 to 2).flatMap(d => w.indices.dropRight(d).map(i => (s"${w(i)} ${w(i + d)}", d)))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for (minCount <- Seq(1L, 2L); parts <- Seq(1, 5)) {
+      val d = texts.toDF("text").repartition(parts)
+      val got = Text.skipgramCounts(d, window = 2, minCount = minCount)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(got == brute.filter(_._2 >= minCount), s"minCount=$minCount parts=$parts")
+    }
+  }
+
+  test("lengthHistogram: bit-length buckets, exact masses") {
+    import spark.implicits._
+    // token counts 1, 2, 3, 8 → buckets 1, 2, 2, 4
+    val d = Seq(
+      ("en", "a", 1L), ("en", "a b", 3L), ("en", "a b c", 5L),
+      ("fr", "a b c d e f g h", 15L))
+      .toDF("lang", "text", "n_chars")
+    val got = Text.lengthHistogram(d)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got == Map(
+      ("en", 1) -> (1L, 1L, 1L, 1L, 1L),
+      ("en", 2) -> (2L, 5L, 2L, 3L, 8L),
+      ("fr", 4) -> (1L, 8L, 8L, 8L, 15L)))
+  }
 }
