@@ -35,6 +35,21 @@ object CorpusQueries {
       nCentroids, dim, iters, path)
   }
 
+  /** Persisted-PQ-model counterpart of [[ivfModel]]: one train per
+    * (fixture, config), reused by every consumer in the session. */
+  private def pqModel(s: org.apache.spark.sql.SparkSession, dir: String,
+                      m: Int, ksub: Int, dim: Int, iters: Int): graft.sim.Pq.PqModel = {
+    val f = new java.io.File(dir, "embeddings.parquet")
+    val tag = s"pq|$dir|${f.length}|${f.lastModified}|$m|$ksub|$dim|$iters"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_pq_models"),
+      key).getAbsolutePath
+    graft.sim.Pq.trainOrLoad(Tables(s, dir, "embeddings"),
+      m, ksub, dim, iters, path)
+  }
+
   /** Exact top-10 cosine neighbors of the first 20 vectors — the oracle for
     * both `ann_brute_topk` and `ann_ivf_topk` (IVF probing every inverted
     * list is exhaustive search, so its result set is identical by
@@ -934,6 +949,40 @@ object CorpusQueries {
         .crossJoin(denom) // 4 × 1-row aggregate
         .select(col("n_probe"), (col("hits") / col("n_exact")).as("recall_at_10"))
         .orderBy(col("n_probe"))
+    },
+
+    // IVF-PQ recall: the memory-compressed ANN path (8×4-bit codes per
+    // 64-dim vector ≈ 32× smaller than raw floats; ADC search touches
+    // codes + a broadcast LUT, never corpus vectors) and its two-stage
+    // production form (exact rerank of the ADC shortlist). recall@10 vs
+    // the oracle-exact brute-force result, at partial and full probe —
+    // full probe isolates pure quantization loss. Scores are approximate
+    // by construction (like ann_lsh_topk/ann_ivf_recall) → rows-only;
+    // PqSpec pins the ADC arithmetic against a driver-side reference.
+    Q.unchecked("ann_pq_recall") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val ivf = ivfModel(s, dir, nCentroids = 16, dim = 64, iters = 2)
+      val pq = pqModel(s, dir, m = 8, ksub = 16, dim = 64, iters = 2)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select(col("q_id"), col("n_id"))
+      val denom = exact.agg(count(lit(1)).as("n_exact"))
+      val adc = Seq(4, 16).map { nProbe =>
+        graft.sim.Pq.searchIvfPq(emb, queries, ivf, pq, k = 10, nProbe = nProbe)
+          .select(lit("adc").as("mode"), lit(nProbe).as("n_probe"),
+            col("q_id"), col("n_id"))
+      }
+      val reranked = graft.sim.Pq.searchIvfPqRerank(emb, queries, ivf, pq,
+          k = 10, nProbe = 16, shortlist = 100)
+        .select(lit("rerank").as("mode"), lit(16).as("n_probe"),
+          col("q_id"), col("n_id"))
+      (adc :+ reranked).reduce(_ unionByName _)
+        .join(exact, Seq("q_id", "n_id")) // hits = IVF-PQ ∩ exact
+        .groupBy(col("mode"), col("n_probe")).agg(count(lit(1)).as("hits"))
+        .crossJoin(denom) // 3 × 1-row aggregate
+        .select(col("mode"), col("n_probe"),
+          (col("hits") / col("n_exact")).as("recall_at_10"))
+        .orderBy(col("mode"), col("n_probe"))
     },
 
     // Embedding near-duplicate pairs by angular SimHash: ALL pairs whose

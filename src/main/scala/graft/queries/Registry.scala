@@ -27,6 +27,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `ann_ivf_recall` — a META query (recall@10 of partial-probe IVF vs
   *    the oracle-green exact result, per nProbe); the exact surfaces it
   *    measures against ARE oracle-checked, and IvfSpec gates the curve.
+  *  - `ann_pq_recall` — same META shape for the IVF-PQ compressed path:
+  *    ADC scores are approximate by construction (quantization error), so
+  *    the query measures recall against the oracle-exact brute-force
+  *    result; PqSpec pins the ADC arithmetic itself against an
+  *    independent driver-side reference.
   *
   * Determinism contract (so the DuckDB hash-compare is meaningful):
   *  - every result is fully ordered by its key columns, in both engines;
