@@ -77,4 +77,28 @@ object Sketches {
       .orderBy(col("est_count").desc, col("key"))
       .limit(topN)
   }
+
+  /** Bounded-error quantiles per group — the third leg of the mergeable
+    * sketch family (HLL distinct, Misra–Gries frequency, GK quantiles).
+    * Exact percentiles need a per-group sort; the Greenwald–Khanna
+    * summary behind Spark's `approx_percentile` keeps O(accuracy·log N)
+    * state per task and merges associatively, so at 100 TB the quantile
+    * pass stays one map-side-combined aggregation. Guarantee: the
+    * returned value's TRUE rank is within N/accuracy of p·N. Summary
+    * contents depend on partition merge order (like HLL/MG) → the
+    * registered query is rows-only; SketchesSpec verifies the rank bound
+    * against exactly sorted data under adversarial partitionings, and
+    * `max_rank_err` carries the guarantee next to each estimate.
+    */
+  def quantileSketch(df: DataFrame, keyCol: String, valCol: String,
+                     ps: Seq[Double], accuracy: Int): DataFrame = {
+    val pArr = array(ps.map(lit): _*)
+    df.groupBy(col(keyCol))
+      .agg(percentile_approx(col(valCol), pArr, lit(accuracy)).as("qs"),
+        count(col(valCol)).as("n"))
+      .select(col(keyCol), col("n"), posexplode(col("qs")))
+      .withColumn("p", element_at(pArr, col("pos") + 1))
+      .select(col(keyCol), col("p"), col("col").as("approx_value"),
+        ceil(col("n") / accuracy).cast("long").as("max_rank_err"))
+  }
 }

@@ -852,6 +852,21 @@ object Analytics {
         Tables.events(s, dir), "user_id", k = 64, topN = 20)
     },
 
+    // Greenwald–Khanna quantile sketch per event type — the third
+    // mergeable sketch beside ev_hll_users (distinct) and
+    // ev_heavy_hitters (frequency): bounded-state percentiles for when a
+    // per-group sort is off the table. Summary contents depend on merge
+    // order (like HLL) → rows-only; SketchesSpec proves the rank-error
+    // guarantee |true_rank − p·N| ≤ N/accuracy against exactly sorted
+    // data under adversarial partitionings. The EXACT percentile surface
+    // is oracle-checked separately (quantity_quantiles).
+    Q.unchecked("ev_value_quantile_sketch") { (s, dir) =>
+      graft.ops.Sketches.quantileSketch(
+        Tables.events(s, dir).filter(col("value").isNotNull),
+        "event_type", "value", ps = Seq(0.5, 0.9, 0.99), accuracy = 1000)
+        .orderBy(col("event_type"), col("p"))
+    },
+
     // A6: HLL++ distinct (the reference's approx_count_distinct) — estimate
     // values are engine-specific, so no SQL oracle; the ScalaTest spec
     // checks the estimates against exact counts within the configured rsd.

@@ -24,6 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `ev_heavy_hitters` — Misra–Gries estimates depend on merge order
   *    (like HLL); SketchesSpec proves the est ∈ [f − N/(k+1), f]
   *    guarantee against exact counts under multiple partitionings.
+  *  - `ev_value_quantile_sketch` — Greenwald–Khanna summaries likewise
+  *    depend on partition merge order; SketchesSpec proves the rank
+  *    bound |true_rank − p·N| ≤ N/accuracy against exactly sorted data.
+  *    The exact-percentile surface (quantity_quantiles) IS
+  *    oracle-checked.
   *  - `ann_ivf_recall` — a META query (recall@10 of partial-probe IVF vs
   *    the oracle-green exact result, per nProbe); the exact surfaces it
   *    measures against ARE oracle-checked, and IvfSpec gates the curve.

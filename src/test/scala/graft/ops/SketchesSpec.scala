@@ -18,6 +18,29 @@ class SketchesSpec extends SparkSpec {
     flat.toDF("user_id").repartition(parts)
   }
 
+  test("GK quantile sketch: rank error ≤ N/accuracy under adversarial partitionings") {
+    import spark.implicits._
+    // values 1..N with a known exact rank for every value
+    val n = 5000
+    val base = (1 to n).map(_.toDouble)
+    for (acc <- Seq(100, 1000); parts <- Seq(1, 3, 32); seed <- Seq(1, 2)) {
+      val rnd = new scala.util.Random(seed)
+      val df = rnd.shuffle(base).map(("k", _)).toDF("g", "v").repartition(parts)
+      val rows = Sketches.quantileSketch(df, "g", "v",
+        ps = Seq(0.5, 0.9, 0.99), accuracy = acc).collect()
+      assert(rows.length == 3)
+      rows.foreach { r =>
+        val p = r.getDouble(1); val est = r.getDouble(2)
+        val bound = r.getLong(3)
+        assert(bound == math.ceil(n.toDouble / acc).toLong)
+        // true rank of the estimate in 1..N is the value itself
+        val rankErr = math.abs(est - p * n)
+        assert(rankErr <= bound + 1,
+          s"acc=$acc parts=$parts seed=$seed p=$p est=$est err=$rankErr > $bound")
+      }
+    }
+  }
+
   test("exact when the key domain fits the sketch") {
     val out = Sketches.heavyHitters(stream(8, 1), "user_id", k = 64, topN = 40)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
