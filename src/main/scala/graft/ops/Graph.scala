@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Graph analytics over the event stream: the user-journey transition
   * graph (the Markov-chain view behind the reference README's promised
@@ -50,6 +51,43 @@ object Graph {
     * graphs where |V| itself is huge, checkpoint every few rounds exactly
     * as `dupGroups` does (here the plans stay tiny: |V| ≤ |event types|).
     */
+  /** One event of the streaming transition form. */
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                      event_type: String)
+  /** One emitted transition edge instance (aggregate downstream). */
+  final case class Edge(src: String, dst: String)
+  /** Per-user carry: the last seen event across micro-batches. */
+  final case class LastEv(ts: Long, event_id: Long, tpe: String)
+
+  /** ONLINE twin of [[transitionCounts]]' edge generation: consumes an
+    * in-order event stream, keeps ONE (ts, event_id, type) triple per
+    * user in `GroupState`, and emits each (prev → next) edge the moment
+    * the next event arrives — so cross-micro-batch transitions are
+    * produced exactly once, whatever the batch boundaries (spec-pinned:
+    * any chunking ≡ the batch window pass). State is O(1) per user;
+    * unbounded user churn wants a timeout eviction wrapper, same caveat
+    * as [[Anomaly.zScoreFlagsStream]]. Within a micro-batch a user's
+    * events are processed in (ts, event_id) order, making the edge
+    * stream independent of arrival interleaving inside the batch.
+    */
+  def transitionsStream(events: Dataset[Ev]): Dataset[Edge] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, Edge](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[LastEv]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = List.newBuilder[Edge]
+          var last = state.getOption
+          sorted.foreach { e =>
+            last.foreach(l => out += Edge(l.tpe, e.event_type))
+            last = Some(LastEv(e.ts.getTime, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 10, scale: Long = 1000000L): DataFrame = {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()

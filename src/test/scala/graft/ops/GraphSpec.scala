@@ -59,6 +59,35 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("transitionsStream ≡ batch edge counts under any micro-batch chunking") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val types = Array("a", "b", "c", "d")
+    val rows = (0L until 300L).map { i =>
+      (1L + rnd.nextInt(5), ts(i), i, types(rnd.nextInt(types.length)))
+    }
+    val batch = Graph.transitionCounts(
+      rows.toDF("user_id", "ts", "event_id", "event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (chunk <- Seq(23, 300)) {
+      val stream = MemoryStream[Graph.Ev]
+      val q = Graph.transitionsStream(stream.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"edges_$chunk").start()
+      try {
+        rows.grouped(chunk).foreach { c => // event-time-ordered feed
+          stream.addData(c.map { case (u, t, id, tp) => Graph.Ev(u, t, id, tp) }: _*)
+          q.processAllAvailable()
+        }
+        val got = spark.table(s"edges_$chunk").groupBy("src", "dst").count()
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        assert(got == batch, s"chunk=$chunk")
+      } finally q.stop()
+    }
+  }
+
   test("pageRank invariants: teleport floor, sink absorbs, source decays") {
     import spark.implicits._
     // a → b → c, c is a sink (dangling), a has no inflow
