@@ -712,6 +712,32 @@ object CorpusQueries {
         .orderBy(col("pair"), col("dist"))
     },
 
+    // PMI-ranked collocations (the classic bigram-association extraction):
+    // adjacent pairs scored by the exact rational n(a,b)·N / (n(a)·n(b))
+    // — log omitted (monotone; libm would cost cross-engine bit equality,
+    // the same trade doc_tfidf_terms makes). Counts-only joins; one IEEE
+    // division of exact BIGINT products; distributed TakeOrdered top-50.
+    Q("doc_collocations",
+      """WITH t AS (SELECT regexp_split_to_array(text, '\s+') AS toks
+           FROM documents),
+         uc AS (SELECT tok, COUNT(*) AS c
+           FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+         nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM uc),
+         pc AS (SELECT pair, COUNT(*) AS n_pair
+           FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS pair
+                 FROM t WHERE len(toks) >= 2)
+           GROUP BY pair HAVING COUNT(*) >= 3)
+         SELECT pair, n_pair, c_a, c_b, pmi_ratio FROM (
+           SELECT pc.pair, pc.n_pair, a.c AS c_a, b.c AS c_b,
+             CAST(pc.n_pair * nt.n_total AS DOUBLE) / (a.c * b.c) AS pmi_ratio
+           FROM pc JOIN uc a ON a.tok = split_part(pc.pair, ' ', 1)
+                JOIN uc b ON b.tok = split_part(pc.pair, ' ', 2)
+                CROSS JOIN nt)
+         ORDER BY pmi_ratio DESC, pair LIMIT 50""") { (s, dir) =>
+      Text.collocations(Tables(s, dir, "documents"), minCount = 3L, topK = 50)
+    },
+
     // Corpus length profile: docs / exact token & char mass per (lang,
     // log₂ token bucket) — the one-scan shape every corpus audit starts
     // with. Bucket = bit-length of the token count (integer-exact in both
@@ -949,6 +975,35 @@ object CorpusQueries {
         .crossJoin(denom) // 4 × 1-row aggregate
         .select(col("n_probe"), (col("hits") / col("n_exact")).as("recall_at_10"))
         .orderBy(col("n_probe"))
+    },
+
+    // Distributed PCA (the dimensionality-reduction step semantic-dedup
+    // runs before clustering): one corpus pass accumulates count/Σx/Σxxᵀ
+    // through typed Aggregators (driver only holds the 64×64 covariance),
+    // cyclic Jacobi diagonalizes it, and the per-component variance of
+    // the SCAN-SIDE projection is re-measured distributedly — each row
+    // proves projected_variance ≈ eigenvalue end-to-end. Float covariance
+    // sums are partition-order dependent (like every float agg) →
+    // rows-only; PcaSpec pins covariance vs an exact driver reference,
+    // A·v = λ·v residuals, and decorrelation of projected coordinates.
+    Q.unchecked("emb_pca_explained") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val model = graft.sim.Pca.fit(emb, dim = 64)
+      import s.implicits._
+      val total = model.eigenvalues.sum
+      val top = model.eigenvalues.take(8).zipWithIndex
+        .map { case (ev, k) => (k + 1, ev, ev / total) }.toSeq
+        .toDF("component", "eigenvalue", "explained_ratio")
+      val n = emb.count().toDouble
+      val projVar = graft.sim.Pca.project(emb, model, d = 8)
+        .select(posexplode(col("pc")).as(Seq("pos", "v")))
+        .groupBy((col("pos") + 1).as("component"))
+        .agg(((sum(col("v") * col("v")) / n) -
+          (sum(col("v")) / n) * (sum(col("v")) / n)).as("projected_variance"))
+      top.join(projVar, "component")
+        .select(col("component"), col("eigenvalue"), col("projected_variance"),
+          col("explained_ratio"))
+        .orderBy(col("component"))
     },
 
     // IVF-PQ recall: the memory-compressed ANN path (8×4-bit codes per

@@ -32,6 +32,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `ann_ivf_recall` — a META query (recall@10 of partial-probe IVF vs
   *    the oracle-green exact result, per nProbe); the exact surfaces it
   *    measures against ARE oracle-checked, and IvfSpec gates the curve.
+  *  - `emb_pca_explained` — float covariance sums are partition-order
+  *    dependent, so eigenvalues differ in the last ulps across
+  *    partitionings; PcaSpec pins the covariance against an exact
+  *    driver-side reference, eigenpair residuals, and projection
+  *    decorrelation, and the query itself re-measures each eigenvalue as
+  *    the distributed variance of the projected coordinate.
   *  - `ann_pq_recall` — same META shape for the IVF-PQ compressed path:
   *    ADC scores are approximate by construction (quantization error), so
   *    the query measures recall against the oracle-exact brute-force

@@ -471,6 +471,38 @@ object Text {
       .filter(col("n") >= minCount)
   }
 
+  /** PMI-ranked collocations: adjacent token pairs scored by the
+    * pointwise-mutual-information RATIO n(a,b)·N / (n(a)·n(b)) — the log
+    * is omitted (monotone, and libm would cost cross-engine determinism;
+    * same trade as TF-IDF's rational IDF). All counts are exact BIGINTs
+    * joined counts-only (text never shuffles); the score is ONE IEEE
+    * division of exact integer products, so both engines emit identical
+    * bits. Top-k lands on a distributed TakeOrdered, not a global sort.
+    */
+  def collocations(docs: org.apache.spark.sql.DataFrame,
+                   minCount: Long = 3L,
+                   topK: Int = 50): org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    val uni = docs.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nTotal = uni.agg(sum(col("c")).as("n_total"))
+    val pairs = docs.select(explode(wordBigrams(toks)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .select(substring_index(col("pair"), " ", 1).as("tok_a"),
+        substring_index(col("pair"), " ", -1).as("tok_b"),
+        col("pair"), col("n_pair"))
+    pairs
+      .join(uni.withColumnsRenamed(Map("tok" -> "tok_a", "c" -> "c_a")), "tok_a")
+      .join(uni.withColumnsRenamed(Map("tok" -> "tok_b", "c" -> "c_b")), "tok_b")
+      .crossJoin(nTotal) // 1-row aggregate
+      .select(col("pair"), col("n_pair"), col("c_a"), col("c_b"),
+        ((col("n_pair") * col("n_total")).cast("double") /
+          (col("c_a") * col("c_b"))).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** Corpus length profile: document counts and exact token/char mass per
     * (lang, log₂ size bucket). The bucket is `length(bin(n_tokens))` —
     * the bit-length of the token count — so it is integer-exact in both

@@ -321,6 +321,25 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("collocations: exact PMI ratio, brute-force agreement, top-k order") {
+    import spark.implicits._
+    val texts = Seq("a b a b c d", "b c a b", "d d d d")
+    val uni = texts.flatMap(_.split("\\s+")).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val nTotal = uni.values.sum
+    val bi = texts.flatMap { t =>
+      val w = t.split("\\s+"); w.indices.dropRight(1).map(i => s"${w(i)} ${w(i + 1)}")
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val brute = bi.filter(_._2 >= 2).toSeq.map { case (pair, np) =>
+      val Array(a, b) = pair.split(" ")
+      (pair, np, uni(a), uni(b), np * nTotal.toDouble / (uni(a) * uni(b)))
+    }.sortBy { case (pair, _, _, _, s) => (-s, pair) }
+    val got = Text.collocations(texts.toDF("text"), minCount = 2L, topK = 10)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == brute)
+  }
+
   test("lengthHistogram: bit-length buckets, exact masses") {
     import spark.implicits._
     // token counts 1, 2, 3, 8 → buckets 1, 2, 2, 4
