@@ -78,6 +78,44 @@ object Sketches {
       .limit(topN)
   }
 
+  /** ONLINE heavy hitters: the streaming form of [[heavyHitters]], built
+    * on the property that makes MG production-viable at all —
+    * mergeability. Each micro-batch is summarized DISTRIBUTEDLY by the
+    * same `MisraGries` aggregator (map-side partials, one k-entry map per
+    * partition on the shuffle), and `foreachBatch` folds the per-batch
+    * summary into a running sketch via the identical merge the
+    * aggregator's shuffle path uses — so the standing sketch after any
+    * prefix of batches is itself an MG summary of the full prefix and
+    * inherits the est ∈ [f − N/(k+1), f] guarantee (spec-pinned against
+    * exact counts of the whole stream). Driver state: one k-entry map.
+    */
+  final class StreamingHeavyHitters(k: Int) extends Serializable {
+    require(k >= 1)
+    @volatile private var sketch: Map[Long, Long] = Map.empty
+    @volatile private var nTotal: Long = 0L
+    private val agg = new MisraGries(k)
+
+    /** Summarize one micro-batch (distributed) and merge it in. */
+    def absorb(batch: DataFrame, keyCol: String): Unit = {
+      val mg = udaf(agg)
+      val row = batch.agg(mg(col(keyCol)).as("sk"), count(lit(1)).as("n")).head()
+      val bSketch = row.getMap[Long, Long](0).toMap
+      synchronized {
+        sketch = agg.merge(sketch, bSketch)
+        nTotal += row.getLong(1)
+      }
+    }
+
+    /** Current top estimates with the running guarantee bound. */
+    def top(topN: Int): Seq[(Long, Long, Long)] = {
+      val bound = nTotal / (k + 1)
+      sketch.toSeq.map { case (key, est) => (key, est, bound) }
+        .sortBy { case (key, est, _) => (-est, key) }.take(topN)
+    }
+
+    def total: Long = nTotal
+  }
+
   /** Bounded-error quantiles per group — the third leg of the mergeable
     * sketch family (HLL distinct, Misra–Gries frequency, GK quantiles).
     * Exact percentiles need a per-group sort; the Greenwald–Khanna

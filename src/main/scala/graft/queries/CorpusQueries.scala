@@ -712,6 +712,48 @@ object CorpusQueries {
         .orderBy(col("pair"), col("dist"))
     },
 
+    // Per-(lang, source) curation report — the corpus-audit "dashboard"
+    // that composes every proven signal into one relation: doc counts,
+    // exact-duplicate mass (n − distinct fingerprints), benchmark
+    // contamination (same 3-gram fragment as doc_decontaminated /
+    // doc_e2e_curated), quality-gate pass counts and exact token mass.
+    // All measures are integer counts (the quality gate is a per-doc
+    // deterministic double compared to a constant), so the report is
+    // hash-exact in both engines.
+    Q("doc_source_report",
+      s"""WITH g AS (SELECT doc_id,
+           unnest(list_transform(range(0, greatest(len(regexp_split_to_array(text, '\\s+')) - 3, 0) + 1),
+             i -> array_to_string(list_slice(regexp_split_to_array(text, '\\s+'), i + 1, i + 3), ' '))) AS g
+           FROM documents),
+         bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 3),
+         bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (g)),
+         q AS (SELECT doc_id, lang, source, text, $qualitySql AS quality
+           FROM documents)
+         SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+           CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM bad)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+           CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS sum_tokens
+         FROM q GROUP BY lang, source ORDER BY lang, source""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 3)
+      val base = docs.groupBy(col("lang"), col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_uniq"),
+        sum(when(Text.qualityScore(col("text")) >= 0.5, 1L).otherwise(0L))
+          .as("n_quality_pass"),
+        sum(size(split(col("text"), "\\s+")).cast("long")).as("sum_tokens"))
+      val clean = Dedup.decontaminate(docs, bench)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_clean"))
+      base.join(clean, Seq("lang", "source"), "left")
+        .select(col("lang"), col("source"), col("n_docs"),
+          (col("n_docs") - col("n_uniq")).as("n_exact_dups"),
+          (col("n_docs") - coalesce(col("n_clean"), lit(0L))).as("n_contaminated"),
+          col("n_quality_pass"), col("sum_tokens"))
+        .orderBy(col("lang"), col("source"))
+    },
+
     // PMI-ranked collocations (the classic bigram-association extraction):
     // adjacent pairs scored by the exact rational n(a,b)·N / (n(a)·n(b))
     // — log omitted (monotone; libm would cost cross-engine bit equality,
@@ -1021,6 +1063,7 @@ object CorpusQueries {
       val pq = pqModel(s, dir, m = 8, ksub = 16, dim = 64, iters = 2)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
         .select(col("q_id"), col("n_id"))
+        .localCheckpoint() // |Q|·k rows, consumed by the join AND the denom
       val denom = exact.agg(count(lit(1)).as("n_exact"))
       val adc = Seq(4, 16).map { nProbe =>
         graft.sim.Pq.searchIvfPq(emb, queries, ivf, pq, k = 10, nProbe = nProbe)

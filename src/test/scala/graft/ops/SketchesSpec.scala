@@ -41,6 +41,46 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("StreamingHeavyHitters: guarantee holds after EVERY micro-batch prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 8
+    val shh = new Sketches.StreamingHeavyHitters(k)
+    val rnd = new scala.util.Random(3)
+    val flat = rnd.shuffle(
+      trueCounts.toSeq.flatMap { case (key, c) => Seq.fill(c.toInt)(key) })
+    val stream = MemoryStream[Long]
+    val q = stream.toDS().toDF("user_id")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        shh.absorb(b, "user_id"))
+      .start()
+    try {
+      val prefix = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      flat.grouped(157).foreach { chunk =>
+        stream.addData(chunk: _*)
+        q.processAllAvailable()
+        chunk.foreach(x => prefix(x) += 1)
+        val nPrefix = prefix.values.sum
+        assert(shh.total == nPrefix)
+        val bound = nPrefix / (k + 1)
+        val top = shh.top(k)
+        top.foreach { case (key, est, b) =>
+          assert(b == bound)
+          val f = prefix(key)
+          assert(est <= f && f - est <= bound,
+            s"prefix n=$nPrefix key=$key est=$est f=$f bound=$bound")
+        }
+        // completeness on the prefix: every key with f > bound is present
+        val present = top.map(_._1).toSet
+        prefix.foreach { case (key, f) =>
+          if (f > bound) assert(present(key), s"missing heavy key $key f=$f > $bound")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("exact when the key domain fits the sketch") {
     val out = Sketches.heavyHitters(stream(8, 1), "user_id", k = 64, topN = 40)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
