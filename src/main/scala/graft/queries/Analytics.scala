@@ -492,6 +492,44 @@ object Analytics {
         .orderBy(col("window_start"))
     },
 
+    // One-scan data profiling — the audit every ingest runs before
+    // trusting a table: per-column non-null and exact distinct counts.
+    // Spark plans the six COUNT(DISTINCT)s as ONE expand + two-stage
+    // aggregate over a single scan (no per-column re-read); the 1×12
+    // aggregate row is then unpivoted with stack(). Timestamps are
+    // second-truncated on both engines (ns vs µs precision differs);
+    // doubles are counted on their exact parquet bit patterns.
+    Q("ev_profile",
+      """SELECT * FROM (
+         SELECT 'event_id' AS col_name, COUNT(event_id) AS n_nonnull,
+           COUNT(DISTINCT event_id) AS n_distinct FROM events
+         UNION ALL SELECT 'ts', COUNT(ts),
+           COUNT(DISTINCT date_trunc('second', ts)) FROM events
+         UNION ALL SELECT 'user_id', COUNT(user_id),
+           COUNT(DISTINCT user_id) FROM events
+         UNION ALL SELECT 'event_type', COUNT(event_type),
+           COUNT(DISTINCT event_type) FROM events
+         UNION ALL SELECT 'value', COUNT(value),
+           COUNT(DISTINCT value) FROM events
+         UNION ALL SELECT 'props', COUNT(props),
+           COUNT(DISTINCT props) FROM events)
+         ORDER BY col_name""") { (s, dir) =>
+      val agg = Tables.events(s, dir).agg(
+        count(col("event_id")).as("nn1"), countDistinct(col("event_id")).as("nd1"),
+        count(col("ts")).as("nn2"),
+        countDistinct(date_trunc("second", col("ts"))).as("nd2"),
+        count(col("user_id")).as("nn3"), countDistinct(col("user_id")).as("nd3"),
+        count(col("event_type")).as("nn4"), countDistinct(col("event_type")).as("nd4"),
+        count(col("value")).as("nn5"), countDistinct(col("value")).as("nd5"),
+        count(col("props")).as("nn6"), countDistinct(col("props")).as("nd6"))
+      agg.select(expr(
+          """stack(6,
+            'event_id', nn1, nd1, 'ts', nn2, nd2, 'user_id', nn3, nd3,
+            'event_type', nn4, nd4, 'value', nn5, nd5, 'props', nn6, nd6)
+            AS (col_name, n_nonnull, n_distinct)"""))
+        .orderBy(col("col_name"))
+    },
+
     // A5 analog / top-k: event type popularity.
     Q("ev_top_types",
       """SELECT event_type, COUNT(*) AS n FROM events

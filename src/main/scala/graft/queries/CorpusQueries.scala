@@ -637,6 +637,45 @@ object CorpusQueries {
       Dedup.dupGroups(docs, pairs).orderBy(col("doc_id"))
     },
 
+    // Quality-aware survivor selection: what a production dedup actually
+    // keeps is not min-id but the best group member. Per transitive
+    // near-dup group, the survivor is the member with the most distinct
+    // tokens (integer score — no float compare), ties to the smaller id;
+    // output is the full provenance map doc_id → (group, survivor) that a
+    // downstream pipeline joins to re-point references at canonical docs.
+    // Spark side: dupGroups' CC labels + one window argmax per group
+    // (groups are near-dup clusters — bounded fan-in, no skew hazard);
+    // oracle: the doc_dup_groups closure extended with the same window.
+    Q("doc_dup_survivors",
+      """WITH RECURSIVE d AS (SELECT doc_id, lang, source,
+           list_distinct(regexp_split_to_array(text, '\s+')) AS w FROM documents),
+         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.w, b.w)) /
+               (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8),
+         e AS (SELECT a_id AS s, b_id AS t FROM p
+               UNION SELECT b_id, a_id FROM p),
+         reach(s, t) AS (SELECT s, t FROM e
+           UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+         g AS (SELECT doc_id, CAST(LEAST(doc_id, coalesce(m.mn, doc_id)) AS BIGINT) AS group_id
+           FROM documents LEFT JOIN
+             (SELECT s, min(t) AS mn FROM reach GROUP BY s) m ON m.s = doc_id)
+         SELECT doc_id, group_id, survivor_id FROM (
+           SELECT g.doc_id, g.group_id,
+             first_value(g.doc_id) OVER (PARTITION BY g.group_id
+               ORDER BY len(d2.w) DESC, g.doc_id) AS survivor_id
+           FROM g JOIN d d2 ON d2.doc_id = g.doc_id)
+         ORDER BY doc_id""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.prefixJaccardPairs(docs,
+        blockCols = Seq("lang", "source"), threshold = 0.8)
+      val scored = docs.select(col("doc_id"),
+        size(array_distinct(split(col("text"), "\\s+"))).as("score"))
+      Dedup.qualitySurvivors(Dedup.dupGroups(docs, pairs), scored)
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark decontamination: documents sharing NO word trigram with
     // the "benchmark" set (stand-in: the first three documents) survive.
     // Exact n-gram overlap — the standard test-set-leak removal.
@@ -955,6 +994,35 @@ object CorpusQueries {
          GROUP BY label ORDER BY label""") { (s, dir) =>
       Tables(s, dir, "embeddings")
         .groupBy(col("label")).agg(count(lit(1)).as("n")).orderBy(col("label"))
+    },
+
+    // Cluster-conditioned curation: the cross-modal join every
+    // classifier-guided pipeline runs — documents joined to their
+    // embedding's cluster label, then per-cluster doc counts, exact token
+    // mass, quality-gate passes and language mix. Per-doc measures are
+    // projected BEFORE the join, so the id-keyed exchange carries four
+    // integers per row, never text (the 100 TB shape: co-partition both
+    // tables by id and the join is exchange-free).
+    Q("emb_label_quality",
+      s"""SELECT label, COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS sum_tokens,
+         CAST(SUM(CASE WHEN $qualitySql >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+         FROM documents JOIN embeddings ON doc_id = vec_id
+         GROUP BY label ORDER BY label""") { (s, dir) =>
+      val perDoc = Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+        when(Text.qualityScore(col("text")) >= 0.5, 1L).otherwise(0L).as("qpass"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
+      val labels = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      perDoc.join(labels, perDoc("doc_id") === labels("vec_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("qpass")).as("n_quality_pass"),
+          sum(col("is_en")).as("n_en"))
+        .orderBy(col("label"))
     },
 
     // Brute-force exact top-10 cosine neighbors for the first 20 vectors.

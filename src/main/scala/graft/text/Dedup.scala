@@ -508,6 +508,30 @@ object Dedup {
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("group_id"))
   }
 
+  /** Quality-aware survivor selection over [[dupGroups]] output: per
+    * group, the canonical member is the one with the highest `score`
+    * (ties broken to the smaller id). Production dedup keeps the BEST
+    * group member, not the min-id one — min-id is only the label choice
+    * of the CC algorithm. Returns (idCol, group_id, survivor_id): the
+    * full provenance map a downstream pipeline joins to re-point
+    * references at canonical documents.
+    *
+    * One window argmax partitioned by group: near-dup groups are bounded
+    * fan-in clusters (the pair threshold caps how dissimilar members can
+    * be), so the group partitioning has no skew hazard, and the shuffle
+    * carries (id, group, score) only — scores must be computed BEFORE
+    * this join so payloads never ride it.
+    */
+  def qualitySurvivors(groups: DataFrame, scores: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    groups.join(scores, Seq(idCol))
+      .withColumn("survivor_id", first(col(idCol)).over(w))
+      .select(col(idCol), col("group_id"), col("survivor_id"))
+  }
+
   /** Asymmetric CONTAINMENT pairs: directed (a, b) with
     * |A∩B| / |A| ≥ threshold — "document A's token set is (nearly) inside
     * document B's". The near-dup relation Jaccard can't express: a short

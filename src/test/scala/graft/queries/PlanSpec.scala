@@ -111,6 +111,19 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 3, p.take(800))
   }
 
+  test("emb_label_quality: per-doc measures projected before the join — no exchange carries text") {
+    val (offenders, _) = textCarryingExchanges("emb_label_quality")
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("ev_profile: six distinct-counts plan as one scan (no per-column re-read)") {
+    val p = plan("ev_profile")
+    // one Expand-based multi-distinct aggregation over a single parquet
+    // scan; a naive UNION of per-column aggregates would show 6 scans
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(800))
+    assert(p.contains("Expand"), p.take(800))
+  }
+
   test("doc_pii_redacted: scrub is a narrow scan-side project, no shuffle before the sort") {
     val p = plan("doc_pii_redacted")
     // exactly the one Exchange the final global ORDER BY requires — the

@@ -466,4 +466,18 @@ class DedupSpec extends SparkSpec {
       assert(got == want, s"k=$k mismatch")
     }
   }
+
+  test("qualitySurvivors: argmax score per group, ties to the smaller id, singletons self-survive") {
+    import spark.implicits._
+    // groups: {1,2,3} labeled 1, {5,6} labeled 5, singleton 9
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("doc_id", "group_id")
+    // doc 2 has the best score in group 1; 5 and 6 tie → 5 survives
+    val scores = Seq((1L, 10), (2L, 40), (3L, 20), (5L, 7), (6L, 7), (9L, 1))
+      .toDF("doc_id", "score")
+    val got = Dedup.qualitySurvivors(groups, scores)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 1L, 2L),
+      (5L, 5L, 5L), (6L, 5L, 5L), (9L, 9L, 9L)), got.toString)
+  }
 }
