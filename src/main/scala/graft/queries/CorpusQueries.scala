@@ -713,6 +713,18 @@ object CorpusQueries {
         .orderBy(col("rank"))
     },
 
+    // Distributed BPE tokenizer training: the first 20 learned merge
+    // operations (rank, left, right, pair_count) from corpus word
+    // frequencies — the artifact a tokenizer ships. Iterative argmax
+    // fixpoint (each round's counts depend on the previous round's
+    // merge), so it is not single-statement-SQL-expressible; TextSpec
+    // pins the whole merge sequence against an exact sequential
+    // reference implementation and proves partition invariance.
+    Q.unchecked("doc_bpe_merges") { (s, dir) =>
+      Text.bpeMerges(Tables(s, dir, "documents"), nMerges = 20)
+        .orderBy(col("rank"))
+    },
+
     // Corpus trigram novelty (distinct/total gram instances — Lee et al.
     // 2022's dedup motivation statistic). Exact form oracle-checked; the
     // 100 TB form swaps count(distinct) for the HLL sketch.

@@ -38,6 +38,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    driver-side reference, eigenpair residuals, and projection
   *    decorrelation, and the query itself re-measures each eigenvalue as
   *    the distributed variance of the projected coordinate.
+  *  - `doc_bpe_merges` — BPE merge learning is an iterative argmax
+  *    fixpoint (round n's pair counts depend on round n−1's merge), not
+  *    single-statement SQL; TextSpec pins the full merge sequence
+  *    against an exact sequential reference and proves partition
+  *    invariance. The non-iterative tokenizer surfaces it feeds
+  *    (`doc_vocab_top`, `doc_bpe_tokens`) ARE oracle-checked.
   *  - `ann_pq_recall` — same META shape for the IVF-PQ compressed path:
   *    ADC scores are approximate by construction (quantization error), so
   *    the query measures recall against the oracle-exact brute-force

@@ -425,6 +425,78 @@ object Text {
         (col("cum").cast("double") / col("total")).as("cum_coverage"))
   }
 
+  /** Distributed BPE merge learning — the Sennrich et al. (ACL 2016)
+    * tokenizer-training procedure re-expressed as Spark aggregates:
+    * learn the first `nMerges` merge operations from corpus word
+    * frequencies.
+    *
+    * Scale shape: the corpus first compresses to its distinct-WORD
+    * frequency table — read the text exactly once; at 100 TB the word
+    * table is orders of magnitude smaller than the corpus and is the
+    * only thing the iteration ever touches. Each round is then
+    *  1. one map-side-combined adjacent-pair count over the word table
+    *     (pairs from a zip_with of the symbol array against its own
+    *     tail, weighted by word frequency — stays in codegen),
+    *  2. a distributed top-1 (TakeOrdered: count desc, pair asc — exact
+    *     longs, so the winner is identical under any partitioning),
+    *  3. one narrow projection applying the merge as an aggregate()
+    *     fold (leftmost non-overlapping application — the BPE
+    *     contract), localCheckpoint'ed so the per-round plan depth
+    *     stays constant.
+    * Driver state is one (left, right, count) row per round — the merge
+    * table itself, which IS the output (and at inference time the only
+    * artifact a tokenizer needs). Symbols are strings, as in reference
+    * BPE implementations: a merged symbol is the concatenation, and
+    * symbol identity is string identity.
+    */
+  def bpeMerges(docs: org.apache.spark.sql.DataFrame,
+                nMerges: Int): org.apache.spark.sql.DataFrame = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val spark = docs.sparkSession
+    var words = docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // split(limit = -1) keeps the trailing empty match of the
+      // every-position lookahead — drop empties so symbols are exactly
+      // the characters
+      .select(filter(split(col("w"), "(?!^)"), s => length(s) > 0).as("syms"),
+        col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= nMerges && !exhausted) {
+      val pairs = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(zip_with(
+            col("syms"),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (cur, nxt) => struct(cur.as("a"), nxt.as("b")))).as("p"))
+        .filter(col("p.b").isNotNull) // zip_with pads the 1-longer left side
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+      // 1-row collect per round: the argmax merge (bounded by design)
+      val best = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((round, a, b, n))
+        words = words.withColumn("syms",
+            aggregate(col("syms"), array().cast("array<string>"),
+              (out, cur) =>
+                when(size(out) > 0 &&
+                     element_at(out, -1) === lit(a) && cur === lit(b),
+                  concat(slice(out, lit(1), size(out) - 1), array(lit(a + b))))
+                .otherwise(concat(out, array(cur)))))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    import spark.implicits._
+    spark.createDataset(merges.toSeq)
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
   /** Corpus n-gram novelty: total w-gram instances, distinct w-grams, and
     * their ratio — the repetition-at-corpus-granularity number dataset
     * cards report (a low ratio means the corpus re-says the same things;

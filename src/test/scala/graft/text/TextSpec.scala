@@ -357,4 +357,62 @@ class TextSpec extends SparkSpec {
       ("en", 2) -> (2L, 5L, 2L, 3L, 8L),
       ("fr", 4) -> (1L, 8L, 8L, 8L, 15L)))
   }
+
+  /** Exact sequential reference BPE (Sennrich et al.): word-frequency
+    * map, per round count adjacent pairs, merge the (count desc, pair
+    * asc) argmax leftmost-non-overlapping. */
+  private def referenceBpe(texts: Seq[String], nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = texts
+      .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, c) => w.split("(?!^)").toVector -> c }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to nMerges if words.exists(_._1.size >= 2)) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.size - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+      out += ((r, a, b, n))
+      words = words.groupBy { case (syms, _) =>
+        val res = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (s <- syms) {
+          if (res.nonEmpty && res.last == a && s == b) res(res.size - 1) = a + b
+          else res += s
+        }
+        res.toVector
+      }.view.mapValues(_.values.sum).toMap
+    }
+    out.toSeq
+  }
+
+  test("bpeMerges matches the exact sequential reference, merge by merge") {
+    import spark.implicits._
+    val texts = Seq(
+      "low low low low low", "lower lower", "newest newest newest newest newest newest",
+      "widest widest widest", "low lower newest")
+    val got = Text.bpeMerges(texts.toDF("text"), nMerges = 12)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val want = referenceBpe(texts, 12)
+    assert(got == want, s"\ngot  $got\nwant $want")
+    // sanity: the classic corpus learns multi-char units
+    assert(got.exists { case (_, a, b, _) => (a + b).length >= 3 })
+  }
+
+  test("bpeMerges is invariant to input partitioning") {
+    import spark.implicits._
+    val texts = Seq("pack my box with five dozen liquor jugs",
+      "the quick brown fox jumps over the lazy dog",
+      "pack the box pack the box", "jugs jugs jugs dozen")
+    def run(parts: Int) =
+      Text.bpeMerges(texts.toDF("text").repartition(parts), nMerges = 8)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(run(1) == run(7))
+  }
+
+  test("bpeMerges stops early when every word is a single symbol") {
+    import spark.implicits._
+    // 'a b' has no adjacent pair after 0 merges are possible
+    val got = Text.bpeMerges(Seq("a b a b").toDF("text"), nMerges = 5)
+    assert(got.collect().isEmpty)
+  }
 }
