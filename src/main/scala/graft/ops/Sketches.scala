@@ -116,6 +116,52 @@ object Sketches {
     def total: Long = nTotal
   }
 
+  /** Streaming twin of [[quantileSketch]], completing the pattern the MG
+    * sketch set ([[StreamingHeavyHitters]]): each micro-batch is
+    * summarized DISTRIBUTED — one compressed Greenwald–Khanna summary
+    * per partition (Spark's own `QuantileSummaries`, the engine behind
+    * `percentile_approx`) — and the partials fold into one standing
+    * summary via GK's associative merge. The state after any prefix of
+    * batches is therefore itself a GK summary of the full prefix and
+    * carries the rank guarantee |true_rank(query(p)) − p·N| ≤ ε·N.
+    * Driver state: one O((1/ε)·log(εN)) summary; the per-batch collect
+    * is partition-count-bounded (one compressed summary each).
+    */
+  final class StreamingQuantiles(relativeError: Double) extends Serializable {
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+    require(relativeError > 0 && relativeError < 1)
+    @volatile private var summary =
+      new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, relativeError)
+
+    /** Summarize one micro-batch (one GK summary per partition) and
+      * merge the compressed partials into the running summary. */
+    def absorb(batch: DataFrame, valCol: String): Unit = {
+      val err = relativeError
+      val partials = batch.select(col(valCol).cast("double"))
+        .na.drop()
+        .mapPartitions { it =>
+          var s = new QuantileSummaries(
+            QuantileSummaries.defaultCompressThreshold, err)
+          it.foreach(r => s = s.insert(r.getDouble(0)))
+          Iterator.single(s.compress())
+        }(org.apache.spark.sql.Encoders.kryo[QuantileSummaries])
+        .collect()
+      synchronized {
+        summary = partials.foldLeft(summary) { (acc, p) =>
+          if (p.count == 0) acc else acc.compress().merge(p)
+        }
+      }
+    }
+
+    /** Estimate for percentile p, with the running rank-error bound. */
+    def query(p: Double): Option[(Double, Long)] = {
+      val s = summary.compress()
+      s.query(p).map(v => (v, math.ceil(relativeError * s.count).toLong))
+    }
+
+    def total: Long = summary.count
+  }
+
   /** Bounded-error quantiles per group — the third leg of the mergeable
     * sketch family (HLL distinct, Misra–Gries frequency, GK quantiles).
     * Exact percentiles need a per-group sort; the Greenwald–Khanna

@@ -81,6 +81,46 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamingQuantiles: rank guarantee holds after EVERY micro-batch prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val eps = 0.05
+    val sq = new Sketches.StreamingQuantiles(eps)
+    val rnd = new scala.util.Random(11)
+    // skewed values so quantiles are non-trivial: x² over a shuffled range
+    val values = rnd.shuffle((1 to 4000).map(i => (i.toDouble * i) / 1000.0))
+    val stream = MemoryStream[Double]
+    val q = stream.toDS().toDF("v")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sq.absorb(b, "v"))
+      .start()
+    try {
+      val prefix = scala.collection.mutable.ArrayBuffer.empty[Double]
+      values.grouped(503).foreach { chunk =>
+        stream.addData(chunk: _*)
+        q.processAllAvailable()
+        prefix ++= chunk
+        val sorted = prefix.sorted
+        val n = sorted.size
+        assert(sq.total == n)
+        for (p <- Seq(0.1, 0.5, 0.9, 0.99)) {
+          val Some((est, bound)) = sq.query(p)
+          assert(bound == math.ceil(eps * n).toLong)
+          // true rank of the estimate (any matching position is valid)
+          val lo = sorted.count(_ < est)
+          val hi = sorted.count(_ <= est)
+          val target = p * n
+          val err = if (target < lo) lo - target
+                    else if (target > hi) target - hi else 0.0
+          assert(err <= bound,
+            s"prefix n=$n p=$p est=$est rank∈[$lo,$hi] target=$target bound=$bound")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("exact when the key domain fits the sketch") {
     val out = Sketches.heavyHitters(stream(8, 1), "user_id", k = 64, topN = 40)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
