@@ -29,6 +29,7 @@ import graft.source.Tables
 object PairStats {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--minhash-boilerplate")) return minhashHot(args)
+    if (args.headOption.contains("--containment")) return containmentStats(args)
     val zipf = args.headOption.contains("--zipf")
     val rest = if (zipf) args.drop(1) else args
     val dir = rest(0)
@@ -56,6 +57,36 @@ object PairStats {
       docs, blockCols, threshold).count()
     val amp = if (results > 0) candidates.toDouble / results else Double.NaN
     println(f"[pairstats] docs=$nDocs candidates=$candidates " +
+      f"results=$results candidates_per_result=$amp%.1f threshold=$threshold")
+    spark.stop()
+  }
+
+  /** `--containment <sfDir> [threshold]`: candidate-volume evidence for
+    * the asymmetric containment join (`doc_containment_pairs` plan).
+    */
+  private def containmentStats(args: Array[String]): Unit = {
+    val dir = args(1)
+    val threshold = if (args.length > 2) args(2).toDouble else 0.9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables(spark, dir, "documents")
+    val blockCols = Seq("lang", "source")
+    val d = docs.select(
+      (col("doc_id").as("id") +: blockCols.map(col)) :+
+        array_sort(array_distinct(split(col("text"), "\\s+"))).as("w"): _*)
+      .withColumn("nw", size(col("w")))
+    val nDocs = d.count()
+    val candidates = Dedup.containmentCandidates(
+      d, blockCols, threshold, commonVocab = 10000, hotBucketCap = 100000).count()
+    val results = Dedup.containmentPairs(docs, blockCols, threshold).count()
+    val amp = if (results > 0) candidates.toDouble / results else Double.NaN
+    println(f"[pairstats] containment docs=$nDocs candidates=$candidates " +
       f"results=$results candidates_per_result=$amp%.1f threshold=$threshold")
     spark.stop()
   }
