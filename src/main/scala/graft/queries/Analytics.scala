@@ -492,6 +492,38 @@ object Analytics {
         .orderBy(col("window_start"))
     },
 
+    // Leakage-aware train/valid/test split: the GROUP-level assignment a
+    // training pipeline needs — all events of a user land in one split
+    // (the split is a deterministic function of user_id alone, so
+    // user-level disjointness is structural, reproducible across runs
+    // and engines, and needs no coordination at any scale). 80/10/10 by
+    // the same md5 bucket doc_hash_sample uses; per split: event count,
+    // distinct users, distinct event types (all-integer measures).
+    Q("ev_user_split",
+      """SELECT split, COUNT(*) AS n_events,
+         COUNT(DISTINCT user_id) AS n_users,
+         COUNT(DISTINCT event_type) AS n_types
+         FROM (SELECT user_id, event_type,
+           CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
+                ELSE 'test' END AS split
+           FROM (SELECT user_id, event_type,
+             list_reduce(list_transform(range(8),
+                 i -> CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST(user_id AS VARCHAR)), i + 1, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 10 AS b
+             FROM events))
+         GROUP BY split ORDER BY split""") { (s, dir) =>
+      val b = graft.text.Text.hashModBucket(col("user_id"))
+      Tables.events(s, dir)
+        .withColumn("split",
+          when(b < 8, "train").when(b === 8, "valid").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("split"))
+    },
+
     // One-scan data profiling — the audit every ingest runs before
     // trusting a table: per-column non-null and exact distinct counts.
     // Spark plans the six COUNT(DISTINCT)s as ONE expand + two-stage
