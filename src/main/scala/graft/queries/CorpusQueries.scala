@@ -713,6 +713,30 @@ object CorpusQueries {
         .orderBy(col("rank"))
     },
 
+    // Graded contamination report — the auditable counterpart of the
+    // binary decontamination filter: per document, distinct trigrams,
+    // benchmark hits, and the overlap fraction (what a dataset card
+    // reports, and what a threshold-tunable gate consumes). Broadcast
+    // bench grams; only (id, hit) rides the aggregation; int/int ratio
+    // divides exactly in both engines.
+    Q("doc_contamination_score",
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+           FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(t) - 2),
+             i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')))) AS g
+           FROM toks WHERE len(t) >= 3),
+         bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 3)
+         SELECT g.doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / COUNT(*) AS contamination
+         FROM g LEFT JOIN bench b ON g.g = b.g
+         GROUP BY g.doc_id ORDER BY g.doc_id""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.contaminationScore(docs, docs.filter(col("doc_id") < 3), w = 3)
+        .orderBy(col("doc_id"))
+    },
+
     // Distributed BPE tokenizer training: the first 20 learned merge
     // operations (rank, left, right, pair_count) from corpus word
     // frequencies — the artifact a tokenizer ships. Iterative argmax

@@ -435,6 +435,29 @@ object Dedup {
     docs.join(contaminated, col(idCol) === col("__contaminated_id"), "left_anti")
   }
 
+  /** Graded counterpart of [[decontaminate]]: per document, the number
+    * of DISTINCT w-grams, how many of them appear in the benchmark, and
+    * the overlap fraction — the contamination REPORT (threshold-tunable,
+    * auditable) where the filter is the 0%-tolerance special case. Same
+    * scale shape: broadcast benchmark gram set, per-doc counts from a
+    * left join carrying (id, gram-hit) only; the int/int ratio divides
+    * exactly in both engines.
+    */
+  def contaminationScore(docs: DataFrame, benchmark: DataFrame, w: Int = 3,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val corpusGrams = docs.select(col(idCol),
+        explode(array_distinct(gramStrings(col(textCol), w))).as("g"))
+    val benchGrams = benchmark
+      .select(explode(gramStrings(col(textCol), w)).as("g")).distinct()
+      .withColumn("hit", lit(1L))
+    corpusGrams.join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        (col("n_hit") / col("n_grams")).as("contamination"))
+  }
+
   /** Transitive duplicate groups: connected components over a near-dup
     * pair graph, each document labeled with the smallest `doc_id` in its
     * component (the canonical survivor real dedup pipelines keep —

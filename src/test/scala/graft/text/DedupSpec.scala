@@ -467,6 +467,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contaminationScore: benchmark self-overlap 1.0, disjoint docs 0.0, filter ≡ zero-score") {
+    val d = docs((1L, base), (2L, base + " extra tail tokens here"), (3L, other))
+    val bench = docs((1L, base))
+    val sc = Dedup.contaminationScore(d, bench)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(sc(1L)._3 == 1.0)
+    assert(sc(2L)._2 > 0 && sc(2L)._3 < 1.0) // shares base's grams, has its own
+    assert(sc(3L) == ((sc(3L)._1, 0L, 0.0)))
+    // the binary filter is exactly the zero-tolerance cut of the report
+    val kept = Dedup.decontaminate(d, bench).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == sc.filter(_._2._2 == 0L).keySet)
+  }
+
   test("qualitySurvivors: argmax score per group, ties to the smaller id, singletons self-survive") {
     import spark.implicits._
     // groups: {1,2,3} labeled 1, {5,6} labeled 5, singleton 9
