@@ -1061,6 +1061,31 @@ object CorpusQueries {
         .orderBy(col("label"))
     },
 
+    // Exact kNN JOIN: top-5 cosine neighbors for EVERY vector — the
+    // kNN-graph construction under semantic dedup / label propagation,
+    // distinct from the query-set search below. Compute is quadratic by
+    // definition (the exact baseline; the bucketed scale path is
+    // Ivf.search with queries = corpus, recall-gated in IvfSpec), but
+    // data movement is n·k: the inner side broadcasts once, scored
+    // pairs are consumed map-side by the bounded TopKByScore
+    // accumulator, and the one shuffle carries k entries per vector.
+    Q("emb_knn_join",
+      """WITH v AS (SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+         FROM embeddings),
+       s AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         list_sum(list_transform(range(len(q.embedding)),
+           i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(n.embedding[i+1] AS DOUBLE)))
+           / (q.norm * n.norm) AS cos
+         FROM v q JOIN v n ON n.vec_id <> q.vec_id)
+       SELECT q_id, n_id, cos, rnk FROM (
+         SELECT q_id, n_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
+         FROM s) WHERE rnk <= 5 ORDER BY q_id, rnk""") { (s, dir) =>
+      Similarity.knnJoinExact(Tables(s, dir, "embeddings"), k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // Brute-force exact top-10 cosine neighbors for the first 20 vectors.
     // Oracle-checked: the native DotProduct kernel accumulates float→double
     // products in index order, exactly like DuckDB's list_sum over the

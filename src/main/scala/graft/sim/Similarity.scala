@@ -67,6 +67,63 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
   }
 
+  /** Bounded top-k accumulator for (score, id) pairs, ordered score
+    * desc / id asc — map-side combinable, so a kNN JOIN over n vectors
+    * shuffles n·k rows instead of the n² scored pairs a window-rank
+    * formulation would move. Exact doubles + deterministic tie-break →
+    * identical output under any partitioning.
+    */
+  final class TopKByScore(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    require(k >= 1)
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy { case (score, id) => (-score, id) }.take(k)
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(b: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+      if (b.size == k && {
+        val (ls, li) = b.last // k-th best; skip x if strictly worse
+        x._1 < ls || (x._1 == ls && x._2 > li)
+      }) b else trim(b :+ x)
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(a ++ b)
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Exact k-nearest-neighbor JOIN: top-k cosine neighbors for EVERY
+    * corpus vector — the kNN-graph construction under semantic dedup,
+    * cluster audits and label propagation, distinct from the query-SET
+    * search ([[bruteForceTopK]]): here the "query side" is the corpus
+    * itself. Quadratic compute by definition (this is the exact
+    * baseline; the bucketed scale path is `Ivf.search(corpus, corpus)`),
+    * but the DATA MOVEMENT is not quadratic: the inner side broadcasts
+    * (id, vec, norm) once per executor, scored pairs are consumed
+    * map-side by the bounded [[TopKByScore]] accumulator, and the one
+    * shuffle carries n·k (id, score) entries — never the n² pair
+    * stream a window-rank over all pairs would move.
+    */
+  def knnJoinExact(corpus: DataFrame, k: Int = 5,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_norm"))
+    val q = corpus.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"))
+    val topk = udaf(new TopKByScore(k))
+    q.join(broadcast(n), col("q_id") =!= col("n_id"))
+      .select(col("q_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cos"),
+        col("n_id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("n_id")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), col("col._2").as("n_id"), col("col._1").as("cos"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplanes (seeded). */
   private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

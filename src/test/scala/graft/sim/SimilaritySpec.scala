@@ -45,6 +45,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnJoinExact ≡ the window-rank formulation, under any partitioning") {
+    val emb = Tables(spark, sfDir, "embeddings").limit(120)
+    // the proven path: bruteForceTopK with queries = corpus (window rank)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val want = Similarity.bruteForceTopK(emb, emb, k = 5)
+      .collect().map(key).toSet
+    for (parts <- Seq(1, 13)) {
+      val got = Similarity.knnJoinExact(emb.repartition(parts), k = 5)
+        .collect().map(key).toSet
+      assert(got == want, s"parts=$parts: sets differ (${got.size} vs ${want.size})")
+    }
+  }
+
+  test("TopKByScore: bounded buffer, deterministic ties, merge associativity") {
+    val agg = new Similarity.TopKByScore(3)
+    val xs = Seq((0.5, 7L), (0.9, 2L), (0.5, 1L), (0.9, 9L), (0.1, 4L), (0.9, 2L))
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(whole == Seq((0.9, 2L), (0.9, 2L), (0.9, 9L)))
+    // any split point merges to the same top-k
+    for (cut <- 0 to xs.size) {
+      val (l, r) = xs.splitAt(cut)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(m == whole, s"cut=$cut")
+    }
+  }
+
   test("lshTopK achieves useful recall against brute force") {
     val emb = Tables(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 20)
