@@ -1086,6 +1086,31 @@ object CorpusQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // Bucketed kNN graph with its recall measured IN-ENGINE each round
+    // (the ann_ivf_recall shape, applied to the graph case): for
+    // nProbe ∈ {1, 2, 4}, the fraction of the oracle-green exact top-5
+    // edges (emb_knn_join) that Ivf.knnGraph recovers. Rows-only by
+    // nature (recall < 1 by construction at partial probe); IvfSpec pins
+    // knnGraph row-identical to Ivf.search(corpus, corpus) and gates
+    // recall on a clustered corpus.
+    Q.unchecked("emb_knn_graph") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val model = ivfModel(s, dir, nCentroids = 16, dim = 64, iters = 2)
+      val exact = Similarity.knnJoinExact(emb, k = 5)
+        .select(col("q_id"), col("n_id"))
+      val denom = exact.agg(count(lit(1)).as("n_exact"))
+      Seq(1, 2, 4).map { p =>
+        graft.sim.Ivf.knnGraph(emb, model, k = 5, nProbe = p)
+          .select(lit(p).as("n_probe"), col("q_id"), col("n_id"))
+      }.reduce(_ unionByName _)
+        .join(exact, Seq("q_id", "n_id")) // recovered edges
+        .groupBy(col("n_probe")).agg(count(lit(1)).as("hits"))
+        .crossJoin(denom) // 3 × 1-row aggregate
+        .select(col("n_probe"),
+          (col("hits") / col("n_exact")).as("recall_at_5"))
+        .orderBy(col("n_probe"))
+    },
+
     // Brute-force exact top-10 cosine neighbors for the first 20 vectors.
     // Oracle-checked: the native DotProduct kernel accumulates float→double
     // products in index order, exactly like DuckDB's list_sum over the

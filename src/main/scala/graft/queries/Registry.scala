@@ -44,6 +44,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    against an exact sequential reference and proves partition
   *    invariance. The non-iterative tokenizer surfaces it feeds
   *    (`doc_vocab_top`, `doc_bpe_tokens`) ARE oracle-checked.
+  *  - `emb_knn_graph` — same META shape for the bucketed kNN graph:
+  *    recall@5 of `Ivf.knnGraph` per probe depth against the
+  *    oracle-green exact join (`emb_knn_join`); IvfSpec additionally
+  *    pins knnGraph row-identical to `Ivf.search(corpus, corpus)`.
   *  - `ann_pq_recall` — same META shape for the IVF-PQ compressed path:
   *    ADC scores are approximate by construction (quantization error), so
   *    the query measures recall against the oracle-exact brute-force

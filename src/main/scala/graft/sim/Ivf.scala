@@ -166,6 +166,50 @@ object Ivf {
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
   }
 
+  /** Bucketed kNN-GRAPH construction — [[search]] with queries = corpus,
+    * but with the final ranking consumed map-side by the bounded
+    * [[Similarity.TopKByScore]] Aggregator instead of a window rank.
+    * The distinction matters precisely in the graph case: every vector is
+    * a query, so the window formulation would shuffle and sort the FULL
+    * candidate stream (n·nProbe·avgListSize rows), while the Aggregator
+    * combines to ≤ k entries per vector before its one shuffle — n·k data
+    * movement on top of the two ID-join repartitions, independent of list
+    * skew. Candidate generation is identical to [[search]]: each vector
+    * sits in exactly one inverted list, so a (q, n) pair arises at most
+    * once per probe hit and needs no dropDuplicates.
+    *
+    * Row-identical to `search(corpus, corpus, model, k, nProbe)` —
+    * same candidates, same (cos desc, id asc) selection (IvfSpec).
+    * The exact counterpart (recall denominator) is
+    * [[Similarity.knnJoinExact]].
+    */
+  def knnGraph(corpus: DataFrame, model: IvfModel, k: Int = 5, nProbe: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val flat = model.flat
+    val assigned = corpus.select(col(idCol).as("n_id"),
+      element_at(VectorExpressions.nearestCentroids(
+        col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"))
+    val probes = corpus.select(col(idCol).as("q_id"),
+        explode(VectorExpressions.nearestCentroids(
+          col(vecCol), flat, model.k, model.dim, nProbe)).as("cluster"))
+    def side(role: String): DataFrame =
+      corpus.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
+        Similarity.l2Norm(col(vecCol)).as(s"${role}_norm"))
+    val topk = udaf(new Similarity.TopKByScore(k))
+    assigned.join(probes, "cluster")
+      .filter(col("q_id") =!= col("n_id"))
+      .join(side("q"), "q_id").join(side("n"), "n_id")
+      .select(col("q_id"),
+        (Similarity.dot(col("q_vec"), col("n_vec")) /
+          (col("q_norm") * col("n_norm"))).as("cos"),
+        col("n_id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("n_id")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), col("col._2").as("n_id"), col("col._1").as("cos"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** [[search]] at SEVERAL probe depths in one pass — the recall-curve /
     * parameter-sweep shape. A candidate (q, n) is reachable at depth p iff
     * n's list is among q's top-p probes, i.e. iff the MINIMUM probe rank

@@ -113,6 +113,45 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.9, s"clustered-corpus recall@10 at nProbe=4 was $recall")
   }
 
+  test("knnGraph: row-identical to search(corpus, corpus); clustered recall ≥ 0.9") {
+    // same candidates, same (cos desc, id asc) selection — the Aggregator
+    // formulation must change NOTHING about the results, only the shuffle
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val dim = 32
+    val emb = (0 until 300)
+      .map(i => (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val model = Ivf.train(emb, nCentroids = 8, dim = dim, iters = 2)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    for (p <- Seq(1, 3, 8)) {
+      val graph = key(Ivf.knnGraph(emb, model, k = 5, nProbe = p))
+      val win = key(Ivf.search(emb, emb, model, k = 5, nProbe = p))
+      assert(graph == win, s"nProbe=$p: graph diverged from window search")
+      assert(graph.nonEmpty)
+    }
+
+    // on a clustered corpus (why IVF works), the partial-probe graph
+    // recovers ≥0.9 of the exact top-5 edges
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextGaussian()))
+    def point(c: Array[Double]): Array[Float] = {
+      val v = c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val clustered = (0 until 800).map(i => (i.toLong, point(centers(i % 16))))
+      .toDF("vec_id", "embedding")
+    val m2 = Ivf.train(clustered, nCentroids = 16, dim = 64, iters = 3)
+    val exact = Similarity.knnJoinExact(clustered, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Ivf.knnGraph(clustered, m2, k = 5, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    info(s"clustered kNN-graph recall@5 at nProbe=4/16: $recall")
+    assert(recall >= 0.9, s"clustered kNN-graph recall@5 was $recall")
+  }
+
   test("searchMulti: row-identical to per-depth search at every probe depth") {
     // the min-probe-rank factoring shares one assignment scan across
     // depths; this pins that it changes NOTHING about the results
