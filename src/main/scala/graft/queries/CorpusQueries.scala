@@ -6,7 +6,7 @@ import graft.gen.ZipfCorpus
 import graft.mm.Multimodal
 import graft.sim.Similarity
 import graft.source.Tables
-import graft.text.{Dedup, Text}
+import graft.text.{Dedup, Entity, Text}
 
 /** Driver-checkable queries over the corpus tables (`documents`,
   * `embeddings`): dedup, text analysis, similarity search, multimodal
@@ -1341,5 +1341,26 @@ object CorpusQueries {
         .unionByName(Multimodal.pngFixtureMedia(s))
         .as[Multimodal.MediaRow]
       Multimodal.decodeFeatures(media).toDF().orderBy(col("media_id"))
+    },
+
+    // Entity resolution: fuzzy customer pairs within nation blocks —
+    // names within 2 Levenshtein edits, each unordered pair once. The
+    // blocked self-join is the classic Fellegi–Sunter candidate shape:
+    // quadratic only within a block, with the length pre-filter ahead of
+    // the bounded-threshold DP and grid salting on oversized blocks
+    // (EntitySpec). Both engines compute classic unit-cost edit distance,
+    // so the integer distances hash-match exactly.
+    Q("cust_fuzzy_pairs",
+      """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+         CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+           AND levenshtein(a.c_name, b.c_name) <= 2
+         ORDER BY a_id, b_id""") { (s, dir) =>
+      Entity.editDistancePairs(Tables(s, dir, "customer"), maxDist = 2,
+          idCol = "c_custkey", strCol = "c_name",
+          blockCols = Seq("c_nationkey"))
+        .orderBy(col("a_id"), col("b_id"))
     })
 }

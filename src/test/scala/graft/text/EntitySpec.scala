@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.source.Tables
+
+class EntitySpec extends SparkSpec {
+
+  /** Classic unit-cost Levenshtein, driver-side — the independent
+    * reference the distributed plan must reproduce exactly.
+    */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length) {
+      val sub = d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1), sub)
+    }
+    d(a.length)(b.length)
+  }
+
+  private def quadraticReference(rows: Seq[(Long, String, Int)],
+                                 maxDist: Int): Set[(Long, Long, Int)] =
+    (for {
+      (aId, aS, aB) <- rows; (bId, bS, bB) <- rows
+      if aB == bB && aId < bId
+      d = lev(aS, bS) if d <= maxDist
+    } yield (aId, bId, d)).toSet
+
+  test("editDistancePairs ≡ quadratic per-block reference on the fixture") {
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val rows = cust.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    val want = quadraticReference(rows, maxDist = 2)
+    val got = Entity.editDistancePairs(cust, maxDist = 2,
+        idCol = "c_custkey", strCol = "c_name",
+        blockCols = Seq("c_nationkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(want.nonEmpty, "degenerate fixture: no fuzzy pairs at all")
+    assert(got == want, s"sets differ: got ${got.size}, want ${want.size}")
+  }
+
+  test("grid-salted hot blocks ≡ plain join (lossless), multi-column block key") {
+    import spark.implicits._
+    // one deliberately hot block (120 near-identical names) next to cold
+    // ones, keyed by a TWO-column block
+    val hot = (0 until 120).map(i =>
+      (i.toLong, f"Acme Corp $i%03d", "us", 1))
+    val cold = (200 until 230).map(i =>
+      (i.toLong, f"Zenith Ltd $i%03d", "de", 2))
+    val df = (hot ++ cold).toDF("id", "name", "country", "seg")
+    def run(cap: Int) = Entity.editDistancePairs(df, maxDist = 2,
+        idCol = "id", strCol = "name", blockCols = Seq("country", "seg"),
+        hotBlockCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val plain = run(1000000) // nothing hot: plain block join
+    val salted = run(10)     // hot path forced for the 120-row block
+    assert(plain.nonEmpty)
+    assert(salted == plain, "grid salting changed the result set")
+    // and both equal the quadratic reference
+    val rows = (hot ++ cold).map { case (id, n, c, s) => (id, n, c.hashCode * 31 + s) }
+    assert(plain == quadraticReference(rows, maxDist = 2))
+  }
+
+  test("pairs respect block boundaries even for identical strings") {
+    import spark.implicits._
+    val df = Seq((1L, "same name", 1), (2L, "same name", 2))
+      .toDF("id", "name", "blk")
+    val got = Entity.editDistancePairs(df, maxDist = 2,
+      idCol = "id", strCol = "name", blockCols = Seq("blk")).count()
+    assert(got == 0, "identical strings in different blocks must not pair")
+  }
+}
