@@ -1343,6 +1343,28 @@ object CorpusQueries {
       Multimodal.decodeFeatures(media).toDF().orderBy(col("media_id"))
     },
 
+    // Inverted index: token → (df, tf, capped posting list) — the
+    // retrieval structure behind exact-term search and contamination
+    // audits. Per-doc term counts combine map-side on (token, doc_id);
+    // the per-token rollup caps posting lists at 20 ids through the
+    // bounded BottomKIds aggregator BEFORE the shuffle, so stopwords
+    // never funnel their full document list onto one reducer. df/tf are
+    // exact; the posting sample is the smallest-20 ids, identical in
+    // both engines.
+    Q("doc_inverted_index",
+      """WITH td AS (
+           SELECT token, doc_id, COUNT(*) AS tf_doc FROM (
+             SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+             FROM documents) WHERE token <> '' GROUP BY token, doc_id)
+         SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf_doc) AS BIGINT) AS tf,
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',')
+             AS postings
+         FROM td GROUP BY token ORDER BY token""") { (s, dir) =>
+      Text.invertedIndex(Tables(s, dir, "documents"), postingCap = 20)
+        .orderBy(col("token"))
+    },
+
     // Entity resolution: fuzzy customer pairs within nation blocks —
     // names within 2 Levenshtein edits, each unordered pair once. The
     // blocked self-join is the classic Fellegi–Sunter candidate shape:

@@ -592,4 +592,53 @@ object Text {
         max(col("n_tokens")).as("max_tokens"),
         sum(col("n_chars")).as("sum_chars"))
   }
+
+  /** Bounded smallest-k accumulator for ids — map-side combinable, so a
+    * posting list caps at `k` entries per partition BEFORE the token's
+    * one shuffle, instead of funneling a stopword's full document list
+    * onto one reducer the way `collect_list` would.
+    */
+  final class BottomKIds(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(k >= 1)
+    override def zero: Seq[Long] = Seq.empty
+    override def reduce(b: Seq[Long], x: Long): Seq[Long] =
+      if (b.size == k && x > b.last) b else (b :+ x).sorted.take(k)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      (a ++ b).sorted.take(k)
+    override def finish(r: Seq[Long]): Seq[Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Inverted index: token → (document frequency, total term frequency,
+    * first-`postingCap` posting list) — the retrieval structure a
+    * curation pipeline builds for exact-term search, contamination
+    * audits ("which documents mention this benchmark?") and boolean
+    * filtering.
+    *
+    * Scale shape: per-doc term counts map-side-combine on (token,
+    * doc_id) — a document's repetitions of a token never leave the scan
+    * task; the per-token rollup then aggregates counts plus a
+    * [[BottomKIds]]-capped posting list, so the one shuffle carries ≤
+    * `postingCap` ids per token even for stopwords that occur in every
+    * document. `df`/`tf` stay exact (uncapped); only the materialized
+    * posting sample truncates, as every practical index does.
+    */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame,
+                    postingCap: Int): org.apache.spark.sql.DataFrame = {
+    require(postingCap >= 1)
+    val bottomK = udaf(new BottomKIds(postingCap))
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf_doc"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf_doc")).as("tf"),
+        bottomK(col("doc_id")).as("ids"))
+      .select(col("token"), col("df"), col("tf"),
+        array_join(col("ids"), ",").as("postings"))
+  }
 }

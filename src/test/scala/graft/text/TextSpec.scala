@@ -415,4 +415,37 @@ class TextSpec extends SparkSpec {
     val got = Text.bpeMerges(Seq("a b a b").toDF("text"), nMerges = 5)
     assert(got.collect().isEmpty)
   }
+
+  test("invertedIndex: exact df/tf, capped sorted postings, partition-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "alpha beta alpha"),   // alpha tf=2 here
+      (3L, "alpha gamma"),
+      (7L, "beta beta beta"),
+      (1L, "alpha")
+    ).toDF("doc_id", "text")
+    def run(parts: Int) =
+      Text.invertedIndex(docs.repartition(parts), postingCap = 2)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+    val want = Set(
+      ("alpha", 3L, 4L, "1,3"),   // in docs 1,3,10 → capped to smallest 2
+      ("beta", 2L, 4L, "7,10"),
+      ("gamma", 1L, 1L, "3"))
+    assert(run(1) == want)
+    assert(run(5) == want, "posting cap must be deterministic under partitioning")
+  }
+
+  test("BottomKIds: bounded buffer, merge associativity at any split") {
+    val agg = new Text.BottomKIds(3)
+    val xs = Seq(9L, 2L, 7L, 2L, 11L, 1L, 5L)
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(whole == Seq(1L, 2L, 2L))
+    for (cut <- 0 to xs.size) {
+      val (l, r) = xs.splitAt(cut)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(m == whole, s"cut=$cut")
+    }
+  }
 }
