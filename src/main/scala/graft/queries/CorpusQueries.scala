@@ -1365,6 +1365,42 @@ object CorpusQueries {
         .orderBy(col("token"))
     },
 
+    // BM25 retrieval over the corpus: top-10 documents for the query
+    // {hash, join, stream} — the ranked-search surface the inverted
+    // index indexes. Rational idf (N−df+½)/(df+½), no libm ln (the
+    // tfidf determinism trick); per-term scores pivot to a FIXED column
+    // order so the float sum is partition-invariant; k1=1.2, b=0.75
+    // folded into literals both engines parse identically. Term filter
+    // runs scan-side; df and corpus stats are 1-row/3-row broadcasts;
+    // the top-k plans as TakeOrdered.
+    Q("doc_bm25_topk",
+      """WITH dl AS (SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS dl
+           FROM documents),
+         stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+             SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+             FROM documents)
+           WHERE token IN ('hash', 'join', 'stream') GROUP BY doc_id, token),
+         df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         sc AS (SELECT tf.doc_id, tf.token,
+           ((n - df + 0.5) / (df + 0.5)) *
+             ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) AS s
+           FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+         p AS (SELECT doc_id,
+           COALESCE(MAX(CASE WHEN token = 'hash' THEN s END), 0) +
+           COALESCE(MAX(CASE WHEN token = 'join' THEN s END), 0) +
+           COALESCE(MAX(CASE WHEN token = 'stream' THEN s END), 0) AS score
+           FROM sc GROUP BY doc_id)
+         SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+         FROM p ORDER BY score DESC, doc_id LIMIT 10""") { (s, dir) =>
+      Text.bm25TopK(Tables(s, dir, "documents"),
+          terms = Seq("hash", "join", "stream"), topK = 10)
+        .orderBy(col("score").desc, col("doc_id"))
+    },
+
     // Entity resolution: fuzzy customer pairs within nation blocks —
     // names within 2 Levenshtein edits, each unordered pair once. The
     // blocked self-join is the classic Fellegi–Sunter candidate shape:

@@ -627,6 +627,53 @@ object Text {
     * document. `df`/`tf` stay exact (uncapped); only the materialized
     * posting sample truncates, as every practical index does.
     */
+  /** BM25 retrieval: top-`topK` documents for a bag of query terms —
+    * the ranked-search surface over the corpus the inverted index
+    * indexes. Uses the RATIONAL idf (N − df + ½)/(df + ½) instead of
+    * its logarithm — the same no-libm determinism trick as
+    * [[tfidfTopTerms]]: every op is one IEEE add/mul/div of exact
+    * inputs, so both engines emit identical bits (ln is not
+    * correctly-rounded-guaranteed across libms). Ranking quality for a
+    * FIXED query is what the saturation term supplies; the idf transform
+    * only reweights terms monotonically.
+    *
+    * Scale shape: the term filter runs scan-side on the exploded tokens
+    * (no shuffle admits a non-query token), per-(doc, term) counts
+    * map-side-combine, df and the (N, avgdl) stats are
+    * bounded-cardinality broadcasts, per-term scores pivot to a FIXED
+    * column order so the float sum is deterministic under any
+    * partitioning, and the top-k plans as a distributed TakeOrdered.
+    * k1 = 1.2, b = 0.75 (the standard Robertson constants), folded into
+    * the literals 2.2 / 1.2 / 0.25 / 0.75 so both engines parse the
+    * exact same doubles.
+    */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
+               topK: Int): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct, "terms: non-empty, unique")
+    import org.apache.spark.sql.expressions.Window
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = ((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))
+    val sat = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+    val scored = tf.join(broadcast(dfreq), "token").join(dl, "doc_id")
+      .crossJoin(broadcast(stats)) // 1-row aggregate
+      .select(col("doc_id"), col("token"), (idf * sat).as("s"))
+    val pivots = terms.map(t => max(when(col("token") === t, col("s"))).as(s"s_$t"))
+    val score = terms.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduceLeft(_ + _)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scored.groupBy(col("doc_id")).agg(pivots.head, pivots.tail: _*)
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(topK)
+      .withColumn("rnk", row_number().over(w).cast("int")) // ≤ topK rows
+  }
+
   def invertedIndex(docs: org.apache.spark.sql.DataFrame,
                     postingCap: Int): org.apache.spark.sql.DataFrame = {
     require(postingCap >= 1)

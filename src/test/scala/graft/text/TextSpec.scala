@@ -437,6 +437,29 @@ class TextSpec extends SparkSpec {
     assert(run(5) == want, "posting cap must be deterministic under partitioning")
   }
 
+  test("bm25TopK: saturation + length normalization rank as BM25 must, partition-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join stream"),                        // all 3 terms, short
+      (2L, "hash hash hash hash"),                     // one term repeated
+      (3L, "hash join " + ("filler " * 50).trim),      // 2 terms, long doc
+      (4L, "scan sort merge"),                         // no query terms
+      (5L, "stream join hash stream")                  // all 3, one repeat
+    ).toDF("doc_id", "text")
+    def run(parts: Int) =
+      Text.bm25TopK(docs.repartition(parts), Seq("hash", "join", "stream"), topK = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val got = run(1)
+    val byId = got.map(t => t._1 -> t._2).toMap
+    assert(!byId.contains(4L), "doc with no query terms must not score")
+    assert(got.map(_._1).take(2).toSet == Set(1L, 5L),
+      s"3-term docs must outrank partial matches: $got")
+    assert(byId(2L) < byId(1L), "term repetition must saturate below coverage")
+    assert(byId(3L) < byId(1L), "length normalization must damp the long doc")
+    // float sum over pivoted fixed-order columns → identical under any partitioning
+    assert(run(7) == got, "scores must be bit-identical under repartition")
+  }
+
   test("BottomKIds: bounded buffer, merge associativity at any split") {
     val agg = new Text.BottomKIds(3)
     val xs = Seq(9L, 2L, 7L, 2L, 11L, 1L, 5L)
