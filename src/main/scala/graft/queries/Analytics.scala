@@ -946,5 +946,50 @@ object Analytics {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy(col("event_type"))
+    },
+
+    // Item-item co-occurrence (the "users who touched X touched Y"
+    // item-similarity matrix recommenders and co-view audits build):
+    // distinct (user, item) pairs, per-user basket capped at 50 items by
+    // deterministic rank — the guard that keeps the within-user
+    // self-join sub-quadratic when one account touches millions of items
+    // (the standard co-view cap; lossless here, fixture max is 67 → the
+    // cap BITES and both engines drop the same rows). Pair counts
+    // map-side-combine; cosine n_ab/√(n_a·n_b) is one sqrt + one
+    // division of exact BIGINTs, bit-identical in both engines; support
+    // ≥ 5 bounds the output to genuinely co-consumed pairs.
+    Q("ev_item_cooccurrence",
+      """WITH ui AS (SELECT DISTINCT user_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS item FROM events),
+         c AS (SELECT user_id, item FROM (SELECT user_id, item,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item) AS rn
+             FROM ui) WHERE rn <= 50),
+         n AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY item),
+         p AS (SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+           FROM c a JOIN c b ON a.user_id = b.user_id AND a.item < b.item
+           GROUP BY 1, 2)
+         SELECT item_a, item_b, n_ab, n_ab / sqrt(na.n * nb.n) AS cosine
+         FROM p JOIN n na ON na.item = p.item_a
+                JOIN n nb ON nb.item = p.item_b
+         WHERE n_ab >= 5 ORDER BY item_a, item_b""") { (s, dir) =>
+      val ui = Tables.events(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("item"))
+      val capped = ui.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50).drop("rn")
+      val itemN = capped.groupBy(col("item")).agg(count(lit(1)).as("n"))
+      val a = capped.toDF("user_id", "item_a")
+      val b = capped.toDF("user_id", "item_b")
+      a.join(b, Seq("user_id")).filter(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+        .join(itemN.toDF("item_a", "na"), "item_a")
+        .join(itemN.toDF("item_b", "nb"), "item_b")
+        .select(col("item_a"), col("item_b"), col("n_ab"),
+          (col("n_ab") / sqrt(col("na") * col("nb"))).as("cosine"))
+        .orderBy(col("item_a"), col("item_b"))
     })
 }
