@@ -1365,6 +1365,46 @@ object CorpusQueries {
         .orderBy(col("token"))
     },
 
+    // Graph audit of the near-dup pair graph: per-vertex triangle counts
+    // and local clustering coefficients. Dup clusters are cliques, so
+    // clustering ≈ 1 is the healthy signature; a high-degree low-
+    // clustering vertex is a hub stitching unrelated groups — the
+    // classic near-dup false-positive smell. Engine side enumerates each
+    // triangle once at its (degree, id)-minimal vertex over degree-
+    // oriented edges (wedge volume O(m^1.5) regardless of hub degree);
+    // the oracle 3-way-joins the same PPJoin-proven edge set directly.
+    // Exact integers + one guarded division → bit-identical.
+    Q("doc_dup_triangles",
+      """WITH d AS (SELECT doc_id, lang, source,
+           list_distinct(regexp_split_to_array(text, '\s+')) AS w FROM documents),
+         e AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.w, b.w)) /
+               (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8),
+         sym AS (SELECT a_id AS u, b_id AS v FROM e
+                 UNION ALL SELECT b_id, a_id FROM e),
+         deg AS (SELECT u AS v_id, CAST(COUNT(*) AS BIGINT) AS deg
+                 FROM sym GROUP BY 1),
+         tri AS (SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+           FROM e e1 JOIN e e2 ON e2.a_id = e1.b_id
+                     JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+         tc AS (SELECT v_id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+             SELECT x AS v_id FROM tri UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri) GROUP BY 1)
+         SELECT deg.v_id, deg.deg,
+           COALESCE(tc.triangles, 0) AS triangles,
+           CASE WHEN deg.deg >= 2 THEN
+             CAST(2 * COALESCE(tc.triangles, 0) AS DOUBLE)
+               / (deg.deg * (deg.deg - 1))
+           ELSE 0.0 END AS clustering
+         FROM deg LEFT JOIN tc USING (v_id) ORDER BY v_id""") { (s, dir) =>
+      val edges = Dedup.prefixJaccardPairs(Tables(s, dir, "documents"),
+          blockCols = Seq("lang", "source"), threshold = 0.8)
+        .select(col("a_id"), col("b_id"))
+      graft.ops.Graph.triangleStats(edges).orderBy(col("v_id"))
+    },
+
     // BM25 retrieval over the corpus: top-10 documents for the query
     // {hash, join, stream} — the ranked-search surface the inverted
     // index indexes. Rational idf (N−df+½)/(df+½), no libm ln (the

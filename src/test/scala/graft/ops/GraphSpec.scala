@@ -99,4 +99,49 @@ class GraphSpec extends SparkSpec {
     assert(r("a") == teleport) // no incoming edges → teleport only
     assert(r("b") > r("a") && r("c") > r("b"))
   }
+
+  test("triangleStats ≡ brute-force enumeration on a random graph, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val edgeSet = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L if rnd.nextDouble() < 0.15
+    } yield (a, b)).toSeq
+    val want: Map[Long, (Long, Long)] = { // v → (deg, triangles)
+      val nbrs = (edgeSet.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+        .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+      nbrs.map { case (v, ns) =>
+        val tri = ns.toSeq
+          .map(x => ns.count(y => x < y && nbrs(x).contains(y))).sum.toLong
+        v -> (ns.size.toLong, tri)
+      }
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = Graph.triangleStats(
+          edgeSet.toDF("a_id", "b_id").repartition(parts))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(got.keySet == want.keySet, s"parts=$parts: vertex sets differ")
+      want.foreach { case (v, (d, t)) =>
+        val (gd, gt, gc) = got(v)
+        assert(gd == d && gt == t, s"parts=$parts v=$v: ($gd,$gt) != ($d,$t)")
+        val expC = if (d >= 2) 2.0 * t / (d * (d - 1)) else 0.0
+        assert(gc == expC, s"parts=$parts v=$v clustering")
+      }
+    }
+  }
+
+  test("triangleStats: clique is all-triangles, star is none — hub degree safe") {
+    import spark.implicits._
+    // K5 clique (ids 0-4) + a 20-leaf star at hub 100
+    val clique = for { a <- 0L until 5L; b <- (a + 1) until 5L } yield (a, b)
+    val star = (1L to 20L).map(l => (100L, 100L + l))
+    val got = Graph.triangleStats((clique ++ star).toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    (0L until 5L).foreach { v =>
+      assert(got(v) == ((4L, 6L, 1.0)), s"clique vertex $v") // C(4,2) wedges all closed
+    }
+    assert(got(100L) == ((20L, 0L, 0.0)), "star hub has no triangles")
+    assert(got(101L) == ((1L, 0L, 0.0)), "leaf")
+  }
 }
