@@ -948,6 +948,75 @@ object Analytics {
         .orderBy(col("event_type"))
     },
 
+    // Declarative data-quality gate (the Deequ/dbt-test shape): each
+    // check reduces its table to one (check, total, violations,
+    // pass_rate) row — conditional aggregates, a distinct-count, and two
+    // key-only anti-joins; violations never materialize row-level. The
+    // range check is deliberately failing (value ≤ 250 clips the real
+    // tail) so the report proves it counts, not just passes.
+    Q("data_quality_report",
+      """WITH rows AS (
+           SELECT 'documents_text_nonempty' AS check_name,
+             CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+               AS BIGINT) AS violations FROM documents
+           UNION ALL
+           SELECT 'events_event_id_unique', COUNT(*),
+             COUNT(*) - COUNT(DISTINCT event_id) FROM events
+           UNION ALL
+           SELECT 'events_type_in_set', COUNT(*),
+             SUM(CASE WHEN event_type NOT IN
+               ('click', 'view', 'purchase', 'signup', 'error')
+               THEN 1 ELSE 0 END) FROM events
+           UNION ALL
+           SELECT 'events_user_id_not_null', COUNT(*),
+             SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) FROM events
+           UNION ALL
+           SELECT 'events_value_in_range', COUNT(*),
+             SUM(CASE WHEN value < 0 OR value > 250 THEN 1 ELSE 0 END)
+             FROM events
+           UNION ALL
+           SELECT 'lineitem_orderkey_refs_orders',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+           UNION ALL
+           SELECT 'lineitem_quantity_positive', COUNT(*),
+             SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) FROM lineitem
+           UNION ALL
+           SELECT 'orders_custkey_refs_customer',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+         SELECT check_name, CAST(total AS BIGINT) AS total,
+           CAST(violations AS BIGINT) AS violations,
+           CAST(total - violations AS DOUBLE) / total AS pass_rate
+         FROM rows ORDER BY check_name""") { (s, dir) =>
+      import graft.ops.Quality
+      import graft.ops.Quality.{Predicate, RefIntegrity, Unique}
+      val events = Tables.events(s, dir)
+      val docs = Tables(s, dir, "documents")
+      val orders = Tables(s, dir, "orders")
+      val lineitem = Tables(s, dir, "lineitem")
+      val customer = Tables(s, dir, "customer")
+      Quality.report(Seq(
+        Predicate("documents_text_nonempty", docs,
+          col("text").isNull || trim(col("text")) === ""),
+        Unique("events_event_id_unique", events, Seq("event_id")),
+        Predicate("events_type_in_set", events,
+          !col("event_type").isin("click", "view", "purchase", "signup", "error")),
+        Predicate("events_user_id_not_null", events, col("user_id").isNull),
+        Predicate("events_value_in_range", events,
+          col("value") < 0 || col("value") > 250),
+        RefIntegrity("lineitem_orderkey_refs_orders",
+          lineitem, "l_orderkey", orders, "o_orderkey"),
+        Predicate("lineitem_quantity_positive", lineitem,
+          col("l_quantity") <= 0),
+        RefIntegrity("orders_custkey_refs_customer",
+          orders, "o_custkey", customer, "c_custkey")))
+        .orderBy(col("check_name"))
+    },
+
     // Item-item co-occurrence (the "users who touched X touched Y"
     // item-similarity matrix recommenders and co-view audits build):
     // distinct (user, item) pairs, per-user basket capped at 50 items by
