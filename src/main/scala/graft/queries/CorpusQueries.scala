@@ -1458,7 +1458,10 @@ object CorpusQueries {
          ORDER BY a_id, b_id""") { (s, dir) =>
       Entity.editDistancePairs(Tables(s, dir, "customer"), maxDist = 2,
           idCol = "c_custkey", strCol = "c_name",
-          blockCols = Seq("c_nationkey"))
+          blockCols = Seq("c_nationkey"),
+          // customer is one parquet split at every fixture sf — without
+          // spreading the probe, ONE task would run all block² DPs
+          probePartitions = s.sessionState.conf.numShufflePartitions)
         .orderBy(col("a_id"), col("b_id"))
     })
 }

@@ -22,8 +22,11 @@ object Entity {
     *  - `abs(len(a) − len(b)) ≤ maxDist` prunes before the O(len·maxDist)
     *    dynamic program runs — lossless, since edit distance is bounded
     *    below by the length difference;
-    *  - the bounded `levenshtein(a, b, threshold)` form early-exits once
-    *    a row of the DP matrix exceeds `maxDist` (codegen'd, no UDF);
+    *  - the bounded-distance verify is the native
+    *    [[graft.functions.TextExpressions.EditDistanceWithin]] kernel:
+    *    common-affix strip + banded DP, `levenshtein(a, b, threshold)`
+    *    semantics at a fraction of its cost on the near-identical
+    *    strings a fuzzy-match block contains by construction;
     *  - blocks above `hotBlockCap` rows go through the lossless
     *    grid-salted self-join the dedup pipelines use ([[Dedup]]): a row
     *    with group g replicates to cells (g,·)/(·,g), every pair meets in
@@ -35,12 +38,20 @@ object Entity {
   def editDistancePairs(records: DataFrame, maxDist: Int,
                         idCol: String, strCol: String,
                         blockCols: Seq[String],
-                        hotBlockCap: Int = 100000): DataFrame = {
+                        hotBlockCap: Int = 100000,
+                        probePartitions: Int = 0): DataFrame = {
     require(blockCols.nonEmpty, "blocking columns are the scale contract")
     val slim = records.select(
       (col(idCol).as("id") +: col(strCol).as("s") +:
         blockCols.map(c => col(c))): _*)
-    val a = slim.toDF(("a_id" +: "a_s" +: blockCols): _*)
+    // When `records` is dimension-sized, the other side broadcasts and
+    // the probe side's SCAN parallelism caps the whole pair generation —
+    // a table under files.maxPartitionBytes is ONE task doing every DP.
+    // probePartitions > 0 spreads it round-robin first (a shuffle of the
+    // slim columns only; pointless — leave 0 — when the probe side is
+    // large enough to arrive in many splits).
+    val probe = if (probePartitions > 0) slim.repartition(probePartitions) else slim
+    val a = probe.toDF(("a_id" +: "a_s" +: blockCols): _*)
     val b = slim.toDF(("b_id" +: "b_s" +: blockCols): _*)
     // single-column fingerprint of the block key, used ONLY to route
     // rows to the hot (salted) vs cold path — the joins below always
@@ -71,7 +82,8 @@ object Entity {
     joined
       .filter(col("a_id") < col("b_id"))
       .filter(abs(length(col("a_s")) - length(col("b_s"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("a_s"), col("b_s"), maxDist))
+      .withColumn("dist", graft.functions.TextExpressions
+        .editDistanceWithin(col("a_s"), col("b_s"), maxDist))
       .filter(col("dist") >= 0) // bounded form yields −1 above threshold
       .select(col("a_id"), col("b_id"), col("dist"))
   }

@@ -65,6 +65,31 @@ class EntitySpec extends SparkSpec {
     assert(plain == quadraticReference(rows, maxDist = 2))
   }
 
+  test("EditDistanceWithin kernel ≡ Spark's levenshtein(l, r, threshold) on random strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31337)
+    val alphabet = "abcd#0é"
+    def randStr() = (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val pairs = (0 until 4000).map { _ =>
+      val a = randStr()
+      // half the pairs are mutations of a (the near-dup regime), half independent
+      val b = if (rnd.nextBoolean()) randStr()
+        else a.zipWithIndex.map { case (c, _) =>
+          if (rnd.nextDouble() < 0.2) alphabet(rnd.nextInt(alphabet.length)) else c
+        }.mkString
+      (a, b)
+    } :+ (("", "")) :+ (("", "abc")) :+ (("same", "same")) :+ (("Customer#000000001", "Customer#000000010"))
+    for (d <- Seq(0, 1, 2, 4)) {
+      val diff = pairs.toDF("a", "b")
+        .select(col("a"), col("b"),
+          graft.functions.TextExpressions.editDistanceWithin(col("a"), col("b"), d).as("k"),
+          levenshtein(col("a"), col("b"), d).as("ref"))
+        .filter(col("k") =!= col("ref"))
+        .collect()
+      assert(diff.isEmpty, s"maxDist=$d: kernel diverges on ${diff.take(5).mkString(";")}")
+    }
+  }
+
   test("pairs respect block boundaries even for identical strings") {
     import spark.implicits._
     val df = Seq((1L, "same name", 1), (2L, "same name", 2))
