@@ -544,6 +544,30 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Temperature-weighted mixture sampling (τ = 2): the multilingual
+    // rebalancing pass — English (218 docs) is down-sampled toward the
+    // √-profile while the 64-doc French tail keeps nearly everything,
+    // with rates computed FROM the corpus, not hand-tuned. Integer ⌊√n⌋
+    // weights + an all-integer cross-multiplied keep decision: no float
+    // ever enters, both engines pick the identical sample.
+    Q("doc_temperature_sample",
+      """WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY lang),
+         w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM s),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n,
+           CAST(SUM(w) AS BIGINT) AS big_w FROM w)
+         SELECT doc_id, d.lang
+         FROM documents d JOIN w ON w.lang = d.lang CROSS JOIN tot
+         WHERE (list_reduce(list_transform(range(8),
+             i -> CAST(strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), i + 1, 1)) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) % 1000000) * (big_w * n)
+           < (big_n // 4) * w * 1000000
+         ORDER BY doc_id""") { (s, dir) =>
+      Text.temperatureMixture(Tables(s, dir, "documents"), stratumCol = "lang")
+        .orderBy(col("doc_id"))
+    },
+
     // Asymmetric containment pairs (|A∩B|/|A| ≥ 0.9, directed): the
     // quote/subset-document relation Jaccard misses — a short doc
     // swallowed by a long one scores low Jaccard (length filter prunes

@@ -627,6 +627,40 @@ object Text {
     * document. `df`/`tf` stay exact (uncapped); only the materialized
     * posting sample truncates, as every practical index does.
     */
+  /** Temperature-weighted mixture sampling at τ = 2 — the multilingual
+    * rebalancing trick (sample stratum s with probability ∝ p_s^(1/τ)):
+    * a dominant language/source is down-sampled toward the square-root
+    * profile while tail strata keep nearly everything, without anyone
+    * hand-tuning per-stratum rates the way [[mixtureSample]] requires.
+    *
+    * Determinism: weights are INTEGER square roots (⌊√n⌋ — floor of the
+    * correctly-rounded IEEE sqrt, identical in both engines), and the
+    * keep decision is the all-integer cross-multiplied comparison
+    * `bucket · (W · n_s) < B · w_s · 10⁶` (B = N/budgetDiv docs of
+    * budget, W = Σw) — no float ever enters, so the sample is
+    * bit-reproducible anywhere. Products stay under 2⁶³ for strata up to
+    * ~10⁸ docs at 10⁶-bucket resolution; beyond that ANSI mode fails
+    * loudly rather than sampling silently wrong.
+    *
+    * Scale shape: one stratum-count aggregate (broadcast back), one
+    * scan-side filter — no shuffle of the corpus itself; the cap at
+    * rate 1 falls out of the comparison (RHS ≥ 10⁶·LHS-max when
+    * B·w ≥ W·n).
+    */
+  def temperatureMixture(docs: org.apache.spark.sql.DataFrame,
+                         stratumCol: String,
+                         budgetDiv: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(budgetDiv >= 1)
+    val s = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val w = s.withColumn("w", floor(sqrt(col("n"))).cast("long"))
+    val tot = w.agg(sum(col("n")).as("big_n"), sum(col("w")).as("big_w"))
+    docs.join(broadcast(w), stratumCol).crossJoin(broadcast(tot))
+      .withColumn("bucket", hashModBucket(col("doc_id"), 1000000))
+      .filter(col("bucket") * (col("big_w") * col("n")) <
+        expr(s"big_n div $budgetDiv") * col("w") * lit(1000000L))
+      .select(col("doc_id"), col(stratumCol))
+  }
+
   /** BM25 retrieval: top-`topK` documents for a bag of query terms —
     * the ranked-search surface over the corpus the inverted index
     * indexes. Uses the RATIONAL idf (N − df + ½)/(df + ½) instead of

@@ -460,6 +460,26 @@ class TextSpec extends SparkSpec {
     assert(run(7) == got, "scores must be bit-identical under repartition")
   }
 
+  test("temperatureMixture: head stratum flattened toward √-profile, tail kept; deterministic") {
+    import spark.implicits._
+    // 1600 'head' docs vs 100 'tail' docs — a 16:1 skew
+    val docs = ((0L until 1600L).map(i => (i, "head")) ++
+      (10000L until 10100L).map(i => (i, "tail"))).toDF("doc_id", "lang")
+    def run(parts: Int) =
+      Text.temperatureMixture(docs.repartition(parts), "lang", budgetDiv = 2)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = run(1)
+    assert(run(5) == got, "sample must be identical under any partitioning")
+    val byLang = got.groupBy(_._2).view.mapValues(_.size).toMap
+    val headRate = byLang("head").toDouble / 1600
+    val tailRate = byLang("tail").toDouble / 100
+    // w: head=40, tail=10 → rates ∝ w/n: head 850·40/(50·1600)=0.425,
+    // tail 850·10/(50·100)=1.7 → capped at 1: tail keeps everything
+    assert(tailRate == 1.0, s"tail must be fully kept, was $tailRate")
+    assert(headRate < 0.5 && headRate > 0.3,
+      s"head must be down-sampled near its 0.425 target, was $headRate")
+  }
+
   test("BottomKIds: bounded buffer, merge associativity at any split") {
     val agg = new Text.BottomKIds(3)
     val xs = Seq(9L, 2L, 7L, 2L, 11L, 1L, 5L)
