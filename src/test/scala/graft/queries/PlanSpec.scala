@@ -133,4 +133,34 @@ class PlanSpec extends SparkSpec {
     assert(read.contains("doc_id") && read.contains("text") &&
       !read.contains("lang"), read)
   }
+
+  test("emb_knn_join: inner side broadcasts once; the top-k agg combines map-side") {
+    val p = plan("emb_knn_join")
+    // the n² pair stream must stay inside the broadcast join's stage:
+    // the one data-bearing shuffle is the partial-combined TopKByScore
+    // aggregation (ObjectHashAggregate partial + merge around it)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(600))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "top-k aggregation must run partial (map-side) + merge:\n" + p.take(800))
+  }
+
+  test("doc_inverted_index: text never shuffles; both rollups combine map-side") {
+    val (offenders, lines) = textCarryingExchanges("doc_inverted_index")
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+    // (token, doc_id) tf rollup + per-token df/tf/postings rollup, each
+    // partial+final
+    assert(lines.count(_.contains("HashAggregate")) +
+      lines.count(_.contains("ObjectHashAggregate")) >= 4, lines.take(40).mkString("\n"))
+  }
+
+  test("doc_temperature_sample: stats broadcast back, corpus itself never shuffles") {
+    val p = plan("doc_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    // one Exchange for the stratum-count agg (tiny), one for the final
+    // ORDER BY — the documents scan itself must not repartition
+    val dataExchanges = p.linesIterator.count(l =>
+      l.trim.matches("""\(\d+\) Exchange.*""") || l.trim.startsWith("Exchange"))
+    assert(dataExchanges <= 3, s"$dataExchanges exchanges:\n" + p.take(800))
+  }
 }
