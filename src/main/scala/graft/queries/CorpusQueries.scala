@@ -1465,6 +1465,30 @@ object CorpusQueries {
         .orderBy(col("score").desc, col("doc_id"))
     },
 
+    // Incremental index maintenance: the standing index over the first
+    // half of the corpus absorbs the second half as a new batch — and
+    // must equal the full rebuild, which is what the oracle computes
+    // directly (cap prefix-closure: smallest-k of a union is the
+    // smallest-k of the sides' smallest-k). The ingest-time shape: the
+    // standing side's corpus is never re-read.
+    Q("doc_inverted_index_incremental",
+      """WITH td AS (
+           SELECT token, doc_id, COUNT(*) AS tf_doc FROM (
+             SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+             FROM documents) WHERE token <> '' GROUP BY token, doc_id)
+         SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf_doc) AS BIGINT) AS tf,
+           array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',')
+             AS postings
+         FROM td GROUP BY token ORDER BY token""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val standing = Text.invertedIndex(docs.filter(col("doc_id") < 250),
+        postingCap = 20)
+      Text.invertedIndexMerge(standing,
+          docs.filter(col("doc_id") >= 250), postingCap = 20)
+        .orderBy(col("token"))
+    },
+
     // Entity resolution: fuzzy customer pairs within nation blocks —
     // names within 2 Levenshtein edits, each unordered pair once. The
     // blocked self-join is the classic Fellegi–Sunter candidate shape:

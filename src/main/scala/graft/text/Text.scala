@@ -627,6 +627,35 @@ object Text {
     * document. `df`/`tf` stay exact (uncapped); only the materialized
     * posting sample truncates, as every practical index does.
     */
+  /** Incremental inverted-index maintenance: merge a new document batch
+    * into a standing (token, df, tf, postings) index — the ingest-time
+    * twin of [[invertedIndex]], same shape as the incremental dedup
+    * family: the standing index is NEVER rebuilt from its corpus, only
+    * its counts updated and its posting caps re-trimmed.
+    *
+    * Correctness rests on cap prefix-closure: smallest-k of a union is
+    * the smallest-k of the two sides' smallest-k — so merging capped
+    * lists loses nothing, and the merged index is row-identical to a
+    * full rebuild over both corpora (the registered oracle). df/tf add;
+    * the one shuffle is token-keyed rows of ≤ `postingCap` ids each.
+    */
+  def invertedIndexMerge(standing: org.apache.spark.sql.DataFrame,
+                         newDocs: org.apache.spark.sql.DataFrame,
+                         postingCap: Int): org.apache.spark.sql.DataFrame = {
+    val delta = invertedIndex(newDocs, postingCap)
+    standing.unionByName(delta)
+      .withColumn("ids",
+        expr("transform(split(postings, ','), x -> CAST(x AS BIGINT))"))
+      .groupBy(col("token"))
+      // ≤ 2 rows per token (standing + delta), each carrying ≤ cap ids:
+      // counts add, the two capped lists concatenate, sort, re-trim
+      .agg(sum(col("df")).as("df"), sum(col("tf")).as("tf"),
+        slice(array_sort(flatten(collect_list(col("ids")))), 1, postingCap)
+          .as("ids"))
+      .select(col("token"), col("df"), col("tf"),
+        array_join(col("ids"), ",").as("postings"))
+  }
+
   /** Temperature-weighted mixture sampling at τ = 2 — the multilingual
     * rebalancing trick (sample stratum s with probability ∝ p_s^(1/τ)):
     * a dominant language/source is down-sampled toward the square-root

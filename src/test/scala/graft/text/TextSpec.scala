@@ -460,6 +460,27 @@ class TextSpec extends SparkSpec {
     assert(run(7) == got, "scores must be bit-identical under repartition")
   }
 
+  test("invertedIndexMerge: sequential batches ≡ one-shot index, cap re-trimmed at each step") {
+    import spark.implicits._
+    val all = Seq(
+      (30L, "alpha beta"), (5L, "alpha"), (12L, "alpha gamma"),
+      (3L, "alpha beta beta"), (21L, "delta"), (8L, "alpha")
+    ).toDF("doc_id", "text")
+    val want = Text.invertedIndex(all, postingCap = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    // three arrival orders, two batch splits each
+    for (cut <- Seq(5L, 10L, 25L)) {
+      val merged = Text.invertedIndexMerge(
+        Text.invertedIndex(all.filter(col("doc_id") < cut), postingCap = 2),
+        all.filter(col("doc_id") >= cut), postingCap = 2)
+      val got = merged.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(got == want, s"cut=$cut: merged index diverged from rebuild")
+    }
+    // the cap must bite: alpha appears in 5 docs, postings hold 2
+    assert(want.exists { case (t, df, _, p) => t == "alpha" && df == 5 && p == "3,5" })
+  }
+
   test("temperatureMixture: head stratum flattened toward √-profile, tail kept; deterministic") {
     import spark.implicits._
     // 1600 'head' docs vs 100 'tail' docs — a 16:1 skew
