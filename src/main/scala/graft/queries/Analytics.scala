@@ -1017,6 +1017,54 @@ object Analytics {
         .orderBy(col("check_name"))
     },
 
+    // A/B-test readout: two-proportion z-test on high-value purchase
+    // conversion (value > 200 keeps the rates interior at every sf —
+    // plain "any purchase" saturates to 100%/100%, a degenerate pooled
+    // variance). Variants assigned deterministically (user_id mod 2 —
+    // the hash split an experiment framework persists). Per-user conversion
+    // collapses map-side; the rest is arithmetic over one 2-row
+    // aggregate. Every float op is a single IEEE add/sub/mul/div/sqrt of
+    // exact inputs with the same tree in both engines → z matches
+    // bit-for-bit.
+    Q("ev_ab_test",
+      """WITH conv AS (SELECT user_id % 2 AS variant, user_id,
+           MAX(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS converted
+           FROM events GROUP BY 1, 2),
+         per AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(converted) AS BIGINT) AS c FROM conv GROUP BY variant),
+         p AS (SELECT
+           MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+           MAX(CASE WHEN variant = 0 THEN c END) AS c0,
+           MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+           MAX(CASE WHEN variant = 1 THEN c END) AS c1 FROM per)
+         SELECT n0, c0, n1, c1,
+           CAST(c0 AS DOUBLE) / n0 AS rate0,
+           CAST(c1 AS DOUBLE) / n1 AS rate1,
+           ((CAST(c0 AS DOUBLE) / n0) - (CAST(c1 AS DOUBLE) / n1)) /
+             sqrt(((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+                   (1.0 - (CAST(c0 + c1 AS DOUBLE) / (n0 + n1)))) *
+                  ((1.0 / n0) + (1.0 / n1))) AS z
+         FROM p""") { (s, dir) =>
+      val conv = Tables.events(s, dir)
+        .groupBy(pmod(col("user_id"), lit(2)).as("variant"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 200, 1)
+          .otherwise(0)).as("converted"))
+      val per = conv.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+      val p = per.agg(
+        max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 0, col("c"))).as("c0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 1, col("c"))).as("c1"))
+      val r0 = col("c0").cast("double") / col("n0")
+      val r1 = col("c1").cast("double") / col("n1")
+      val pp = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+      p.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        r0.as("rate0"), r1.as("rate1"),
+        ((r0 - r1) / sqrt((pp * (lit(1.0) - pp)) *
+          ((lit(1.0) / col("n0")) + (lit(1.0) / col("n1"))))).as("z"))
+    },
+
     // Item-item co-occurrence (the "users who touched X touched Y"
     // item-similarity matrix recommenders and co-view audits build):
     // distinct (user, item) pairs, per-user basket capped at 50 items by
