@@ -1123,6 +1123,12 @@ object CorpusQueries {
       val exact = Similarity.knnJoinExact(emb, k = 5)
         .select(col("q_id"), col("n_id"))
       val denom = exact.agg(count(lit(1)).as("n_exact"))
+      // Deliberately a per-depth knnGraph sweep, NOT searchMulti: the
+      // shared-candidate trick is right when |Q| bounds the materialized
+      // candidate set, but corpus×corpus at probes.max=4 means ~n²/4
+      // checkpointed candidate rows (measured 2× SLOWER at sf1 than the
+      // sweep, which pipelines every scoring into the bounded map-side
+      // TopKByScore and materializes nothing).
       Seq(1, 2, 4).map { p =>
         graft.sim.Ivf.knnGraph(emb, model, k = 5, nProbe = p)
           .select(lit(p).as("n_probe"), col("q_id"), col("n_id"))

@@ -184,19 +184,30 @@ object Ivf {
     * [[Similarity.knnJoinExact]].
     */
   def knnGraph(corpus: DataFrame, model: IvfModel, k: Int = 5, nProbe: Int = 4,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               saltG: Int = 8): DataFrame = {
     val flat = model.flat
+    // The candidate join below keys on `cluster` — model.k distinct values,
+    // so with small payload sides auto-broadcast, the WHOLE per-pair
+    // scoring stage would run in the cluster-join's ≤ model.k reduce
+    // tasks. Grid-salt it (the dedup pipelines' standard treatment): the
+    // probe side keys on (cluster, q_id mod G), the n-sized assignment
+    // side replicates G ways — model.k·G effective keys for O(n·G) extra
+    // input rows, and the n² scoring work spreads regardless of cluster
+    // count or skew. No candidate row ever shuffles either way.
     val assigned = corpus.select(col(idCol).as("n_id"),
-      element_at(VectorExpressions.nearestCentroids(
-        col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"))
+        element_at(VectorExpressions.nearestCentroids(
+          col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"))
+      .withColumn("salt", explode(sequence(lit(0), lit(saltG - 1))))
     val probes = corpus.select(col(idCol).as("q_id"),
         explode(VectorExpressions.nearestCentroids(
           col(vecCol), flat, model.k, model.dim, nProbe)).as("cluster"))
+      .withColumn("salt", pmod(col("q_id"), lit(saltG)).cast("int"))
     def side(role: String): DataFrame =
       corpus.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
         Similarity.l2Norm(col(vecCol)).as(s"${role}_norm"))
     val topk = udaf(new Similarity.TopKByScore(k))
-    assigned.join(probes, "cluster")
+    assigned.join(probes, Seq("cluster", "salt"))
       .filter(col("q_id") =!= col("n_id"))
       .join(side("q"), "q_id").join(side("n"), "n_id")
       .select(col("q_id"),

@@ -38,6 +38,18 @@ object Similarity {
       .select(keep.map(col) :+ col("ck.chunk") :+ col("ck.ch"): _*)
   }
 
+  /** Round-robin repartition of a frame that is about to STREAM through a
+    * per-row-expensive stage (the probe side of a broadcast nested-loop
+    * join): without it the stage's parallelism is whatever the upstream
+    * scan produced, and a compute-heavy stage over a byte-small input is
+    * exactly where scan-proportional splitting is wrong (5 MB of vectors
+    * is one 128 MB-target split but minutes of quadratic scoring). Never
+    * applied to scan→filter→agg paths, where splitting by bytes is right
+    * and an extra shuffle would be pure cost.
+    */
+  private def spreadForCompute(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** dot(a, b) in double precision (floats promote exactly) — native
     * codegen'd kernel, not a higher-order function (HOFs are interpreted
     * per-element).
@@ -55,7 +67,11 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // Norms are computed once per vector (O(n)), never per pair (O(n·q)).
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+    // The corpus side streams through the broadcast join, so the O(n·q)
+    // scoring runs at the SCAN's parallelism — a small/compact file maps
+    // to one task and serializes the whole cross score. spreadForCompute
+    // makes the per-pair stage's parallelism independent of file layout.
+    val c = spreadForCompute(corpus).select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       l2Norm(col(vecCol)).as("n_norm"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       l2Norm(col(vecCol)).as("q_norm"))
@@ -110,7 +126,15 @@ object Similarity {
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val n = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       l2Norm(col(vecCol)).as("n_norm"))
-    val q = corpus.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+    // The query side streams through the broadcast nested-loop join, so
+    // the O(n²) scoring inherits the SCAN's task count: a corpus that
+    // arrives as one compact parquet file (or a handful of coalesced
+    // splits) pins the entire quadratic stage to those few cores —
+    // measured at sf1 as a 20k-vector join saturating 1 of 32 cores for
+    // ~390 s. One round-robin shuffle of n rows is O(n) — noise against
+    // the n² it parallelizes — and balances perfectly regardless of
+    // input skew or file layout.
+    val q = spreadForCompute(corpus).select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       l2Norm(col(vecCol)).as("q_norm"))
     val topk = udaf(new TopKByScore(k))
     q.join(broadcast(n), col("q_id") =!= col("n_id"))
