@@ -199,8 +199,12 @@ object Similarity {
       df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
         l2Norm(col(vecCol)).as(s"${role}_norm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    // queries is |Q|-bounded (broadcast is right); the CORPUS payload is
+    // not — shuffle-join it back by id (see spreadForCompute's sibling
+    // concern: byte-small vector files mislead the size estimate).
     cand
-      .join(sides(queries, "q"), "q_id").join(sides(corpus, "n"), "n_id")
+      .join(sides(queries, "q"), "q_id")
+      .join(sides(corpus, "n").hint("SHUFFLE_HASH"), "n_id")
       .select(col("q_id"), col("n_id"),
         (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cos"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
@@ -222,9 +226,12 @@ object Similarity {
       "sig", nChunks, chunkBits, Seq("id"))
     val a = sigs.toDF("a_id", "chunk", "ch")
     val b = sigs.toDF("b_id", "chunk", "ch")
+    // corpus-sized vector payload: shuffle-joined back by id, never
+    // broadcast (corpus-proportional build ≠ scale-safe)
     def side(role: String): DataFrame =
       corpus.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
         l2Norm(col(vecCol)).as(s"${role}_norm"))
+        .hint("SHUFFLE_HASH")
     a.join(b, Seq("chunk", "ch")).filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
       .join(side("a"), "a_id").join(side("b"), "b_id")
@@ -264,9 +271,12 @@ object Similarity {
       "sig", nChunks, chunkBits, Seq("id", "sig"))
     val a = chunked.toDF("a_id", "a_sig", "chunk", "ch")
     val b = chunked.toDF("b_id", "b_sig", "chunk", "ch")
+    // corpus-sized vector payload: shuffle-joined back by id, never
+    // broadcast (corpus-proportional build ≠ scale-safe)
     def side(role: String): DataFrame =
       corpus.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
         l2Norm(col(vecCol)).as(s"${role}_norm"))
+        .hint("SHUFFLE_HASH")
     a.join(b, Seq("chunk", "ch")).filter(col("a_id") < col("b_id"))
       // Hamming-filter BEFORE dedup and payload join: it needs only the
       // signatures already riding the candidate rows.

@@ -133,10 +133,14 @@ object Dedup {
     val cand = minhashCandidates(docs, numHashes, bands, shingleW,
       textCol, idCol, hotBucketCap)
       .dropDuplicates("a_id", "b_id")
+    // Corpus-sized shingle payload: shuffle-join it back by id — its
+    // parquet-bytes estimate is tiny, so the planner would otherwise
+    // build a corpus-proportional broadcast (see prefixJaccardPairs).
     def side(role: String): DataFrame = docs
       .select(col(idCol).as(s"${role}_id"),
         shingles(col(textCol), shingleW).as(s"${role}_sh"))
       .withColumn(s"${role}_n", size(col(s"${role}_sh")))
+      .hint("SHUFFLE_HASH")
     cand
       .join(side("a"), "a_id").join(side("b"), "b_id")
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
@@ -162,7 +166,9 @@ object Dedup {
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows)))))
           .as("bh"))
-    val a = buckets.toDF("a_id", "bh")
+    // corpus-proportional exploded index: never broadcastable (see
+    // prefixCandidates)
+    val a = buckets.toDF("a_id", "bh").hint("SHUFFLE_HASH")
     val b = buckets.toDF("b_id", "bh")
     // Hot buckets: band hashes shared by more than `hotBucketCap` docs.
     // The aggregation map-side-combines to (distinct band hash) size and
@@ -293,8 +299,17 @@ object Dedup {
         array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
       .withColumn("nw", size(col("w")))
     val cand = prefixCandidates(d, blockCols, threshold, commonVocab, hotBucketCap)
+    // The payload sides MUST come back via a shuffle join on the id: they
+    // are corpus-sized, and their parquet-bytes estimate is tiny (token
+    // arrays compress ~1000:1 against their in-memory UnsafeRow form), so
+    // the planner would otherwise pick a broadcast build measured at
+    // 4.8 GiB for 50k docs — unbuildable at any real corpus size.
+    // SHUFFLE_HASH keeps the payload the per-partition build side against
+    // the larger IDs-only candidate stream.
     val aSide = d.select(col("id").as("a_id"), col("w").as("a_w"), col("nw").as("a_nw"))
+      .hint("SHUFFLE_HASH")
     val bSide = d.select(col("id").as("b_id"), col("w").as("b_w"), col("nw").as("b_nw"))
+      .hint("SHUFFLE_HASH")
     cand.join(aSide, "a_id").join(bSide, "b_id")
       .withColumn("inter",
         HashExpressions.sortedIntersectSize(col("a_w"), col("b_w")))
@@ -347,7 +362,12 @@ object Dedup {
     val prefixes = d.select((col("id") +: blockCols.map(col)) :+ col("nw") :+
       posexplode(HashExpressions.prefixTokens(col("w"), ranks, threshold)): _*)
       .withColumnRenamed("col", "token")
+    // Both sides are corpus-proportional exploded indexes whose byte
+    // estimate descends from one compact parquet scan — never let the
+    // planner broadcast one (see containmentCandidates, where the same
+    // mis-estimate built a 4.8 GiB relation at sf1).
     val a = prefixes.toDF("a_id" +: blockCols :+ "a_nw" :+ "a_pos" :+ "token": _*)
+      .hint("SHUFFLE_HASH")
     val b = prefixes.toDF("b_id" +: blockCols :+ "b_nw" :+ "b_pos" :+ "token": _*)
     // Hot buckets: tokens whose prefix occurrence count exceeds the cap.
     // The degenerate case is a handful of tokens by construction (prefixes
@@ -593,8 +613,13 @@ object Dedup {
         array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
       .withColumn("nw", size(col("w")))
     val cand = containmentCandidates(d, blockCols, threshold, commonVocab, hotBucketCap)
+    // Shuffle-join the corpus-sized payload back by id — see the same
+    // treatment in prefixJaccardPairs (a byte-estimate-driven broadcast
+    // of the token arrays measured 4.8 GiB at sf1).
     val aSide = d.select(col("id").as("a_id"), col("w").as("a_w"), col("nw").as("a_nw"))
+      .hint("SHUFFLE_HASH")
     val bSide = d.select(col("id").as("b_id"), col("w").as("b_w"), col("nw").as("b_nw"))
+      .hint("SHUFFLE_HASH")
     cand.join(aSide, "a_id").join(bSide, "b_id")
       .withColumn("inter",
         HashExpressions.sortedIntersectSize(col("a_w"), col("b_w")))
@@ -630,17 +655,23 @@ object Dedup {
     val hotRows = aCnt.join(bCnt, "token")
       .filter(col("na") * col("nb") > hotBucketCap)
       .orderBy((col("na") * col("nb")).desc, col("token")).limit(64).collect()
+    // The b side is the corpus's FULL exploded token index — its
+    // byte-size estimate descends from one compact parquet scan, so the
+    // planner would broadcast it (measured 4.8 GiB built at sf1, growing
+    // with the corpus). Force the shuffle join, building from the
+    // smaller prefix index.
+    val aPrefH = aPref.hint("SHUFFLE_HASH")
     val joined =
-      if (hotRows.isEmpty) aPref.join(bAll, blockCols :+ "token")
+      if (hotRows.isEmpty) aPrefH.join(bAll, blockCols :+ "token")
       else {
         val hot = hotRows.map(_.getString(0)).toSeq
         val maxProd = hotRows.map(r => r.getLong(1) * r.getLong(2)).max
         // G² cells shrink a product-P bucket to ~P/G² per cell
         val grid = math.min(32L,
           math.ceil(math.sqrt(maxProd.toDouble / hotBucketCap)).toLong).toInt
-        val cold = aPref.filter(!col("token").isin(hot: _*))
+        val cold = aPrefH.filter(!col("token").isin(hot: _*))
           .join(bAll.filter(!col("token").isin(hot: _*)), blockCols :+ "token")
-        val aHot = aPref.filter(col("token").isin(hot: _*))
+        val aHot = aPrefH.filter(col("token").isin(hot: _*))
           .withColumn("g1", pmod(xxhash64(col("a_id")), lit(grid.toLong)))
           .withColumn("g2", explode(sequence(lit(0L), lit(grid - 1L))))
         val bHot = bAll.filter(col("token").isin(hot: _*))
