@@ -238,13 +238,17 @@ object TextExpressions {
     // a static call keeps the surrounding stage in whole-stage codegen —
     // a CodegenFallback here would drop the entire post-join
     // filter/project stage to the interpreted path (measured 2× on the
-    // fuzzy-join verify)
+    // fuzzy-join verify). The call site must use the object's BINARY name
+    // (TextExpressions$EditDistanceWithin$.MODULE$) — the Scala source
+    // path is not a Java-resolvable class, and Janino's failure mode is a
+    // silent per-task fallback of the whole projection to interpreter
+    // mode, not an error.
     override def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
         : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"${ev.value} = graft.functions.TextExpressions.EditDistanceWithin" +
+        s"${ev.value} = ${EditDistanceWithin.getClass.getName}.MODULE$$" +
           s".compute($a, $b, $maxDist);")
 
     override protected def withNewChildrenInternal(
