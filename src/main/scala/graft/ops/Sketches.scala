@@ -185,4 +185,102 @@ object Sketches {
       .select(col(keyCol), col("p"), col("col").as("approx_value"),
         ceil(col("n") / accuracy).cast("long").as("max_rank_err"))
   }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) —
+    * the point-frequency member of the mergeable family (HLL distinct,
+    * Misra–Gries top-k, GK quantiles, CMS point lookups). The sketch is a
+    * d×w counter matrix: row d counts collisions under hash h_d, and
+    * est(x) = min_d M[d][h_d(x)] — an overestimate, never an
+    * underestimate, with P(err > 2N/w) ≤ 2^−d under the universal family.
+    *
+    * Two properties distinguish CMS inside the family and shape the
+    * implementation:
+    *  - counters are pure SUMS, so merge is commutative matrix addition
+    *    and the sketch state is PARTITION-ORDER-INVARIANT. This is the
+    *    one sketch whose registered query can be fully oracle-checked:
+    *    DuckDB replays the hash family and must reproduce the identical
+    *    matrix, not just an estimate within a bound (MG/GK/HLL estimates
+    *    are merge-order artifacts and get rows-only checks).
+    *  - the matrix IS a groupBy((depth, bucket)).count() over the d row
+    *    hashes — no custom Aggregator needed. Map-side combine caps the
+    *    shuffle at d·w rows per task regardless of input cardinality,
+    *    which is the whole point at 100 TB: frequency lookups over a key
+    *    domain that outgrows any reducer hash table still cost one
+    *    bounded-state pass.
+    *
+    * Hash family: h_d(x) = ((a_d·(x mod p) + b_d) mod p) mod w with the
+    * Mersenne prime p = 2³¹−1 and a_d < 2³¹, so every intermediate fits a
+    * BIGINT in both engines (max product < 2⁶². 2⁶³−1 is the overflow line).
+    */
+  object Cms {
+    val P: Long = 2147483647L
+    /** (a, b) per depth; classic LCG multipliers, all < 2³¹. */
+    val seeds: Seq[(Long, Long)] = Seq(
+      (1103515245L, 12345L), (69069L, 362437L),
+      (134775813L, 1L), (214013L, 2531011L))
+
+    private def bucket(key: Column, a: Long, b: Long, width: Int): Column =
+      ((key % P) * a + b) % P % width
+
+    /** The counter matrix as (d, bucket, c) rows — at most d·w of them. */
+    def counters(df: DataFrame, keyCol: String, width: Int): DataFrame = {
+      val hashes = seeds.zipWithIndex.map { case ((a, b), d) =>
+        struct(lit(d).as("d"), bucket(col(keyCol), a, b, width).as("bucket"))
+      }
+      df.select(explode(array(hashes: _*)).as("h"))
+        .groupBy(col("h.d").as("d"), col("h.bucket").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+    }
+
+    /** Point estimates for `probes` (carrying `keyCol` plus any payload
+      * columns): min over the d probed cells. The matrix side is ≤ d·w
+      * rows, so the join broadcasts; the probe side never shuffles.
+      */
+    def estimate(counters: DataFrame, probes: DataFrame, keyCol: String,
+                 width: Int): DataFrame = {
+      val hashes = seeds.zipWithIndex.map { case ((a, b), d) =>
+        struct(lit(d).as("d"), bucket(col(keyCol), a, b, width).as("bucket"))
+      }
+      val carry = probes.columns.map(col)
+      probes.select(carry :+ explode(array(hashes: _*)).as("h"): _*)
+        .join(broadcast(counters),
+          col("h.d") === counters("d") && col("h.bucket") === counters("bucket"))
+        .groupBy(carry: _*)
+        .agg(min(col("c")).as("cms_est"))
+    }
+  }
+
+  /** Streaming twin of [[Cms]], completing the streaming sketch set
+    * (MG [[StreamingHeavyHitters]], GK [[StreamingQuantiles]]): each
+    * micro-batch is summarized DISTRIBUTEDLY by `Cms.counters` (map-side
+    * combined, ≤ d·w rows collected) and added into the standing matrix.
+    * Because CMS merge is commutative addition, the standing sketch after
+    * any prefix of batches is BIT-IDENTICAL to the one-shot sketch of the
+    * concatenated prefix — an exact invariant (spec-pinned), not just a
+    * preserved error bound. Driver state: d·w longs.
+    */
+  final class StreamingCms(width: Int) extends Serializable {
+    require(width >= 1)
+    private val matrix = Array.fill(Cms.seeds.size, width)(0L)
+    @volatile private var nTotal: Long = 0L
+
+    def absorb(batch: DataFrame, keyCol: String): Unit = {
+      val rows = Cms.counters(batch, keyCol, width).collect()
+      val n = batch.count()
+      synchronized {
+        rows.foreach { r =>
+          matrix(r.getInt(0))(r.getLong(1).toInt) += r.getLong(2)
+        }
+        nTotal += n
+      }
+    }
+
+    /** Overestimate of key's frequency over everything absorbed. */
+    def estimate(key: Long): Long =
+      Cms.seeds.zipWithIndex.map { case ((a, b), d) =>
+        matrix(d)((((key % Cms.P) * a + b) % Cms.P % width).toInt)
+      }.min
+
+    def total: Long = nTotal
+  }
 }

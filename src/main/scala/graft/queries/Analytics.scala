@@ -937,6 +937,45 @@ object Analytics {
         .orderBy(col("event_type"), col("p"))
     },
 
+    // Count-Min point-frequency sketch — the fourth mergeable sketch, and
+    // the only one whose registered query is FULLY oracle-checked: CMS
+    // counters are pure sums (merge = commutative matrix addition), so
+    // the sketch state is partition-order-invariant and DuckDB can replay
+    // the hash family to reproduce the identical matrix. The matrix is a
+    // plain groupBy((d, bucket)).count() — map-side combine caps the
+    // shuffle at d·w rows per task regardless of key cardinality, which
+    // is what a frequency lookup has to cost when the key domain outgrows
+    // a reducer hash table. Probes: the top-50 users by exact count
+    // (deterministic tiebreak), each estimate an overestimate ≥ exact.
+    Q("ev_cms_user_counts", {
+      val hash = "((pa.a * (p.user_id % 2147483647) + pa.b) % 2147483647) % 2048"
+      s"""WITH params(d, a, b) AS (VALUES
+           (0, CAST(1103515245 AS BIGINT), CAST(12345 AS BIGINT)),
+           (1, CAST(69069 AS BIGINT), CAST(362437 AS BIGINT)),
+           (2, CAST(134775813 AS BIGINT), CAST(1 AS BIGINT)),
+           (3, CAST(214013 AS BIGINT), CAST(2531011 AS BIGINT))),
+         counters AS (
+           SELECT d, ((a * (user_id % 2147483647) + b) % 2147483647) % 2048 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM events CROSS JOIN params GROUP BY 1, 2),
+         probes AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+           FROM events GROUP BY 1
+           ORDER BY exact_cnt DESC, user_id LIMIT 50)
+         SELECT p.user_id, p.exact_cnt, CAST(MIN(c.c) AS BIGINT) AS cms_est
+         FROM probes p CROSS JOIN params pa
+         JOIN counters c ON c.d = pa.d AND c.bucket = $hash
+         GROUP BY 1, 2 ORDER BY exact_cnt DESC, user_id"""
+    }) { (s, dir) =>
+      val events = Tables.events(s, dir)
+      val counters = graft.ops.Sketches.Cms.counters(events, "user_id", width = 2048)
+      val probes = events.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id")).limit(50)
+      graft.ops.Sketches.Cms.estimate(counters, probes, "user_id", width = 2048)
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+    },
+
     // A6: HLL++ distinct (the reference's approx_count_distinct) — estimate
     // values are engine-specific, so no SQL oracle; the ScalaTest spec
     // checks the estimates against exact counts within the configured rsd.

@@ -148,6 +148,69 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("CMS: overestimate-only, partition-invariant matrix, collision error bounded") {
+    val width = 256
+    // exact counts for every key in the stream
+    val exact = trueCounts
+    var ref: Map[(Int, Long), Long] = null
+    for (parts <- Seq(1, 3, 32); seed <- Seq(1, 2)) {
+      val df = stream(parts, seed)
+      val m = Sketches.Cms.counters(df, "user_id", width)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // partition-order invariance: the MATRIX itself is identical
+      if (ref == null) ref = m else assert(m == ref, s"parts=$parts seed=$seed")
+      // est ≥ f always; error ≤ total collision mass of the worst row
+      val probes = df.groupBy("user_id").count()
+      val est = Sketches.Cms.estimate(
+          Sketches.Cms.counters(df, "user_id", width), probes, "user_id", width)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      exact.foreach { case (k, f) =>
+        assert(est(k) >= f, s"CMS underestimated key $k: ${est(k)} < $f")
+        assert(est(k) - f <= 4 * n / width,
+          s"key $k err ${est(k) - f} > ${4 * n / width} (w=$width n=$n)")
+      }
+    }
+  }
+
+  test("StreamingCms: standing sketch ≡ one-shot sketch, bit-identical per prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val width = 256
+    val cms = new Sketches.StreamingCms(width)
+    val rnd = new scala.util.Random(7)
+    val flat = rnd.shuffle(
+      trueCounts.toSeq.flatMap { case (key, c) => Seq.fill(c.toInt)(key) })
+    val stream = MemoryStream[Long]
+    val q = stream.toDS().toDF("user_id")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        cms.absorb(b, "user_id"))
+      .start()
+    try {
+      val prefix = scala.collection.mutable.ArrayBuffer.empty[Long]
+      flat.grouped(211).foreach { chunk =>
+        stream.addData(chunk: _*)
+        q.processAllAvailable()
+        prefix ++= chunk
+        assert(cms.total == prefix.size)
+        // one-shot sketch of the same prefix: estimates must be IDENTICAL
+        // (commutative addition — not just within a shared bound)
+        val oneShot = Sketches.Cms.counters(
+            prefix.toSeq.toDF("user_id"), "user_id", width)
+          .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+        trueCounts.keys.foreach { k =>
+          val direct: Long = Sketches.Cms.seeds.zipWithIndex.map { case ((a, b), d) =>
+            oneShot.getOrElse((d, ((k % Sketches.Cms.P) * a + b) % Sketches.Cms.P % width), 0L)
+          }.min
+          assert(cms.estimate(k) == direct, s"prefix=${prefix.size} key=$k")
+        }
+      }
+      // end of stream: estimates are exact overestimates of the full counts
+      trueCounts.foreach { case (k, f) => assert(cms.estimate(k) >= f) }
+    } finally q.stop()
+  }
+
   test("registered query: descending estimates, exact vs groupBy when domain ≤ k") {
     val df = graft.SparkEntry.queries("ev_heavy_hitters")(spark, sfDir)
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
