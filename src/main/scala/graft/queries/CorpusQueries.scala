@@ -345,6 +345,36 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Text canonicalization — the normalization pass that precedes
+    // fingerprinting (un-normalized md5 fractures dup groups on case and
+    // whitespace noise). The fixture text is already clean, so each row
+    // is salted with case flips, tabs/newlines, double spaces and a C0
+    // control byte derived from its own content; the oracle replays the
+    // identical salt and must reproduce the canonical form
+    // byte-identically (patterns in the Java∩RE2 subset, ASCII lower).
+    Q("doc_normalized",
+      """WITH s AS (SELECT doc_id,
+           upper(substr(text, 1, 40)) || chr(9) || chr(10) || '  ' ||
+             text || '  ' || chr(1) || 'TaIL' AS t
+           FROM documents)
+         SELECT doc_id,
+           lower(trim(regexp_replace(regexp_replace(t, '[\x00-\x1f]', ' ', 'g'),
+             ' {2,}', ' ', 'g'))) AS normalized,
+           CAST(len(t) AS BIGINT) AS n_before,
+           CAST(len(lower(trim(regexp_replace(regexp_replace(t,
+             '[\x00-\x1f]', ' ', 'g'), ' {2,}', ' ', 'g')))) AS BIGINT) AS n_after
+         FROM s ORDER BY doc_id""") { (s, dir) =>
+      val salted = concat(upper(substring(col("text"), 1, 40)),
+        lit("\t\n  "), col("text"), lit("  \u0001TaIL"))
+      val norm = Text.normalizeText(col("t"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), salted.as("t"))
+        .select(col("doc_id"), norm.as("normalized"),
+          length(col("t")).cast("long").as("n_before"),
+          length(norm).cast("long").as("n_after"))
+        .orderBy(col("doc_id"))
+    },
+
     // Token statistics per (lang, source) stratum.
     Q("doc_token_stats",
       """SELECT lang, source, COUNT(*) AS n_docs,

@@ -171,6 +171,24 @@ object Text {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       ipv4Pattern, "<IP>")
 
+  /** Canonicalization — the normalization pass that must precede
+    * fingerprinting/dedup (md5 of un-normalized text treats "Foo  bar"
+    * and "foo bar" as distinct documents, fracturing dup groups on
+    * whitespace and case noise). Three steps, order significant:
+    * control and whitespace characters (C0 range) fold to spaces first,
+    * runs of spaces collapse, outer spaces trim, then case folds. Like
+    * [[redactPii]] the patterns live in the Java∩RE2 subset (character
+    * classes only) so any engine replays the canonical form
+    * byte-identically; `lower` agrees across engines on ASCII (the
+    * locale-sensitive codepoints — dotted İ etc. — are exactly what a
+    * cross-engine pipeline must NOT rely on, so the contract is scoped
+    * to ASCII input, which langId upstream guarantees for the en slice).
+    * Narrow codegen'd expressions: runs scan-side, streams, no shuffle.
+    */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1f]", " "), " {2,}", " ")))
+
   /** The standard curation stage chain — fused text features, quality
     * gate, content fingerprint, deterministic hash sample — as ONE shared
     * definition: the registered batch queries, the streaming backfill

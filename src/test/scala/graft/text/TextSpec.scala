@@ -512,4 +512,29 @@ class TextSpec extends SparkSpec {
       assert(m == whole, s"cut=$cut")
     }
   }
+
+  test("normalizeText: canonical form, idempotent, collapses dedup-fracturing variants") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, md5}
+    // the same sentence under case/whitespace/control noise — exactly the
+    // variants whose raw fingerprints would fracture a dup group
+    val variants = Seq(
+      "the quick brown fox",
+      "The  Quick\tBrown Fox",
+      "\u0001THE QUICK\nBROWN FOX  ",
+      "  the\r\nquick  brown\u0007fox")
+    val df = variants.toDF("t")
+      .select(col("t"), Text.normalizeText(col("t")).as("norm"))
+    val norms = df.select("norm").as[String].collect()
+    assert(norms.toSet == Set("the quick brown fox"))
+    // idempotent: normalizing the canonical form is the identity
+    val again = df.select(Text.normalizeText(col("norm"))).as[String].collect()
+    assert(again.toSeq == norms.toSeq)
+    // the motivating property: raw md5 fingerprints all differ,
+    // normalized fingerprints all collide
+    val rawFps = variants.toDF("t").select(md5(col("t"))).as[String].collect()
+    assert(rawFps.distinct.length == variants.length)
+    val normFps = df.select(md5(col("norm"))).as[String].collect()
+    assert(normFps.distinct.length == 1)
+  }
 }
