@@ -375,6 +375,39 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Corpus drift audit — per-token two-proportion z between the even-
+    // and odd-numbered source cohorts (the shape of "new crawl snapshot
+    // vs old": did any token's rate move beyond noise?). Counts are exact
+    // BIGINTs shuffled as (token, count) only; totals broadcast from a
+    // 1-row aggregate; every float in z is one IEEE op over exact
+    // integers (the ev_ab_test determinism idiom), so z hash-matches.
+    Q("doc_source_drift",
+      """WITH toks AS (
+           SELECT CAST(substr(source, 4) AS INT) % 2 AS cohort,
+             unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         counts AS (
+           SELECT token,
+             CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
+             CAST(SUM(CASE WHEN cohort <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_b
+           FROM toks GROUP BY token),
+         tot AS (SELECT CAST(SUM(o_a) AS BIGINT) AS n_a,
+                        CAST(SUM(o_b) AS BIGINT) AS n_b FROM counts)
+         SELECT token, o_a, o_b,
+           CAST(o_a AS DOUBLE) / n_a AS rate_a,
+           CAST(o_b AS DOUBLE) / n_b AS rate_b,
+           ((CAST(o_a AS DOUBLE) / n_a) - (CAST(o_b AS DOUBLE) / n_b)) /
+             sqrt(((CAST(o_a + o_b AS DOUBLE) / (n_a + n_b)) *
+                   (1.0 - (CAST(o_a + o_b AS DOUBLE) / (n_a + n_b)))) *
+                  ((1.0 / n_a) + (1.0 / n_b))) AS z
+         FROM counts CROSS JOIN tot
+         WHERE o_a + o_b >= 20
+         ORDER BY token""") { (s, dir) =>
+      Text.tokenDrift(Tables(s, dir, "documents"),
+          substring(col("source"), 4, 10).cast("int") % 2, minSupport = 20)
+        .orderBy(col("token"))
+    },
+
     // Token statistics per (lang, source) stratum.
     Q("doc_token_stats",
       """SELECT lang, source, COUNT(*) AS n_docs,

@@ -290,6 +290,38 @@ object Text {
         (col("sum_freq").cast("double") / col("n_tokens")).as("mean_token_freq"))
   }
 
+  /** Corpus drift detection — the distribution-shift audit run when a new
+    * crawl snapshot, scrape source, or pipeline revision lands: has the
+    * token distribution moved, and on which words? Per token, a
+    * two-proportion z-test between cohort A (cohort expr = 0) and cohort
+    * B, the same bit-reproducible statistic shape as the A/B readout
+    * (`ev_ab_test`): exact BIGINT counts aggregate map-side-combined on
+    * the token key — only (token, count) pairs ever shuffle, never text —
+    * the 1-row totals broadcast, and each float in z is a single IEEE op
+    * over exact integers so both engines emit identical bits. |z| ≥ ~3
+    * flags a token whose rate moved beyond noise at the observed mass;
+    * the registered query orders by token for the hash check, a consumer
+    * orders by |z|.
+    */
+  def tokenDrift(docs: org.apache.spark.sql.DataFrame, cohort: Column,
+                 minSupport: Long = 20): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(cohort.as("cohort"),
+      explode(split(col("text"), " ")).as("token"))
+    val counts = toks.groupBy(col("token"))
+      .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("o_a"),
+        sum(when(col("cohort") =!= 0, 1L).otherwise(0L)).as("o_b"))
+    val totals = counts.agg(sum(col("o_a")).as("n_a"), sum(col("o_b")).as("n_b"))
+    val pa = col("o_a").cast("double") / col("n_a")
+    val pb = col("o_b").cast("double") / col("n_b")
+    val pp = (col("o_a") + col("o_b")).cast("double") / (col("n_a") + col("n_b"))
+    counts.filter(col("o_a") + col("o_b") >= minSupport)
+      .crossJoin(broadcast(totals))
+      .select(col("token"), col("o_a"), col("o_b"),
+        pa.as("rate_a"), pb.as("rate_b"),
+        ((pa - pb) / sqrt((pp * (lit(1.0) - pp)) *
+          ((lit(1.0) / col("n_a")) + (lit(1.0) / col("n_b"))))).as("z"))
+  }
+
   /** Budget-capped per-stratum sampling: exactly `k` documents per stratum,
     * chosen by md5-of-id rank — reproducible across reruns, engines, and
     * partitionings (unlike `df.sample`), and uniform because the hash is

@@ -513,6 +513,34 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("tokenDrift: planted shift flagged, balanced token quiet, bit-stable under partitioning") {
+    import spark.implicits._
+    // cohort 0 over-represents "drifted", cohort 1 over-represents
+    // "surged", "stable" appears evenly; filler balances total mass
+    val docs =
+      (1 to 60).map(i => (i.toLong, "c0", "stable drifted drifted filler word")) ++
+      (1 to 60).map(i => (i.toLong + 100, "c1", "stable surged surged other word"))
+    val df = docs.toDF("doc_id", "source", "text")
+    val cohort = when(col("source") === "c0", 0).otherwise(1)
+    val out = Text.tokenDrift(df, cohort, minSupport = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(out("drifted") > 3.0, s"planted A-shift not flagged: ${out("drifted")}")
+    assert(out("surged") < -3.0, s"planted B-shift not flagged: ${out("surged")}")
+    assert(math.abs(out("stable")) < 0.01, s"balanced token flagged: ${out("stable")}")
+    // support floor: every token here appears ≥ 60 times; a rare token
+    // below the floor must not appear
+    val rare = df.union(Seq((999L, "c0", "hapax")).toDF("doc_id", "source", "text"))
+    val outRare = Text.tokenDrift(rare, cohort, minSupport = 20)
+      .collect().map(r => r.getString(0)).toSet
+    assert(!outRare.contains("hapax"))
+    // determinism: identical bits under adversarial repartition
+    for (parts <- Seq(1, 7, 32)) {
+      val again = Text.tokenDrift(df.repartition(parts), cohort, minSupport = 20)
+        .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+      assert(again == out, s"parts=$parts")
+    }
+  }
+
   test("normalizeText: canonical form, idempotent, collapses dedup-fracturing variants") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, md5}
