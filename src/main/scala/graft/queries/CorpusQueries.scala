@@ -1119,6 +1119,39 @@ object CorpusQueries {
         .groupBy(col("label")).agg(count(lit(1)).as("n")).orderBy(col("label"))
     },
 
+    // Int8 affine quantization audit — the 4× storage-compression
+    // decision for the embedding table, with the acceptance numbers:
+    // per-vector scale, integer code checksum, and worst reconstruction
+    // error (≤ scale/2 by construction, spec-pinned). Narrow scan-side
+    // HOF pass, no shuffle; every float is the same IEEE tree in both
+    // engines (⌊·+½⌋ sidesteps their differing round-half conventions),
+    // so all doubles hash-match bit-for-bit.
+    Q("emb_int8_quant",
+      """WITH q AS (
+           SELECT vec_id, embedding,
+             CAST(list_min(embedding) AS DOUBLE) AS qmin,
+             CAST(list_max(embedding) AS DOUBLE) AS qmax
+           FROM embeddings),
+         s AS (SELECT vec_id, embedding, qmin, qmax,
+             (qmax - qmin) / 255.0 AS scale FROM q)
+         SELECT vec_id, qmin, qmax, scale,
+           CAST(list_sum(list_transform(embedding, x ->
+             CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                  ELSE least(CAST(255 AS BIGINT),
+                    CAST(floor((CAST(x AS DOUBLE) - qmin) / scale + 0.5) AS BIGINT))
+             END)) AS BIGINT) AS code_sum,
+           list_max(list_transform(embedding, x ->
+             CASE WHEN scale = 0 THEN 0.0
+                  ELSE abs(CAST(x AS DOUBLE) - (qmin +
+                    CAST(least(CAST(255 AS BIGINT),
+                      CAST(floor((CAST(x AS DOUBLE) - qmin) / scale + 0.5) AS BIGINT))
+                      AS DOUBLE) * scale))
+             END)) AS max_err
+         FROM s ORDER BY vec_id""") { (s, dir) =>
+      Similarity.int8QuantStats(Tables(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))
+    },
+
     // Cluster-conditioned curation: the cross-modal join every
     // classifier-guided pipeline runs — documents joined to their
     // embedding's cluster label, then per-cluster doc counts, exact token

@@ -287,4 +287,37 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("hamming"),
         (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("cos"))
   }
+
+  /** Int8 affine quantization audit — the storage-compression decision an
+    * embedding pipeline makes before writing vectors at corpus scale
+    * (4 bytes/dim float → 1 byte/dim + two scalars, 4× on what is often
+    * the largest table in the lake). Per vector: the affine map
+    * code = ⌊(x − min)/scale + ½⌋ with scale = (max − min)/255, plus the
+    * audit numbers a consumer needs to accept the compression — the
+    * integer code checksum and the worst-case reconstruction error
+    * max|x − (min + code·scale)| (bounded by scale/2 by construction —
+    * spec-pinned, and the registered query hash-checks every float
+    * against DuckDB replaying the identical IEEE expression tree).
+    * Purely narrow per-row HOF work: runs scan-side, no shuffle; floats
+    * promote to double exactly, ⌊·+½⌋ avoids the engines' differing
+    * round() tie conventions, and max/sum over array order are
+    * order-free. Degenerate constant vectors (scale = 0) code to 0 with
+    * exact reconstruction.
+    */
+  def int8QuantStats(embs: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val code = (x: Column) => when(col("scale") === 0.0, 0L)
+      .otherwise(least(lit(255L),
+        floor((x.cast("double") - col("qmin")) / col("scale") + lit(0.5))))
+    val err = (x: Column) => when(col("scale") === 0.0, lit(0.0))
+      .otherwise(abs(x.cast("double") -
+        (col("qmin") + code(x).cast("double") * col("scale"))))
+    embs.select(col(idCol), col(vecCol).as("v"),
+        array_min(col(vecCol)).cast("double").as("qmin"),
+        array_max(col(vecCol)).cast("double").as("qmax"))
+      .withColumn("scale", (col("qmax") - col("qmin")) / lit(255.0))
+      .select(col(idCol), col("qmin"), col("qmax"), col("scale"),
+        aggregate(transform(col("v"), code), lit(0L), (a, c) => a + c).as("code_sum"),
+        array_max(transform(col("v"), err)).as("max_err"))
+  }
 }

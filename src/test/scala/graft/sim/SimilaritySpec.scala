@@ -148,4 +148,32 @@ class SimilaritySpec extends SparkSpec {
     // labels are canonical: every group_id is itself a member mapping to itself
     out.values.toSet.foreach { g: Long => assert(out(g) == g) }
   }
+
+  test("int8QuantStats: error ≤ scale/2, exact on range endpoints and constant vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(-1.5f, 0.0f, 2.5f, 0.7f)),       // generic range
+      (2L, Array(3.25f, 3.25f, 3.25f)),           // constant → scale 0 branch
+      (3L, Array(0.0f, 255.0f)),                  // endpoints must code 0 / 255
+      (4L, (0 until 64).map(i => (i * 0.37f) - 11.1f).toArray))
+    val out = Similarity.int8QuantStats(vecs.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+    // worst reconstruction error is half a quantization step (+1 ulp slack)
+    out.foreach { case (id, (mn, mx, scale, _, maxErr)) =>
+      assert(maxErr <= scale / 2 + 1e-12, s"vec $id: err $maxErr > ${scale / 2}")
+      assert(mx >= mn)
+    }
+    // constant vector: scale 0, codes 0, exact reconstruction
+    assert(out(2L)._3 == 0.0 && out(2L)._4 == 0L && out(2L)._5 == 0.0)
+    // endpoints: min codes to 0, max to 255 → checksum 255, both exact
+    assert(out(3L)._4 == 255L && out(3L)._5 == 0.0)
+    // reference check: replay the affine map on the driver for vec 4
+    val v = vecs.find(_._1 == 4L).get._2.map(_.toDouble)
+    val (mn, mx) = (v.min, v.max)
+    val scale = (mx - mn) / 255.0
+    val codes = v.map(x => math.min(255L, math.floor((x - mn) / scale + 0.5).toLong))
+    val errs = v.zip(codes).map { case (x, c) => math.abs(x - (mn + c * scale)) }
+    assert(out(4L)._4 == codes.sum && out(4L)._5 == errs.max)
+  }
 }
