@@ -408,6 +408,34 @@ object CorpusQueries {
         .orderBy(col("token"))
     },
 
+    // Corpus-trained bigram-LM predictability (the CCNet-shaped signal):
+    // score = mean of the scaled-integer conditionals ⌊10⁶·c(a,b)/c(a,·)⌋
+    // under the corpus's own bigram model. Integer division keeps the
+    // per-doc sum an order-free BIGINT (a float log-perplexity would be
+    // partition-order noise); the model is a re-aggregation of the
+    // per-doc partials and every join carries counts only.
+    Q("doc_bigram_lm",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i + 1])) AS gram
+           FROM toks WHERE len(t) >= 2),
+         per_doc AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS k
+           FROM grams GROUP BY 1, 2),
+         corpus AS (SELECT gram, CAST(SUM(k) AS BIGINT) AS cb,
+           string_split(gram, ' ')[1] AS head FROM per_doc GROUP BY gram),
+         heads AS (SELECT head, CAST(SUM(cb) AS BIGINT) AS ca FROM corpus GROUP BY head),
+         p AS (SELECT gram, (1000000 * cb) // ca AS p_scaled
+           FROM corpus JOIN heads USING (head))
+         SELECT d.doc_id, CAST(SUM(d.k) AS BIGINT) AS n_bigrams,
+           CAST(SUM(d.k * p.p_scaled) AS BIGINT) AS sum_p_scaled,
+           CAST(SUM(d.k * p.p_scaled) AS DOUBLE) / SUM(d.k) AS mean_p_scaled
+         FROM per_doc d JOIN p USING (gram)
+         GROUP BY d.doc_id ORDER BY d.doc_id""") { (s, dir) =>
+      Text.bigramLmScore(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+
     // Token statistics per (lang, source) stratum.
     Q("doc_token_stats",
       """SELECT lang, source, COUNT(*) AS n_docs,

@@ -268,6 +268,38 @@ object Text {
         (col("top_count").cast("double") / col("n_bigrams")).as("top_ratio"))
   }
 
+  /** Corpus-trained bigram-LM predictability score — the CCNet-shaped
+    * quality signal: score each document by how well the corpus's own
+    * bigram statistics predict it. High mean probability flags templated
+    * boilerplate (every transition is the corpus's favorite), low flags
+    * vocabulary soup; curation cuts both tails. Probabilities are the
+    * scaled INTEGERS ⌊10⁶·c(a,b)/c(a,·)⌋ — exact integer division, so
+    * per-doc sums are order-free BIGINTs and the score hash-matches any
+    * engine, where the float log-perplexity form would be partition-order
+    * noise. Distributed shape: per-doc bigram counts combine map-side on
+    * (doc_id, gram); the corpus model is a RE-aggregation of those
+    * partials (never a second pass over occurrences); conditionals join
+    * counts-only on the gram key; text never shuffles.
+    */
+  def bigramLmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(wordBigrams(col("toks"))).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("k"))
+    val corpus = perDoc.groupBy(col("gram")).agg(sum(col("k")).as("cb"))
+      .withColumn("head", split(col("gram"), " ").getItem(0))
+    val heads = corpus.groupBy(col("head")).agg(sum(col("cb")).as("ca"))
+    val p = corpus.join(heads, "head")
+      .select(col("gram"), expr("(1000000 * cb) div ca").as("p_scaled"))
+    perDoc.join(p, "gram")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("p_scaled")).as("sum_p_scaled"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_p_scaled"),
+        (col("sum_p_scaled").cast("double") / col("n_bigrams")).as("mean_p_scaled"))
+  }
+
   /** Corpus-frequency rarity score: mean corpus-wide occurrence count of a
     * document's tokens — low values flag documents of rare/noisy vocabulary,
     * high values flag stopword soup. Two-pass distributed shape: per-doc

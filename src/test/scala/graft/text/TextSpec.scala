@@ -541,6 +541,30 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("bigramLmScore: hand-computed conditionals, boilerplate scores high, partition-invariant") {
+    import spark.implicits._
+    // corpus model: c(a b)=3, c(b a)=1, c(b c)=1; heads c(a,·)=3, c(b,·)=2
+    // → p_scaled(a b)=10⁶·3/3=1000000, p_scaled(b a)=p_scaled(b c)=500000
+    val docs = Seq(
+      (1L, "a b a b"),  // grams: (a b)×2, (b a) → sum 2.5e6 over 3
+      (2L, "a b c"),    // grams: (a b), (b c) → sum 1.5e6 over 2
+      (3L, "x"))        // < 2 tokens → dropped
+      .toDF("doc_id", "text")
+    val out = Text.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((3L, 2500000L, 2500000.0 / 3)))
+    assert(out(2L) == ((2L, 1500000L, 750000.0)))
+    // the curation property: the templated doc is more predictable
+    assert(out(1L)._3 > out(2L)._3)
+    // integer arithmetic → bit-identical under adversarial partitioning
+    for (parts <- Seq(1, 5, 32)) {
+      val again = Text.bigramLmScore(docs.repartition(parts)).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(again == out, s"parts=$parts")
+    }
+  }
+
   test("normalizeText: canonical form, idempotent, collapses dedup-fracturing variants") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, md5}
