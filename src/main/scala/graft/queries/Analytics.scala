@@ -56,6 +56,48 @@ object Analytics {
        SELECT node, rank FROM pr$iters ORDER BY node"""
   }
 
+  /** Deterministic versioned snapshots of the customer dimension for the
+    * SCD2 queries: full load, then a segment change for every 10th key,
+    * then a balance bump for every 20th. Balances ride as DECIMAL(12,2)
+    * so the +100 and all comparisons are exact in both engines.
+    */
+  private def scd2Snapshots(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val c = t(s, dir, "customer")
+    val bal = col("c_acctbal").cast("decimal(12,2)")
+    Seq(
+      c.select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        bal.as("bal"), to_timestamp(lit("2024-01-01")).as("eff")),
+      c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("MACHINERY").as("segment"),
+          bal.as("bal"), to_timestamp(lit("2024-02-01")).as("eff")),
+      c.filter(col("c_custkey") % 20 === 0)
+        .select(col("c_custkey"), lit("MACHINERY").as("segment"),
+          (bal + lit(100)).cast("decimal(12,2)").as("bal"),
+          to_timestamp(lit("2024-03-01")).as("eff")))
+  }
+
+  private val scd2OracleSql =
+    """WITH v0 AS (SELECT c_custkey, c_mktsegment AS segment,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS bal, TIMESTAMP '2024-01-01' AS eff FROM customer),
+       v1 AS (SELECT c_custkey, 'MACHINERY' AS segment,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS bal, TIMESTAMP '2024-02-01' AS eff
+         FROM customer WHERE c_custkey % 10 = 0),
+       v2 AS (SELECT c_custkey, 'MACHINERY' AS segment,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100 AS DECIMAL(12,2)) AS bal,
+         TIMESTAMP '2024-03-01' AS eff FROM customer WHERE c_custkey % 20 = 0),
+       snaps AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+       flagged AS (SELECT *,
+         LAG(eff) OVER w IS NULL AS first_row,
+         (LAG(segment) OVER w IS NOT DISTINCT FROM segment)
+           AND (LAG(bal) OVER w IS NOT DISTINCT FROM bal) AS noop
+         FROM snaps WINDOW w AS (PARTITION BY c_custkey ORDER BY eff, segment, bal)),
+       kept AS (SELECT c_custkey, segment, bal, eff FROM flagged WHERE first_row OR NOT noop)
+       SELECT c_custkey, segment, CAST(bal AS DOUBLE) AS bal, eff AS valid_from,
+         LEAD(eff) OVER w2 AS valid_to,
+         LEAD(eff) OVER w2 IS NULL AS is_current
+       FROM kept WINDOW w2 AS (PARTITION BY c_custkey ORDER BY eff, segment, bal)
+       ORDER BY c_custkey, valid_from"""
+
   val all: Seq[Q] = Seq(
 
     // ================= relational layer (TPC-H-ish) =================
@@ -126,6 +168,60 @@ object Analytics {
           col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    Q("bloom_semi_revenue",
+      """SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         GROUP BY l_suppkey ORDER BY l_suppkey""") { (s, dir) =>
+      // Explicit Bloom-prefiltered semi join (ops.BloomJoin): the fact side
+      // sheds non-matching rows at the SCAN (codegen'd probe, ~20% + 1% fpp
+      // survive here) before any exchange, so the verify join's shuffle
+      // carries a fifth of lineitem. Exact by construction — the oracle is
+      // the plain IN subquery.
+      graft.ops.BloomJoin.semiJoin(
+          t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          "o_orderkey")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1) - col("l_discount").cast("decimal(4,2)")).cast("decimal(5,2)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_suppkey"))
+    },
+
+    Q("cust_scd2_history", scd2OracleSql) { (s, dir) =>
+      // Type-2 SCD rebuild (ops.Scd2.fromSnapshots): three deterministic
+      // snapshot deliveries of the customer dimension — a segment change
+      // for every 10th key (a NO-OP for customers already in MACHINERY,
+      // which must collapse) and a balance bump for every 20th. One hash
+      // shuffle on the business key serves both window passes.
+      val Seq(v0, v1, v2) = scd2Snapshots(s, dir)
+      graft.ops.Scd2
+        .fromSnapshots(v0.unionByName(v1).unionByName(v2),
+          Seq("c_custkey"), "eff", Seq("segment", "bal"))
+        .withColumn("bal", col("bal").cast("double"))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+
+    Q("cust_scd2_incremental", scd2OracleSql) { (s, dir) =>
+      // The incremental MERGE path against the same oracle: build history
+      // from the first two deliveries, then merge the third as a change
+      // batch. Closed rows and untouched keys pass through with no window
+      // work (anti-join pass-through); only open rows of the ~5% changed
+      // keys are re-collapsed — the shape that keeps a 100 TB dimension's
+      // nightly merge proportional to the change batch, not the history.
+      val Seq(v0, v1, v2) = scd2Snapshots(s, dir)
+      val history = graft.ops.Scd2.fromSnapshots(v0.unionByName(v1),
+        Seq("c_custkey"), "eff", Seq("segment", "bal"))
+      graft.ops.Scd2
+        .merge(history, v2, Seq("c_custkey"), "eff", Seq("segment", "bal"))
+        .withColumn("bal", col("bal").cast("double"))
+        .orderBy(col("c_custkey"), col("valid_from"))
     },
 
     Q("q5_region_revenue",
