@@ -98,6 +98,37 @@ object Analytics {
        FROM kept WINDOW w2 AS (PARTITION BY c_custkey ORDER BY eff, segment, bal)
        ORDER BY c_custkey, valid_from"""
 
+  /** Oracle for `ev_zorder_pruning` — the same 16-bit quantization, mask-
+    * chain Morton interleave, and bit-prefix file ids, in DuckDB integer
+    * arithmetic (`//` is exact floor division; all operands non-negative).
+    */
+  private val zorderOracleSql =
+    """WITH e AS (SELECT user_id, CAST(date_part('epoch', ts) AS BIGINT) AS es FROM events),
+       b AS (SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+                    MIN(es) AS tlo, MAX(es) AS thi FROM e),
+       q AS (SELECT ((user_id - ulo) * 65536) // (uhi - ulo + 1) AS zx,
+                    ((es - tlo) * 65536) // (thi - tlo + 1) AS zy
+             FROM e CROSS JOIN b),
+       s1 AS (SELECT zx, zy,
+         ((zx & 65535) | ((zx & 65535) << 8)) & 16711935 AS px,
+         ((zy & 65535) | ((zy & 65535) << 8)) & 16711935 AS py FROM q),
+       s2 AS (SELECT zx, zy, ((px | (px << 4)) & 252645135) AS qx,
+                             ((py | (py << 4)) & 252645135) AS qy FROM s1),
+       s3 AS (SELECT zx, zy, ((qx | (qx << 2)) & 858993459) AS rx,
+                             ((qy | (qy << 2)) & 858993459) AS ry FROM s2),
+       s4 AS (SELECT zx, zy, ((rx | (rx << 1)) & 1431655765) AS sx,
+                             ((ry | (ry << 1)) & 1431655765) AS sy FROM s3),
+       z AS (SELECT zx, zy, (sx | (sy << 1)) >> 26 AS zfile, zy >> 10 AS lfile FROM s4)
+       SELECT COUNT(DISTINCT zfile) AS z_files_total,
+              COUNT(DISTINCT lfile) AS l_files_total,
+              COUNT(CASE WHEN zx < 8192 THEN 1 END) AS user_rows,
+              COUNT(CASE WHEN zy < 8192 THEN 1 END) AS time_rows,
+              COUNT(DISTINCT CASE WHEN zx < 8192 THEN zfile END) AS z_files_user,
+              COUNT(DISTINCT CASE WHEN zx < 8192 THEN lfile END) AS l_files_user,
+              COUNT(DISTINCT CASE WHEN zy < 8192 THEN zfile END) AS z_files_time,
+              COUNT(DISTINCT CASE WHEN zy < 8192 THEN lfile END) AS l_files_time
+       FROM z"""
+
   val all: Seq[Q] = Seq(
 
     // ================= relational layer (TPC-H-ish) =================
@@ -192,6 +223,38 @@ object Analytics {
           .cast("double").as("revenue"),
           count(lit(1)).as("n"))
         .orderBy(col("l_suppkey"))
+    },
+
+    Q("ev_zorder_pruning", zorderOracleSql) { (s, dir) =>
+      // Z-order layout vs time-major layout, measured on real data in ONE
+      // scan (ops.Layout): quantize (user, time) to a 16-bit grid, Morton-
+      // interleave, file id = bit prefix (64 files each way). The
+      // conditional aggregates report how many files a user-slice and a
+      // time-slice predicate touch under each layout — the file-skipping
+      // argument for z-ordering a 100 TB table, as an oracle-checked
+      // integer computation (no shuffle besides the 1-row bounds agg).
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("es"))
+      val bounds = ev.agg(
+        min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
+        min(col("es")).as("tlo"), max(col("es")).as("thi"))
+      val filed = ev.crossJoin(broadcast(bounds))
+        .withColumn("zx", graft.ops.Layout.quantize16(col("user_id"), col("ulo"), col("uhi")))
+        .withColumn("zy", graft.ops.Layout.quantize16(col("es"), col("tlo"), col("thi")))
+        .withColumn("zfile",
+          graft.ops.Layout.zfile(graft.ops.Layout.zvalue16(col("zx"), col("zy")), 3))
+        .withColumn("lfile", graft.ops.Layout.linearFile(col("zy"), 3))
+      val userSlice = col("zx") < 8192
+      val timeSlice = col("zy") < 8192
+      filed.agg(
+        countDistinct(col("zfile")).as("z_files_total"),
+        countDistinct(col("lfile")).as("l_files_total"),
+        count(when(userSlice, 1)).as("user_rows"),
+        count(when(timeSlice, 1)).as("time_rows"),
+        countDistinct(when(userSlice, col("zfile"))).as("z_files_user"),
+        countDistinct(when(userSlice, col("lfile"))).as("l_files_user"),
+        countDistinct(when(timeSlice, col("zfile"))).as("z_files_time"),
+        countDistinct(when(timeSlice, col("lfile"))).as("l_files_time"))
     },
 
     Q("cust_scd2_history", scd2OracleSql) { (s, dir) =>
