@@ -103,7 +103,8 @@ object Analytics {
     * arithmetic (`//` is exact floor division; all operands non-negative).
     */
   private val zorderOracleSql =
-    """WITH e AS (SELECT user_id, CAST(date_part('epoch', ts) AS BIGINT) AS es FROM events),
+    """WITH e AS (SELECT user_id,
+         CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS es FROM events),
        b AS (SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
                     MIN(es) AS tlo, MAX(es) AS thi FROM e),
        q AS (SELECT ((user_id - ulo) * 65536) // (uhi - ulo + 1) AS zx,
