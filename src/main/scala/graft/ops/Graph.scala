@@ -167,4 +167,42 @@ object Graph {
             (col("deg") * (col("deg") - 1)))
           .otherwise(lit(0.0)))
   }
+
+  /** Community detection by SYNCHRONOUS weighted label propagation over a
+    * directed weighted edge list `(src, dst, w)` — symmetrized here, so a
+    * community is dense under co-transition in either direction.
+    *
+    * Classic async LPA is order-dependent; this variant is deterministic
+    * by construction (and therefore oracle-checkable): every round each
+    * node adopts the label with the greatest incident weight among its
+    * neighbors' CURRENT labels, ties broken by the smallest label, for a
+    * fixed number of rounds. Isolated nodes keep their own label.
+    *
+    * Scale shape: identical to [[pageRank]] — the symmetrized edge list
+    * is checkpointed once (≤ |V|² aggregated rows regardless of how many
+    * events produced it), and each round is one join + one map-side-
+    * combined aggregation + one per-node window, all on edge-list-sized
+    * data. Rounds are a fixed small constant, not data-dependent.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"), col("w"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val e0 = sym.localCheckpoint()
+    val nodes = e0.select(col("src").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val scored = e0
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("label")).agg(sum(col("w")).as("wsum"))
+      val pick = Window.partitionBy(col("src"))
+        .orderBy(col("wsum").desc, col("label"))
+      val picked = scored
+        .withColumn("rn", row_number().over(pick)).where(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
+      labels = nodes.join(picked, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    }
+    labels
+  }
 }

@@ -98,6 +98,38 @@ object Analytics {
        FROM kept WINDOW w2 AS (PARTITION BY c_custkey ORDER BY eff, segment, bal)
        ORDER BY c_custkey, valid_from"""
 
+  /** DuckDB oracle for `ev_lpa_communities`: the identical synchronous
+    * label-propagation recurrence (greatest incident label weight, min-
+    * label tie-break), one CTE trio per round — same unrolling idiom as
+    * [[pageRankOracle]].
+    */
+  private def lpaOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""sc$k AS (SELECT e.src, l.label, CAST(SUM(e.w) AS BIGINT) AS wsum
+         FROM e JOIN lab${k - 1} l ON l.node = e.dst GROUP BY e.src, l.label),
+         pk$k AS (SELECT src AS node, label FROM (
+           SELECT src, label,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY wsum DESC, label) AS rn
+           FROM sc$k) WHERE rn = 1),
+         lab$k AS (SELECT n.node, COALESCE(p.label, n.node) AS label
+         FROM nodes n LEFT JOIN pk$k p ON p.node = n.node)"""
+    }.mkString(",\n       ")
+    s"""WITH t AS (SELECT user_id,
+         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS src,
+         LEAD(CAST(json_extract_string(props, '$$.k') AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         FROM events),
+       d AS (SELECT src, dst, COUNT(*) AS w FROM t
+         WHERE dst IS NOT NULL AND src <> dst GROUP BY src, dst),
+       e AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+         SELECT src, dst, w FROM d
+         UNION ALL SELECT dst AS src, src AS dst, w FROM d) u GROUP BY src, dst),
+       nodes AS (SELECT DISTINCT src AS node FROM e),
+       lab0 AS (SELECT node, node AS label FROM nodes),
+       $steps
+       SELECT node, label FROM lab$iters ORDER BY node"""
+  }
+
   /** Oracle for `ev_zorder_pruning` — the same 16-bit quantization, mask-
     * chain Morton interleave, and bit-prefix file ids, in DuckDB integer
     * arithmetic (`//` is exact floor division; all operands non-negative).
@@ -224,6 +256,23 @@ object Analytics {
           .cast("double").as("revenue"),
           count(lit(1)).as("n"))
         .orderBy(col("l_suppkey"))
+    },
+
+    Q("ev_lpa_communities", lpaOracleSql(4)) { (s, dir) =>
+      // Community detection over the page-like `props.k` navigation graph
+      // (100 nodes at every sf): synchronous weighted label propagation,
+      // 4 rounds, deterministic min-label tie-break (ops.Graph). The
+      // iterative stage runs on the checkpointed aggregated edge list —
+      // corpus-size-independent, like ev_pagerank. On this fixture the
+      // transition graph is near-complete and uniform, so all nodes
+      // rightly converge to one community — GraphSpec's weak-bridge
+      // cliques prove the separation behavior on structured graphs.
+      val evK = Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      val edges = graft.ops.Graph.transitionCounts(evK, "k")
+        .where(col("src") =!= col("dst"))
+        .withColumnRenamed("n", "w")
+      graft.ops.Graph.labelPropagation(edges, 4).orderBy(col("node"))
     },
 
     Q("ev_zorder_pruning", zorderOracleSql) { (s, dir) =>

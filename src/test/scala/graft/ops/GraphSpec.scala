@@ -1,6 +1,9 @@
 package graft.ops
 
 import java.sql.Timestamp
+
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class GraphSpec extends SparkSpec {
@@ -143,5 +146,30 @@ class GraphSpec extends SparkSpec {
     }
     assert(got(100L) == ((20L, 0L, 0.0)), "star hub has no triangles")
     assert(got(101L) == ((1L, 0L, 0.0)), "leaf")
+  }
+
+  test("labelPropagation: two dense cliques joined by one weak edge separate cleanly") {
+    import spark.implicits._
+    // clique A = {1,2,3}, clique B = {10,11,12}, internal weight 10,
+    // one weight-1 bridge 3–10
+    val intra = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L))
+      .map { case (a, b) => (a, b, 10L) }
+    val edges = (intra :+ ((3L, 10L, 1L))).toDF("src", "dst", "w")
+    val got = Graph.labelPropagation(edges, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(got) .size == 1, s"clique A split: $got")
+    assert(Set(10L, 11L, 12L).map(got).size == 1, s"clique B split: $got")
+    assert(got(1L) != got(10L), s"cliques merged across the weak bridge: $got")
+  }
+
+  test("labelPropagation: deterministic under repartitioning; isolated node keeps its label") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 2L), (7L, 7L, 1L))
+      .toDF("src", "dst", "w").where(col("src") =!= col("dst"))
+    val base = Graph.labelPropagation(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shuffled = Graph.labelPropagation(edges.repartition(7), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(base == shuffled)
   }
 }
