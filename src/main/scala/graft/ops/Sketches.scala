@@ -283,4 +283,43 @@ object Sketches {
 
     def total: Long = nTotal
   }
+
+  /** Pairwise audience overlap between the groups of `typeCol` by HLL
+    * inclusion-exclusion — `est(A∩B) = est(A) + est(B) − est(A∪B)` — with
+    * the exact intersection beside it for error accounting.
+    *
+    * The union sketch per pair is built declaratively: each row joins the
+    * OTHER group labels (broadcast; ≤ |T|−1 copies, |T| being the small
+    * group domain), so the per-pair `approx_count_distinct` sees the
+    * union's rows and no sketch objects ever cross the API — the whole
+    * thing is one codegen'd plan with map-side partial HLL merges. The
+    * intersection estimate inherits ~3 sketches' worth of rsd, so it is a
+    * triage signal (which cohorts overlap heavily), not a count to bill
+    * on — SketchesSpec bounds the error against planted overlaps.
+    */
+  def hllOverlap(df: DataFrame, typeCol: String, userCol: String,
+      rsd: Double = 0.05): DataFrame = {
+    val ev = df.select(col(typeCol).as("t"), col(userCol).as("u"))
+    val types = ev.select(col("t").as("t2")).distinct()
+    val unions = ev.join(broadcast(types), col("t2") =!= col("t"))
+      .select(least(col("t"), col("t2")).as("a"),
+        greatest(col("t"), col("t2")).as("b"), col("u"))
+      .groupBy(col("a"), col("b"))
+      .agg(approx_count_distinct(col("u"), rsd).as("est_union"))
+    val perType = ev.groupBy(col("t"))
+      .agg(approx_count_distinct(col("u"), rsd).as("est"))
+    val tu = ev.distinct()
+    val exact = tu.join(tu.select(col("t").as("tb"), col("u")), "u")
+      .where(col("t") < col("tb"))
+      .groupBy(col("t").as("a"), col("tb").as("b"))
+      .agg(countDistinct(col("u")).as("exact_overlap"))
+      .select(col("a"), col("b"), col("exact_overlap"))
+    unions
+      .join(perType.select(col("t").as("a"), col("est").as("est_a")), "a")
+      .join(perType.select(col("t").as("b"), col("est").as("est_b")), "b")
+      .join(exact, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
+  }
 }

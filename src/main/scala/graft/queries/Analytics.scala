@@ -1196,6 +1196,81 @@ object Analytics {
         .orderBy(col("event_type"))
     },
 
+    // Sketch set algebra: pairwise audience overlap between event types
+    // by HLL inclusion-exclusion — est(A∩B) = est(A)+est(B)−est(A∪B) —
+    // with the exact intersection beside it. The union sketch is built by
+    // declarative expansion (each event joins the other types, ≤|T|−1
+    // copies; |T| is the tiny type domain), so no sketch objects cross
+    // the API and everything stays one codegen'd plan. Estimates are
+    // engine-specific → rows-only; SketchesSpec bounds the
+    // inclusion-exclusion error against exact counts.
+    Q.unchecked("ev_hll_overlap") { (s, dir) =>
+      graft.ops.Sketches.hllOverlap(
+        Tables.events(s, dir), "event_type", "user_id")
+        .orderBy(col("a"), col("b"))
+    },
+
+    Q("lineitem_profile",
+      """SELECT * FROM (
+         SELECT 'l_orderkey' AS column_name,
+           COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_val FROM lineitem
+         UNION ALL SELECT 'l_linenumber',
+           COUNT(*) - COUNT(l_linenumber),
+           CAST(COUNT(DISTINCT l_linenumber) AS BIGINT),
+           CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR) FROM lineitem
+         UNION ALL SELECT 'l_quantity',
+           COUNT(*) - COUNT(l_quantity),
+           CAST(COUNT(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT),
+           CAST(MIN(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR),
+           CAST(MAX(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) FROM lineitem
+         UNION ALL SELECT 'l_returnflag',
+           COUNT(*) - COUNT(l_returnflag),
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+           CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR) FROM lineitem
+         UNION ALL SELECT 'l_shipdate',
+           COUNT(*) - COUNT(l_shipdate),
+           CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+           CAST(CAST(date_trunc('second', MIN(l_shipdate)) AS TIMESTAMP) AS VARCHAR),
+           CAST(CAST(date_trunc('second', MAX(l_shipdate)) AS TIMESTAMP) AS VARCHAR) FROM lineitem
+         ) ORDER BY column_name""") { (s, dir) =>
+      // ANALYZE-style column profile in ONE scan: all null counts,
+      // distinct counts, and min/max land in a single agg (Spark plans
+      // the multi-distinct via Expand + partial aggregation — one pass
+      // over the table, shuffling only aggregate state), then the single
+      // row unpivots to the long stats form. The oracle recomputes each
+      // column's row independently.
+      val li = t(s, dir, "lineitem")
+      val qty = col("l_quantity").cast("decimal(12,2)")
+      val one = li.agg(
+        count(lit(1)).as("nr"),
+        count(col("l_orderkey")).as("c1"), countDistinct(col("l_orderkey")).as("d1"),
+        min(col("l_orderkey")).cast("string").as("mn1"),
+        max(col("l_orderkey")).cast("string").as("mx1"),
+        count(col("l_linenumber")).as("c2"), countDistinct(col("l_linenumber")).as("d2"),
+        min(col("l_linenumber")).cast("string").as("mn2"),
+        max(col("l_linenumber")).cast("string").as("mx2"),
+        count(col("l_quantity")).as("c3"), countDistinct(qty).as("d3"),
+        min(qty).cast("string").as("mn3"), max(qty).cast("string").as("mx3"),
+        count(col("l_returnflag")).as("c4"), countDistinct(col("l_returnflag")).as("d4"),
+        min(col("l_returnflag")).cast("string").as("mn4"),
+        max(col("l_returnflag")).cast("string").as("mx4"),
+        count(col("l_shipdate")).as("c5"), countDistinct(col("l_shipdate")).as("d5"),
+        sec(min(col("l_shipdate"))).cast("string").as("mn5"),
+        sec(max(col("l_shipdate"))).cast("string").as("mx5"))
+      one.select(expr(
+        """stack(5,
+           'l_orderkey',   nr - c1, d1, mn1, mx1,
+           'l_linenumber', nr - c2, d2, mn2, mx2,
+           'l_quantity',   nr - c3, d3, mn3, mx3,
+           'l_returnflag', nr - c4, d4, mn4, mx4,
+           'l_shipdate',   nr - c5, d5, mn5, mx5)
+           AS (column_name, n_nulls, n_distinct, min_val, max_val)"""))
+        .orderBy(col("column_name"))
+    },
+
     // Declarative data-quality gate (the Deequ/dbt-test shape): each
     // check reduces its table to one (check, total, violations,
     // pass_rate) row — conditional aggregates, a distinct-count, and two

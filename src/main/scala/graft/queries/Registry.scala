@@ -21,6 +21,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    DedupSpec pins signatures and verifies the Hamming pigeonhole.
   *  - `ev_hll_users` — HLL++ estimates are engine-specific; the spec
   *    bounds them against exact counts within the configured rsd.
+  *  - `ev_hll_overlap` — HLL inclusion-exclusion intersection estimates
+  *    are engine-specific (like `ev_hll_users`, whose sketches they
+  *    reuse); the exact intersection rides in the same output row, and
+  *    SketchesSpec bounds the estimate error against planted overlaps.
   *  - `ev_heavy_hitters` — Misra–Gries estimates depend on merge order
   *    (like HLL); SketchesSpec proves the est ∈ [f − N/(k+1), f]
   *    guarantee against exact counts under multiple partitionings.

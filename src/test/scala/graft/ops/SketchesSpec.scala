@@ -224,4 +224,28 @@ class SketchesSpec extends SparkSpec {
     assert(exact.size <= 64, s"fixture grew: ${exact.size} users; revisit k")
     rows.foreach { case (key, est) => assert(est == exact(key)) }
   }
+
+  test("hllOverlap: inclusion-exclusion recovers planted overlaps within sketch error") {
+    import spark.implicits._
+    // A = 0..999, B = 500..1499 (overlap 500), C = 2000..2099 (disjoint)
+    val rows =
+      (0L until 1000L).map(u => ("A", u)) ++
+      (500L until 1500L).map(u => ("B", u)) ++
+      (2000L until 2100L).map(u => ("C", u))
+    val df = rows.toDF("event_type", "user_id").repartition(7)
+    val got = Sketches.hllOverlap(df, "event_type", "user_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    // exact intersections are exact
+    assert(got(("A", "B"))._3 == 500L)
+    assert(got(("A", "C"))._3 == 0L)
+    // IE estimate carries ~3 sketches of rsd≈5%: bound by 15% of the union
+    got.foreach { case ((a, b), (estUnion, estOverlap, exact)) =>
+      assert(math.abs(estOverlap - exact) <= math.max(20L, (0.15 * estUnion).toLong),
+        s"($a,$b): est_overlap=$estOverlap exact=$exact union=$estUnion")
+    }
+  }
 }
