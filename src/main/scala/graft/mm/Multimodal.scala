@@ -208,4 +208,133 @@ object Multimodal {
       lit("fake/raw").as("format"),
       lit(64).as("width"),
       (length(col("text")) / 64).cast("int").as("height"))
+
+  /** REAL audio plumbing: RIFF/WAV PCM needs no codec library, so unlike
+    * video (stubbed behind the byte path) the audio branch parses actual
+    * wire bytes — a proper RIFF chunk walk, not a fixed-offset peek — and
+    * extracts the standard first-pass audio features (per-window energy
+    * and zero-crossing rate). Feature arithmetic is all-integer until one
+    * final IEEE division, so the DuckDB oracle can replay it exactly from
+    * the closed-form fixture waveform; matching is only possible if the
+    * byte roundtrip (synthesize → RIFF container → parse → window) is
+    * faithful. WavSpec additionally cross-validates the parser against the
+    * JDK's own `javax.sound.sampled` reader.
+    */
+  object Wav {
+    final case class Meta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                          nSamples: Int, dataOffset: Int)
+    final case class WindowFeatures(media_id: Long, window_idx: Int,
+                                    sum_squares: Long, zero_crossings: Long)
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    private def wr16(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xFF).toByte; b(o + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    private def wr32(b: Array[Byte], o: Int, v: Int): Unit = {
+      wr16(b, o, v & 0xFFFF); wr16(b, o + 2, (v >>> 16) & 0xFFFF)
+    }
+
+    /** The closed-form fixture waveform: a 16-step integer sawtooth offset
+      * by the asset id — `s(i) = (i + mediaId) mod 16 − 8` — chosen so
+      * every feature below is small exact integer arithmetic any engine
+      * can replay.
+      */
+    def sample(mediaId: Long, i: Long): Int = (((i + mediaId) % 16) - 8).toInt
+
+    /** Mono PCM16LE WAV with a canonical 44-byte RIFF header. */
+    def synthesize(mediaId: Long, nSamples: Int, sampleRate: Int = 16000): Array[Byte] = {
+      val data = nSamples * 2
+      val b = new Array[Byte](44 + data)
+      "RIFF".getBytes.copyToArray(b, 0); wr32(b, 4, 36 + data)
+      "WAVE".getBytes.copyToArray(b, 8)
+      "fmt ".getBytes.copyToArray(b, 12); wr32(b, 16, 16)
+      wr16(b, 20, 1) // PCM
+      wr16(b, 22, 1) // mono
+      wr32(b, 24, sampleRate)
+      wr32(b, 28, sampleRate * 2) // byte rate
+      wr16(b, 32, 2) // block align
+      wr16(b, 34, 16) // bits
+      "data".getBytes.copyToArray(b, 36); wr32(b, 40, data)
+      var i = 0
+      while (i < nSamples) { wr16(b, 44 + 2 * i, sample(mediaId, i) & 0xFFFF); i += 1 }
+      b
+    }
+
+    /** Walk the RIFF chunk list (fmt may be preceded by LIST/fact chunks
+      * in the wild — do NOT assume offset 36 for data).
+      */
+    def parse(bytes: Array[Byte]): Option[Meta] = {
+      if (bytes.length < 12 ||
+        new String(bytes, 0, 4) != "RIFF" || new String(bytes, 8, 4) != "WAVE")
+        return None
+      var o = 12
+      var rate, channels, bits = -1
+      var dataOff, dataLen = -1
+      while (o + 8 <= bytes.length) {
+        val id = new String(bytes, o, 4)
+        val len = le32(bytes, o + 4)
+        if (id == "fmt " && o + 24 <= bytes.length) {
+          channels = le16(bytes, o + 10)
+          rate = le32(bytes, o + 12)
+          bits = le16(bytes, o + 22)
+        } else if (id == "data") {
+          dataOff = o + 8; dataLen = len
+        }
+        o += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (rate <= 0 || bits != 16 || channels != 1 || dataOff < 0) None
+      else Some(Meta(rate, channels, bits,
+        math.min(dataLen, bytes.length - dataOff) / 2, dataOff))
+    }
+
+    def sampleAt(bytes: Array[Byte], meta: Meta, i: Int): Int =
+      le16(bytes, meta.dataOffset + 2 * i).toShort.toInt
+
+    /** Per-window energy + zero crossings over FULL windows (trailing
+      * partial window dropped). A crossing is a strict sign-bit change
+      * between adjacent samples within the window.
+      */
+    def windowFeatures(mediaId: Long, bytes: Array[Byte],
+        window: Int): Iterator[WindowFeatures] = {
+      parse(bytes) match {
+        case None => Iterator.empty
+        case Some(m) =>
+          (0 until m.nSamples / window).iterator.map { wi =>
+            var sumSq = 0L
+            var zc = 0L
+            var j = 0
+            while (j < window) {
+              val s = sampleAt(bytes, m, wi * window + j)
+              sumSq += s.toLong * s
+              if (j + 1 < window) {
+                val t = sampleAt(bytes, m, wi * window + j + 1)
+                if ((s < 0) != (t < 0)) zc += 1
+              }
+              j += 1
+            }
+            WindowFeatures(mediaId, wi, sumSq, zc)
+          }
+      }
+    }
+
+    /** The deterministic audio fixture: asset `id` carries `id · 480`
+      * samples (id·3 full 160-sample windows).
+      */
+    def audioFixtureMedia(spark: SparkSession, nAssets: Int = 6): Dataset[MediaRow] = {
+      import spark.implicits._
+      spark.range(1, nAssets + 1L).as[Long].map { id =>
+        MediaRow(id, synthesize(id, (id * 480L).toInt), "wav", 0, 0)
+      }
+    }
+
+    /** Batch-shaped feature extraction, same shape as [[decodeFeatures]]. */
+    def audioFeatures(media: Dataset[MediaRow], window: Int = 160): Dataset[WindowFeatures] = {
+      import media.sparkSession.implicits._
+      media.mapPartitions(_.flatMap(r => windowFeatures(r.media_id, r.media, window)))
+    }
+  }
 }

@@ -1497,6 +1497,37 @@ object CorpusQueries {
       Multimodal.decodeFeatures(media).toDF().orderBy(col("media_id"))
     },
 
+    // REAL audio decode under the driver check: six RIFF/WAV PCM16 assets
+    // (closed-form integer sawtooth, Multimodal.Wav.synthesize) go through
+    // the actual chunk-walking parser and per-window feature pass —
+    // energy + zero-crossing rate per 160-sample window, integers until
+    // one final IEEE division. The oracle replays the waveform
+    // arithmetically and never sees the bytes, so a hash match proves the
+    // container roundtrip (synthesize → RIFF → parse → window) is
+    // faithful. WavSpec cross-validates the parser against the JDK's
+    // javax.sound reader and pins chunk-order robustness.
+    Q("mm_audio_features",
+      """WITH assets AS (SELECT unnest(range(1, 7)) AS media_id),
+         w AS (SELECT media_id, unnest(range(media_id * 3)) AS window_idx FROM assets),
+         f AS (SELECT media_id, window_idx,
+           list_sum(list_transform(range(160), j ->
+             ((window_idx*160 + j + media_id) % 16 - 8)
+               * ((window_idx*160 + j + media_id) % 16 - 8))) AS sumsq,
+           list_sum(list_transform(range(159), j ->
+             CASE WHEN (((window_idx*160 + j + media_id) % 16 - 8) < 0)
+                  <> (((window_idx*160 + j + 1 + media_id) % 16 - 8) < 0)
+             THEN 1 ELSE 0 END)) AS zc
+           FROM w)
+         SELECT media_id, window_idx, CAST(sumsq AS DOUBLE) / 160 AS rms2,
+                CAST(zc AS BIGINT) AS zero_crossings
+         FROM f ORDER BY media_id, window_idx""") { (s, dir) =>
+      Multimodal.Wav.audioFeatures(Multimodal.Wav.audioFixtureMedia(s)).toDF()
+        .select(col("media_id"), col("window_idx").cast("long").as("window_idx"),
+          (col("sum_squares").cast("double") / lit(160)).as("rms2"),
+          col("zero_crossings"))
+        .orderBy(col("media_id"), col("window_idx"))
+    },
+
     // Inverted index: token → (df, tf, capped posting list) — the
     // retrieval structure behind exact-term search and contamination
     // audits. Per-doc term counts combine map-side on (token, doc_id);
