@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series gap filling over a sparse (key, slot, value) series: build
+  * the dense slot grid, then fill every hole by LINEAR INTERPOLATION
+  * between the nearest observed neighbors (constant extrapolation at the
+  * edges) — the sensor/metric regularization step that precedes any
+  * windowed model over irregular event data.
+  *
+  * All arithmetic is 64-bit integer: values enter as integer units (e.g.
+  * cents), interpolation is `vp + (vn−vp)·(t−tp) div (tn−tp)` with
+  * TRUNCATING division (Spark `div` and DuckDB `//` agree on truncation
+  * toward zero, negative deltas included) — so the filled series is
+  * bit-identical in any engine and the registered query can be
+  * hash-checked end to end.
+  *
+  * Scale shape: the grid is |keys| × |slots| rows built from a broadcast
+  * 1-row bounds aggregate crossed with the key set — no shuffle bigger
+  * than the output itself; both neighbor passes are frame-bounded window
+  * functions over the same (key, slot) partitioning, so the whole fill is
+  * ONE hash exchange of the grid. Slots are bounded by the series span,
+  * not the event count; for a 100 TB event table the grid is the small
+  * side (keys × span), and the heavy input collapses to per-slot
+  * aggregates before it ever joins the grid.
+  */
+object GapFill {
+
+  /** Dense fill of `observed(keyCol, slotCol, valCol)` — one row per key
+    * per slot in `[min(slot), max(slot)]` (global bounds), with:
+    * `filled` (the value: observed, interpolated, or edge-carried),
+    * `src` ∈ {observed, interp, edge}.
+    */
+  def fill(observed: DataFrame, keyCol: String, slotCol: String,
+      valCol: String): DataFrame = {
+    val bounds = observed.agg(
+      min(col(slotCol)).as("slo"), max(col(slotCol)).as("shi"))
+    val keys = observed.select(col(keyCol)).distinct()
+    val grid = keys.crossJoin(broadcast(bounds))
+      .select(col(keyCol), explode(sequence(col("slo"), col("shi"))).as(slotCol))
+    val joined = grid.join(observed, Seq(keyCol, slotCol), "left")
+    val before = Window.partitionBy(col(keyCol)).orderBy(col(slotCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = Window.partitionBy(col(keyCol)).orderBy(col(slotCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    joined
+      .withColumn("vp", last(col(valCol), ignoreNulls = true).over(before))
+      .withColumn("tp", last(when(col(valCol).isNotNull, col(slotCol)), ignoreNulls = true).over(before))
+      .withColumn("vn", first(col(valCol), ignoreNulls = true).over(after))
+      .withColumn("tn", first(when(col(valCol).isNotNull, col(slotCol)), ignoreNulls = true).over(after))
+      .withColumn("filled",
+        when(col(valCol).isNotNull, col(valCol))
+          .when(col("vp").isNotNull && col("vn").isNotNull,
+            expr("vp + ((vn - vp) * (" + slotCol + " - tp)) div (tn - tp)"))
+          .otherwise(coalesce(col("vp"), col("vn"))))
+      .withColumn("src",
+        when(col(valCol).isNotNull, lit("observed"))
+          .when(col("vp").isNotNull && col("vn").isNotNull, lit("interp"))
+          .otherwise(lit("edge")))
+      .drop("vp", "tp", "vn", "tn")
+  }
+}

@@ -307,6 +307,62 @@ object Analytics {
         countDistinct(when(timeSlice, col("lfile"))).as("l_files_time"))
     },
 
+    Q("ev_gap_filled_hourly",
+      """WITH obs AS (SELECT user_id,
+           CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       b AS (SELECT MIN(h) AS slo, MAX(h) AS shi FROM obs),
+       grid AS (SELECT user_id, unnest(range(slo, shi + 1)) AS h
+         FROM (SELECT DISTINCT user_id FROM obs) CROSS JOIN b),
+       j AS (SELECT g.user_id, g.h, o.cents FROM grid g
+         LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.h),
+       w AS (SELECT user_id, h, cents,
+           LAST_VALUE(cents IGNORE NULLS) OVER wb AS vp,
+           LAST_VALUE(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS) OVER wb AS tp,
+           FIRST_VALUE(cents IGNORE NULLS) OVER wa AS vn,
+           FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS) OVER wa AS tn
+         FROM j WINDOW
+           wb AS (PARTITION BY user_id ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wa AS (PARTITION BY user_id ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+       f AS (SELECT user_id,
+           CASE WHEN cents IS NOT NULL THEN cents
+                WHEN vp IS NOT NULL AND vn IS NOT NULL
+                  THEN vp + ((vn - vp) * (h - tp)) // (tn - tp)
+                ELSE COALESCE(vp, vn) END AS filled,
+           CASE WHEN cents IS NOT NULL THEN 'observed'
+                WHEN vp IS NOT NULL AND vn IS NOT NULL THEN 'interp'
+                ELSE 'edge' END AS src
+         FROM w)
+       SELECT user_id, COUNT(*) AS n_slots,
+         COUNT(CASE WHEN src = 'observed' THEN 1 END) AS n_observed,
+         COUNT(CASE WHEN src = 'interp' THEN 1 END) AS n_interp,
+         COUNT(CASE WHEN src = 'edge' THEN 1 END) AS n_edge,
+         CAST(SUM(filled) AS BIGINT) AS total_cents
+       FROM f GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+      // Dense hourly regularization of the per-user purchase-value series
+      // (ops.GapFill): linear interpolation in integer cents between the
+      // nearest observed hours, truncating div (Spark `div` ≡ DuckDB `//`),
+      // constant extrapolation at edges. Reported as per-user fill stats so
+      // the output stays |users|-sized while the oracle checks every slot
+      // through the aggregate (n_slots/n_interp/total_cents would all shift
+      // if any filled value differed).
+      val observed = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .withColumn("h", expr("unix_timestamp(ts) div 3600"))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy(col("user_id"), col("h"))
+        .agg(sum(col("cents")).as("cents"))
+      graft.ops.GapFill.fill(observed, "user_id", "h", "cents")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_slots"),
+          count(when(col("src") === "observed", 1)).as("n_observed"),
+          count(when(col("src") === "interp", 1)).as("n_interp"),
+          count(when(col("src") === "edge", 1)).as("n_edge"),
+          sum(col("filled")).as("total_cents"))
+        .orderBy(col("user_id"))
+    },
+
     Q("cust_scd2_history", scd2OracleSql) { (s, dir) =>
       // Type-2 SCD rebuild (ops.Scd2.fromSnapshots): three deterministic
       // snapshot deliveries of the customer dimension — a segment change
