@@ -67,4 +67,45 @@ object Layout {
     */
   def linearFile(y16: Column, gridBits: Int): Column =
     shiftright(y16, 16 - 2 * gridBits)
+
+  /** Hilbert-curve position of 16-bit `(x, y)` — the native kernel
+    * (`functions.SpatialExpressions.HilbertIndex`, whole-stage codegen);
+    * locality upgrade over [[zvalue16]].
+    */
+  def hvalue16(x: Column, y: Column): Column =
+    graft.functions.SpatialExpressions.hilbertIndex(x, y)
+
+  /** File id under Hilbert clustering into `4^g` files — top `2g` bits of
+    * the 32-bit curve position; each file is a CONTIGUOUS curve segment,
+    * hence a connected region of the grid.
+    */
+  def hfile(h: Column, gridBits: Int): Column =
+    shiftright(h, 32 - 2 * gridBits)
+
+  /** DuckDB replay of [[graft.functions.SpatialExpressions.HilbertIndex]]:
+    * the 16 xy2d rounds unrolled as chained CTEs. `from` must provide
+    * columns `zx, zy` (16-bit ints) plus any carry columns listed in
+    * `carry`; the final CTE `hilbert` exposes `carry..., zx, zy, hd`.
+    */
+  def hilbertOracleSteps(from: String, carry: Seq[String]): String = {
+    val c = if (carry.isEmpty) "" else carry.mkString("", ", ", ", ")
+    val n1 = 65535
+    val steps = (0 until 16).map { k =>
+      val s = 32768 >> k
+      val prev = s"h$k"
+      // gray increment: rx=0 → ry ; rx=1 → 3−ry
+      s"""h${k + 1} AS (SELECT $c zx, zy,
+         CASE WHEN (hy & $s) > 0 THEN hx
+              ELSE CASE WHEN (hx & $s) > 0 THEN $n1 - hy ELSE hy END END AS hx,
+         CASE WHEN (hy & $s) > 0 THEN hy
+              ELSE CASE WHEN (hx & $s) > 0 THEN $n1 - hx ELSE hx END END AS hy,
+         hd + CAST(${s.toLong * s} AS BIGINT) * (CASE WHEN (hx & $s) > 0
+             THEN 3 - (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)
+             ELSE (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END) END) AS hd
+         FROM $prev)"""
+    }.mkString(",\n       ")
+    s"""h0 AS (SELECT $c zx, zy, zx AS hx, zy AS hy, CAST(0 AS BIGINT) AS hd FROM $from),
+       $steps,
+       hilbert AS (SELECT $c zx, zy, hd FROM h16)"""
+  }
 }

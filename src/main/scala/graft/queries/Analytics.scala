@@ -130,6 +130,28 @@ object Analytics {
        SELECT node, label FROM lab$iters ORDER BY node"""
   }
 
+  /** Oracle for `ev_hilbert_pruning`: quantization CTEs as in
+    * [[zorderOracleSql]], then the 16 Hilbert xy2d rounds unrolled by
+    * [[graft.ops.Layout.hilbertOracleSteps]] — DuckDB replays the native
+    * kernel's exact integer recurrence.
+    */
+  private val hilbertOracleSql =
+    s"""WITH e AS (SELECT user_id,
+         CAST(date_part('epoch', date_trunc('second', ts)) AS BIGINT) AS es FROM events),
+       b AS (SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+                    MIN(es) AS tlo, MAX(es) AS thi FROM e),
+       q AS (SELECT ((user_id - ulo) * 65536) // (uhi - ulo + 1) AS zx,
+                    ((es - tlo) * 65536) // (thi - tlo + 1) AS zy
+             FROM e CROSS JOIN b),
+       ${graft.ops.Layout.hilbertOracleSteps("q", Seq.empty)},
+       z AS (SELECT zx, zy, hd >> 26 AS hfile FROM hilbert)
+       SELECT COUNT(DISTINCT hfile) AS h_files_total,
+              COUNT(CASE WHEN zx < 8192 THEN 1 END) AS user_rows,
+              COUNT(CASE WHEN zy < 8192 THEN 1 END) AS time_rows,
+              COUNT(DISTINCT CASE WHEN zx < 8192 THEN hfile END) AS h_files_user,
+              COUNT(DISTINCT CASE WHEN zy < 8192 THEN hfile END) AS h_files_time
+       FROM z"""
+
   /** Oracle for `ev_zorder_pruning` — the same 16-bit quantization, mask-
     * chain Morton interleave, and bit-prefix file ids, in DuckDB integer
     * arithmetic (`//` is exact floor division; all operands non-negative).
@@ -361,6 +383,34 @@ object Analytics {
           count(when(col("src") === "edge", 1)).as("n_edge"),
           sum(col("filled")).as("total_cents"))
         .orderBy(col("user_id"))
+    },
+
+    Q("ev_hilbert_pruning", hilbertOracleSql) { (s, dir) =>
+      // The Hilbert twin of ev_zorder_pruning: same quantized dims, file
+      // id = top bits of the curve position computed by the native
+      // codegen'd kernel (functions.SpatialExpressions.HilbertIndex).
+      // Every file is a contiguous curve segment — a CONNECTED region —
+      // so slices touch at most as many files as under z-order (z-cells
+      // are split by seam jumps). The oracle unrolls the identical 16
+      // xy2d rounds in DuckDB integer arithmetic.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("es"))
+      val bounds = ev.agg(
+        min(col("user_id")).as("ulo"), max(col("user_id")).as("uhi"),
+        min(col("es")).as("tlo"), max(col("es")).as("thi"))
+      val filed = ev.crossJoin(broadcast(bounds))
+        .withColumn("zx", graft.ops.Layout.quantize16(col("user_id"), col("ulo"), col("uhi")))
+        .withColumn("zy", graft.ops.Layout.quantize16(col("es"), col("tlo"), col("thi")))
+        .withColumn("hfile",
+          graft.ops.Layout.hfile(graft.ops.Layout.hvalue16(col("zx"), col("zy")), 3))
+      val userSlice = col("zx") < 8192
+      val timeSlice = col("zy") < 8192
+      filed.agg(
+        countDistinct(col("hfile")).as("h_files_total"),
+        count(when(userSlice, 1)).as("user_rows"),
+        count(when(timeSlice, 1)).as("time_rows"),
+        countDistinct(when(userSlice, col("hfile"))).as("h_files_user"),
+        countDistinct(when(timeSlice, col("hfile"))).as("h_files_time"))
     },
 
     Q("cust_scd2_history", scd2OracleSql) { (s, dir) =>
