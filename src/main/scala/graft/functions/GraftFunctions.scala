@@ -40,6 +40,9 @@ object GraftFunctions {
           Sqrt(VectorExpressions.DotProduct(es(1), es(1)))))
     },
     "simhash64" -> (es => HashExpressions.SimHash64(es(0))),
+    // hilbert_index(x, y): order-16 Hilbert curve position of two 16-bit
+    // grid coordinates (see ops.Layout for the clustering surface)
+    "hilbert_index" -> (es => SpatialExpressions.HilbertIndex(es(0), es(1))),
     "rolling_hash" -> { es =>
       val base = if (es.length > 1) longLit(es(1), "base") else 1000003L
       HashExpressions.RollingHash(es(0), base)

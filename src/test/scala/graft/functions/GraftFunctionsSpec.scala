@@ -22,6 +22,15 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getInt(5) == 16)
   }
 
+  test("hilbert_index is callable from SQL and matches the kernel") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT hilbert_index(12345L, 54321L) AS h, hilbert_index(0L, 0L) AS z")
+      .collect()(0)
+    assert(r.getLong(0) == SpatialExpressions.HilbertIndex.compute(12345L, 54321L))
+    assert(r.getLong(1) == 0L)
+  }
+
   test("text_features and prefix_tokens are callable from SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(
