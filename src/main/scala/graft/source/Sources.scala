@@ -2,6 +2,7 @@ package graft.source
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.model.Schemas
 
@@ -19,16 +20,33 @@ object Tables {
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as Long and
-    * convert with exact integer math (`div 1000`) — a double-based division
-    * would lose precision at 2024-epoch nanosecond magnitudes (~1.7e18).
+  /** `events.parquet` fixtures have carried two `ts` encodings across driver
+    * regenerations: INT64 TIMESTAMP(NANOS) (rejected by Spark's reader
+    * without `nanosAsLong`, surfaced as Long) and plain TIMESTAMP(MICROS)
+    * (surfaced as TIMESTAMP or TIMESTAMP_NTZ depending on the footer's
+    * isAdjustedToUTC flag). Branch on the surfaced type instead of assuming
+    * one encoding, so a fixture regeneration can't dark the events surface.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    adaptTs(spark.read.parquet(s"$dir/events.parquet"))
   }
+
+  /** Normalize the `ts` column to session-zone TIMESTAMP, whatever encoding
+    * the fixture carries. Long nanos use exact integer math (`div 1000`) — a
+    * double-based division would lose precision at 2024-epoch nanosecond
+    * magnitudes (~1.7e18). NTZ values are wall-clock UTC (the generator
+    * writes UTC instants), so the cast under the UTC session zone is exact.
+    */
+  def adaptTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported type $other; expected INT64 nanos, TIMESTAMP, or TIMESTAMP_NTZ")
+    }
 }
 
 /** Kafka source config. The reference hardcodes broker/topic at
@@ -105,11 +123,10 @@ object ClickstreamSource {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // The file source wants a directory; select the events file by glob.
-    spark.readStream
+    Tables.adaptTs(spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
   }
 }
