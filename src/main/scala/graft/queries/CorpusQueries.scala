@@ -59,7 +59,9 @@ object CorpusQueries {
     * pair graph once per corpus snapshot; [[graft.ops.Materialize]] gives
     * Bench/Verify the same once-per-fixture cost. The pair pipeline is
     * deterministic and partition-invariant (DedupSpec), so the stored
-    * relation is row-identical to a fresh derivation.
+    * relation is row-identical to a fresh derivation; the store key folds
+    * in the library's code fingerprint, so a kernel change rebuilds and
+    * Verify can never validate the previous kernel's output.
     */
   private def jaccardPairGraph(s: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame =
@@ -726,9 +728,9 @@ object CorpusQueries {
       // result set to the oracle's inequality join, but the candidate
       // stage is a token bucket join, never O(n²/blocks). The quadratic
       // blocked form survives only as DedupSpec's verification kernel.
-      Dedup.prefixJaccardPairs(Tables(s, dir, "documents"),
-          blockCols = Seq("lang", "source"), threshold = 0.8)
-        .orderBy(col("a_id"), col("b_id"))
+      // Served from the materialized pair graph shared with the groups/
+      // survivors/triangles consumers below.
+      jaccardPairGraph(s, dir).orderBy(col("a_id"), col("b_id"))
     },
 
     // The same lossless PPJoin plan over a REALISTIC corpus: the fixture
@@ -777,10 +779,7 @@ object CorpusQueries {
          FROM documents LEFT JOIN
            (SELECT s, min(t) AS mn FROM reach GROUP BY s) m ON m.s = doc_id
          ORDER BY doc_id""") { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val pairs = Dedup.prefixJaccardPairs(docs,
-        blockCols = Seq("lang", "source"), threshold = 0.8)
-      Dedup.dupGroups(docs, pairs).orderBy(col("doc_id"))
+      dupGroupLabels(s, dir).orderBy(col("doc_id"))
     },
 
     // Quality-aware survivor selection: what a production dedup actually
@@ -813,12 +812,9 @@ object CorpusQueries {
                ORDER BY len(d2.w) DESC, g.doc_id) AS survivor_id
            FROM g JOIN d d2 ON d2.doc_id = g.doc_id)
          ORDER BY doc_id""") { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val pairs = Dedup.prefixJaccardPairs(docs,
-        blockCols = Seq("lang", "source"), threshold = 0.8)
-      val scored = docs.select(col("doc_id"),
+      val scored = Tables(s, dir, "documents").select(col("doc_id"),
         size(array_distinct(split(col("text"), "\\s+"))).as("score"))
-      Dedup.qualitySurvivors(Dedup.dupGroups(docs, pairs), scored)
+      Dedup.qualitySurvivors(dupGroupLabels(s, dir), scored)
         .orderBy(col("doc_id"))
     },
 
@@ -1615,9 +1611,7 @@ object CorpusQueries {
                / (deg.deg * (deg.deg - 1))
            ELSE 0.0 END AS clustering
          FROM deg LEFT JOIN tc USING (v_id) ORDER BY v_id""") { (s, dir) =>
-      val edges = Dedup.prefixJaccardPairs(Tables(s, dir, "documents"),
-          blockCols = Seq("lang", "source"), threshold = 0.8)
-        .select(col("a_id"), col("b_id"))
+      val edges = jaccardPairGraph(s, dir).select(col("a_id"), col("b_id"))
       graft.ops.Graph.triangleStats(edges).orderBy(col("v_id"))
     },
 
