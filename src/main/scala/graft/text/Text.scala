@@ -519,17 +519,33 @@ object Text {
     *  1. one map-side-combined adjacent-pair count over the word table
     *     (pairs from a zip_with of the symbol array against its own
     *     tail, weighted by word frequency — stays in codegen),
-    *  2. a distributed top-1 (TakeOrdered: count desc, pair asc — exact
-    *     longs, so the winner is identical under any partitioning),
-    *  3. one narrow projection applying the merge as an aggregate()
-    *     fold (leftmost non-overlapping application — the BPE
-    *     contract), localCheckpoint'ed so the per-round plan depth
-    *     stays constant.
-    * Driver state is one (left, right, count) row per round — the merge
-    * table itself, which IS the output (and at inference time the only
-    * artifact a tokenizer needs). Symbols are strings, as in reference
-    * BPE implementations: a merged symbol is the concatenation, and
-    * symbol identity is string identity.
+    *  2. a distributed top-k (TakeOrdered: count desc, pair asc — exact
+    *     longs, so the ranking is identical under any partitioning),
+    *  3. one narrow projection applying the round's ACCEPTED BATCH of
+    *     merges as a single aggregate() fold (leftmost non-overlapping
+    *     application per merge — the BPE contract), localCheckpoint'ed
+    *     so the per-round plan depth stays constant.
+    *
+    * Batching rule (provably equal to the one-merge-per-round sequence):
+    * walk the top-k list in order, accepting pairs whose symbols
+    * {a, b, a+b} are disjoint from every earlier accepted merge's, and
+    * STOP at the first conflicted pair — call its count c* (also the
+    * cutoff when the fetched list is exhausted, since unseen pairs count
+    * ≤ the last fetched). Keep only accepted merges with count > c*.
+    * Disjointness means earlier batch merges leave an accepted pair's
+    * occurrences — and count — untouched, so each accepted merge is still
+    * the argmax of its own round: the only pairs a prior merge (a,b) can
+    * CREATE are (x, ab) / (ab, y), whose counts are bounded by the old
+    * counts of (x, a) / (b, y); those pairs share a symbol with the
+    * accepted merge, hence sit at-or-below the stop position, hence have
+    * count ≤ c* — strictly below every kept merge, and sequential
+    * tie-break order among the kept (untouched-count) merges is the
+    * fetch order itself. If the filter leaves nothing, fall back to the
+    * always-correct singleton top-1. Driver state per round is the ≤k-row
+    * candidate list; the merge table itself IS the output (and at
+    * inference time the only artifact a tokenizer needs). Symbols are
+    * strings, as in reference BPE implementations: a merged symbol is the
+    * concatenation, and symbol identity is string identity.
     */
   def bpeMerges(docs: org.apache.spark.sql.DataFrame,
                 nMerges: Int): org.apache.spark.sql.DataFrame = {
@@ -545,9 +561,9 @@ object Text {
         col("cnt"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var round = 1
     var exhausted = false
-    while (round <= nMerges && !exhausted) {
+    while (merges.size < nMerges && !exhausted) {
+      val remaining = nMerges - merges.size
       val pairs = words
         .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(zip_with(
@@ -557,21 +573,49 @@ object Text {
         .filter(col("p.b").isNotNull) // zip_with pads the 1-longer left side
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("n"))
-      // 1-row collect per round: the argmax merge (bounded by design)
-      val best = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
-      if (best.isEmpty) exhausted = true
+      // bounded collect per round: the candidate prefix of the pair
+      // ranking (lookahead for the disjoint batch, ≤ 2·remaining+16 rows)
+      val candN = 2 * remaining + 16
+      val top = pairs.orderBy(col("n").desc, col("a"), col("b"))
+        .limit(candN).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
       else {
-        val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((round, a, b, n))
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var cStar = 0L
+        var stopped = false
+        var i = 0
+        while (i < top.length && !stopped && accepted.size < remaining) {
+          val (a, b, n) = top(i)
+          if (used(a) || used(b) || used(a + b)) { cStar = n; stopped = true }
+          else { accepted += ((a, b, n)); used ++= Seq(a, b, a + b); i += 1 }
+        }
+        // quota reached / list exhausted without a conflict: unseen pairs
+        // count ≤ the next (or last) fetched count — that is the cutoff
+        if (!stopped && i < top.length) cStar = top(i)._3
+        else if (!stopped && top.length == candN) cStar = top.last._3
+        val safe = accepted.takeWhile(_._3 > cStar)
+        val batch = if (safe.nonEmpty) safe.toSeq else Seq(accepted.head)
+        batch.foreach { case (a, b, n) => merges += ((merges.size + 1, a, b, n)) }
         words = words.withColumn("syms",
             aggregate(col("syms"), array().cast("array<string>"),
-              (out, cur) =>
-                when(size(out) > 0 &&
-                     element_at(out, -1) === lit(a) && cur === lit(b),
-                  concat(slice(out, lit(1), size(out) - 1), array(lit(a + b))))
-                .otherwise(concat(out, array(cur)))))
+              (out, cur) => {
+                val hit = batch.tail.foldLeft(
+                    when(size(out) > 0 &&
+                         element_at(out, -1) === lit(batch.head._1) &&
+                         cur === lit(batch.head._2),
+                      lit(batch.head._1 + batch.head._2))) {
+                  case (acc, (a, b, _)) =>
+                    acc.when(size(out) > 0 &&
+                             element_at(out, -1) === lit(a) && cur === lit(b),
+                      lit(a + b))
+                }
+                when(hit.isNotNull,
+                  concat(slice(out, lit(1), size(out) - 1), array(hit)))
+                .otherwise(concat(out, array(cur)))
+              }))
           .localCheckpoint()
-        round += 1
       }
     }
     import spark.implicits._

@@ -398,6 +398,30 @@ class TextSpec extends SparkSpec {
     assert(got.exists { case (_, a, b, _) => (a + b).length >= 3 })
   }
 
+  test("bpeMerges batching survives tie-heavy and conflict-heavy corpora") {
+    import spark.implicits._
+    // deliberately tied pair counts and chained shared symbols: the batch
+    // acceptance rule must fall back exactly where sequential order and
+    // batched order could diverge
+    val tied = Seq(
+      "ab ab ab", "bc bc bc", "cd cd cd", // (a,b) (b,c) (c,d) all count 3
+      "abc abc", "bcd bcd", // overlapping 3-grams reusing the same symbols
+      "aaaa aaaa aaaa", // self-pair (a,a) with overlap handling
+      "xy xy xy xy yz yz yz yz zx zx zx zx") // disjoint-then-conflicting cycle
+    val got = Text.bpeMerges(tied.toDF("text"), nMerges = 15)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == referenceBpe(tied, 15), s"\ngot  $got\nwant ${referenceBpe(tied, 15)}")
+
+    // deterministic pseudo-random corpus over a 6-letter alphabet: dense
+    // symbol sharing, many equal counts
+    val rnd = new scala.util.Random(41)
+    val rand = Seq.fill(120)(
+      Seq.fill(1 + rnd.nextInt(5))(('a' + rnd.nextInt(6)).toChar).mkString).mkString(" ")
+    val got2 = Text.bpeMerges(Seq(rand).toDF("text"), nMerges = 25)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got2 == referenceBpe(Seq(rand), 25), s"\ngot  $got2\nwant ${referenceBpe(Seq(rand), 25)}")
+  }
+
   test("bpeMerges is invariant to input partitioning") {
     import spark.implicits._
     val texts = Seq("pack my box with five dozen liquor jugs",
