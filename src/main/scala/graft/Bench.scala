@@ -14,9 +14,11 @@ import org.apache.spark.sql.SparkSession
   *     noise, so one sample proves nothing;
   *   - the FULL artifact (per-rep seconds, medians, spread, load average
   *     before/after each rep) is written by Bench itself to
-  *     SPARK_GRAFT_BENCH_OUT (default BENCH_local_r05.json in the cwd) —
-  *     the round artifact must never depend on how much log tail the
-  *     driver captured;
+  *     SPARK_GRAFT_BENCH_OUT (default BENCH_local_r{N}.json in the cwd,
+  *     N from LEAKCHECK.json's round counter — a hardcoded default once
+  *     overwrote the previous round's committed record in place) — the
+  *     round artifact must never depend on how much log tail the driver
+  *     captured;
   *   - stdout still carries the driver contract: exactly one JSON line
   *     `{"metric":"total","value":median,"unit":"sec","queries":{...}}`.
   *
@@ -41,7 +43,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_r05.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      // round-stamped default so successive rounds never clobber each
+      // other's committed artifact; the driver ticks LEAKCHECK.json.
+      // Never overwrite an existing record: suffix instead (a hardcoded
+      // default once destroyed the previous round's committed artifact)
+      val round =
+        try """"round"\s*:\s*(\d+)""".r.findFirstMatchIn(new String(
+            Files.readAllBytes(Paths.get("LEAKCHECK.json")),
+            StandardCharsets.UTF_8)).map(_.group(1).toInt)
+        catch { case _: Throwable => None }
+      val base = round.fold("BENCH_local_latest")(n => f"BENCH_local_r$n%02d")
+      (Iterator.single(s"$base.json") ++
+        Iterator.from(2).map(i => s"${base}_$i.json"))
+        .find(p => !Files.exists(Paths.get(p))).get
+    })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
