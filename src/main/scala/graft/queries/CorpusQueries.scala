@@ -1270,8 +1270,32 @@ object CorpusQueries {
     // recall on a clustered corpus.
     Q.unchecked("emb_knn_graph") { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
-      val model = ivfModel(s, dir, nCentroids = 16, dim = 64, iters = 2)
-      val exact = Similarity.knnJoinExact(emb, k = 5)
+      val nVec = emb.count()
+      // nlist grows with the corpus so the mean bucket stays ~250
+      // vectors: IVF candidate volume is n·bucket = n²/nlist, so a FIXED
+      // nlist is quadratic in n (measured 44.7× wall for 10× vectors at
+      // sf1 with nlist=16) while bucket-proportional nlist keeps the
+      // graph build linear-in-n per probe. Training cost is iters·n·nlist
+      // dot products — still linear at constant bucket size.
+      val nCent = math.max(16, math.min(256, (nVec / 250).toInt))
+      val model = ivfModel(s, dir, nCentroids = nCent, dim = 64, iters = 2)
+      // Ground truth on a deterministic ~512-query sample (every step-th
+      // id), the standard ANN-benchmark recall protocol: the exact
+      // denominator costs |Q|·n instead of n², and recall@5 over ≥512
+      // queries estimates the full-corpus figure to a few percent. The
+      // GRAPH is still built over the full corpus at every probe depth —
+      // that product is what this query exists to measure.
+      // Probe depths stay fixed {1,2,4} — a constant CANDIDATE budget per
+      // query, not a constant fraction of lists — so measured recall
+      // declines as nlist grows on THIS fixture: i.i.d. gaussian vectors
+      // have no cluster structure, making recall ∝ fraction-of-corpus
+      // scored (the worst case for any IVF). Real embedding corpora
+      // cluster, which is what keeps constant-probe recall flat at scale;
+      // IvfSpec pins that on planted-cluster data. Reporting the honest
+      // declining curve beats quadratic probe scaling.
+      val step = math.max(1L, nVec / 512)
+      val exact = Similarity.bruteForceTopK(emb,
+          emb.filter(pmod(col("vec_id"), lit(step)) === 0), k = 5)
         .select(col("q_id"), col("n_id"))
       val denom = exact.agg(count(lit(1)).as("n_exact"))
       // Deliberately a per-depth knnGraph sweep, NOT searchMulti: the
@@ -1284,7 +1308,7 @@ object CorpusQueries {
         graft.sim.Ivf.knnGraph(emb, model, k = 5, nProbe = p)
           .select(lit(p).as("n_probe"), col("q_id"), col("n_id"))
       }.reduce(_ unionByName _)
-        .join(exact, Seq("q_id", "n_id")) // recovered edges
+        .join(exact, Seq("q_id", "n_id")) // recovered sampled edges
         .groupBy(col("n_probe")).agg(count(lit(1)).as("hits"))
         .crossJoin(denom) // 3 × 1-row aggregate
         .select(col("n_probe"),
