@@ -413,6 +413,61 @@ object Analytics {
         countDistinct(when(timeSlice, col("hfile"))).as("h_files_time"))
     },
 
+    // Bucketed co-located join (ops.Bucketed): orders and lineitem are
+    // stored pre-hash-partitioned on the order key, so THIS join plans
+    // with zero Exchange on either side — the write-once layout that
+    // makes every repeated fact-fact join on a 100 TB warehouse
+    // shuffle-free (BucketedJoinSpec asserts the exchange-free plan; the
+    // oracle proves the layout is semantics-preserving by recomputing on
+    // the raw parquet).
+    Q("bucketed_orders_revenue",
+      """SELECT o_orderpriority,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+         COUNT(*) AS n_lines,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val (o, l) = graft.ops.Bucketed.ordersLineitem(s, dir)
+      s.table(l)
+        .select(col("l_orderkey"),
+          (dec(col("l_extendedprice")) *
+            (lit(1) - col("l_discount").cast("decimal(4,2)")).cast("decimal(5,2)"))
+            .as("line_rev"))
+        .join(s.table(o).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines"),
+          sum(col("line_rev")).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Dynamic partition pruning (ops.DatePartitioned): the events table
+    // stored one-directory-per-day, joined against a qualifying-day set
+    // that only exists at RUNTIME (days strictly above the average daily
+    // purchase revenue) — the optimizer injects the broadcast dim's keys
+    // into the fact scan's partition filters, so a 3-year table reads
+    // only the qualifying directories (DppSpec asserts the dynamic
+    // pruning filter and the pruned-partition count; the oracle
+    // recomputes on the raw unpartitioned parquet).
+    Q("dpp_daily_revenue",
+      """WITH e AS (SELECT CAST(CAST(date_trunc('second', ts) AS TIMESTAMP) AS DATE) AS event_date,
+             event_type, value FROM events),
+         daily AS (SELECT event_date,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
+           FROM e WHERE event_type = 'purchase' AND value IS NOT NULL
+           GROUP BY 1),
+         big AS (SELECT event_date, purchase_cents FROM daily
+           WHERE purchase_cents > (SELECT AVG(purchase_cents) FROM daily))
+         SELECT CAST(e.event_date AS VARCHAR) AS event_date,
+           b.purchase_cents,
+           COUNT(*) AS n_events,
+           CAST(SUM(COALESCE(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT) AS total_cents
+         FROM e JOIN big b ON e.event_date = b.event_date
+         GROUP BY 1, 2 ORDER BY 1""") { (s, dir) =>
+      graft.ops.DatePartitioned.dailyRevenueAboveAverageDays(s, dir)
+    },
+
     Q("cust_scd2_history", scd2OracleSql) { (s, dir) =>
       // Type-2 SCD rebuild (ops.Scd2.fromSnapshots): three deterministic
       // snapshot deliveries of the customer dimension — a segment change

@@ -50,4 +50,37 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("ops.Bucketed registry layout: orders⨝lineitem join side is exchange-free") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (o, l) = Bucketed.ordersLineitem(spark, sfDir)
+      // the registered query's join shape
+      val joined = spark.table(l).select(col("l_orderkey"))
+        .join(spark.table(o).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_lines"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinSection = plan.split("HashAggregate").last
+      assert(joinSection.contains("SortMergeJoin"), plan)
+      assert(!joinSection.contains("Exchange"), s"join should be exchange-free:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scans should be bucketed reads:\n$plan")
+
+      // one file per bucket (the repartition-by-bucket-expression write):
+      // per-bucket sortBy order is only trusted under this layout
+      val files = new java.io.File(
+        spark.table(o).inputFiles.head.stripPrefix("file:")).getParentFile
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 8, s"expected 8 bucket files, got ${files.length}")
+
+      // the layout is semantics-preserving: counts match the raw tables
+      assert(spark.table(o).count() ==
+        graft.source.Tables(spark, sfDir, "orders").count())
+      assert(spark.table(l).count() ==
+        graft.source.Tables(spark, sfDir, "lineitem").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }
