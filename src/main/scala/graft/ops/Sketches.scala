@@ -322,4 +322,37 @@ object Sketches {
         (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"),
         coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
   }
+
+  /** Materialized HLL sketch table — the warehouse pattern that makes
+    * COUNT(DISTINCT) incremental at 100 TB. A distinct count cannot be
+    * rolled up from per-partition counts (distincts don't add), so every
+    * ad-hoc "distinct users over day range X" query re-scans the raw
+    * fact table. Storing one SERIALIZED HLL sketch per (group) row
+    * changes the algebra: sketches merge losslessly (the union of HLL
+    * states IS the state of the union), so any rollup — week, month,
+    * arbitrary day range, all-time — is a cheap aggregation over the
+    * sketch table, and a new day appends one row without touching
+    * history. Spark 4's native Datasketches functions (`hll_sketch_agg`
+    * / `hll_union_agg` / `hll_sketch_estimate`) keep the whole pipeline
+    * codegen'd with map-side partial merges; the sketch column is a
+    * plain BINARY, so the table parquet-round-trips like any other.
+    * SketchesSpec pins the algebra: merged-daily estimates equal the
+    * direct whole-range sketch EXACTLY (same lgK, no downgrade), and
+    * append-maintenance equals a full rebuild.
+    */
+  def sketchTable(df: DataFrame, groupCols: Seq[String], valCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valCol), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Roll a sketch table up to `rollupCols`: lossless sketch union, then
+    * one estimate per output row. `n_rows` adds exactly (plain sum).
+    */
+  def sketchRollup(sketches: DataFrame, rollupCols: Seq[String],
+      lgK: Int = 12): DataFrame =
+    sketches.groupBy(rollupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+          .as("est_distinct"),
+        sum(col("n_rows")).as("n_rows"))
 }

@@ -1407,6 +1407,28 @@ object Analytics {
         .orderBy(col("a"), col("b"))
     },
 
+    // Materialized sketch table (ops.Sketches.sketchTable): one
+    // serialized HLL sketch per day makes COUNT(DISTINCT) incremental —
+    // weekly (or any ad-hoc range) distinct-user counts come from
+    // merging the daily sketch rows, never re-scanning events, and a new
+    // day appends one row. Estimates are engine-side (like ev_hll_users)
+    // → rows-only; the exact count rides in-row and SketchesSpec pins
+    // the merge algebra (merged dailies ≡ direct sketch, append ≡
+    // rebuild).
+    Q.unchecked("ev_sketch_rollup") { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("d", to_date(col("ts")))
+      val daily = graft.ops.Sketches.sketchTable(ev, Seq("d"), "user_id")
+      val weekly = graft.ops.Sketches.sketchRollup(
+          daily.withColumn("week", date_trunc("week", col("d"))), Seq("week"))
+      val exact = ev.withColumn("week", date_trunc("week", col("d")))
+        .groupBy(col("week")).agg(countDistinct(col("user_id")).as("exact_users"))
+      weekly.join(exact, "week")
+        .select(col("week").cast("date").cast("string").as("week"),
+          col("est_distinct").cast("long").as("est_users"),
+          col("exact_users"), col("n_rows"))
+        .orderBy(col("week"))
+    },
+
     Q("lineitem_profile",
       """SELECT * FROM (
          SELECT 'l_orderkey' AS column_name,

@@ -25,6 +25,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    are engine-specific (like `ev_hll_users`, whose sketches they
   *    reuse); the exact intersection rides in the same output row, and
   *    SketchesSpec bounds the estimate error against planted overlaps.
+  *  - `ev_sketch_rollup` — Datasketches HLL estimates are engine-side
+  *    (like `ev_hll_users`); the exact weekly count rides in-row, and
+  *    SketchesSpec pins the sketch-table algebra itself: merged daily
+  *    sketches estimate EXACTLY like a direct whole-range sketch, and
+  *    append-maintenance equals a full rebuild.
   *  - `ev_heavy_hitters` — Misra–Gries estimates depend on merge order
   *    (like HLL); SketchesSpec proves the est ∈ [f − N/(k+1), f]
   *    guarantee against exact counts under multiple partitionings.

@@ -248,4 +248,46 @@ class SketchesSpec extends SparkSpec {
         s"($a,$b): est_overlap=$estOverlap exact=$exact union=$estUnion")
     }
   }
+
+  test("sketch table: merged dailies ≡ direct whole-range sketch, append ≡ rebuild") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 6 days, overlapping user sets so the union is a real merge
+    val rows = for {
+      d <- 1 to 6; u <- 0 until 400
+    } yield (f"2024-02-$d%02d", (u * d * 2654435761L) % 1500L)
+    val df = rows.toDF("d", "user_id").repartition(5)
+
+    val daily = Sketches.sketchTable(df, Seq("d"), "user_id")
+    assert(daily.count() == 6)
+
+    // lossless union: rolling all 6 daily sketches up estimates EXACTLY
+    // like one sketch built over the whole range (same lgK, no downgrade)
+    val merged = Sketches.sketchRollup(daily.withColumn("all", lit(1)), Seq("all"))
+      .select(col("est_distinct")).collect()(0).getLong(0)
+    val direct = df.select(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))))
+      .collect()(0).getLong(0)
+    assert(merged == direct, s"merged=$merged direct=$direct")
+
+    // the estimate is a real distinct count within HLL error (lgK=12 →
+    // rsd ≈ 1.6%; 5% is a generous gate)
+    val exact = df.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(math.abs(merged - exact) <= math.max(10L, (0.05 * exact).toLong),
+      s"est=$merged exact=$exact")
+
+    // append-only maintenance: sketch rows built per-batch (day arrives
+    // later) union'd with the standing table ≡ full rebuild
+    val firstBatch = Sketches.sketchTable(df.where(col("d") < "2024-02-05"), Seq("d"), "user_id")
+    val lateBatch = Sketches.sketchTable(df.where(col("d") >= "2024-02-05"), Seq("d"), "user_id")
+    val appended = Sketches.sketchRollup(
+      firstBatch.unionByName(lateBatch).withColumn("all", lit(1)), Seq("all"))
+      .select(col("est_distinct")).collect()(0).getLong(0)
+    assert(appended == merged, s"appended=$appended rebuilt=$merged")
+
+    // n_rows adds exactly through the rollup
+    val nRows = Sketches.sketchRollup(daily.withColumn("all", lit(1)), Seq("all"))
+      .select(col("n_rows")).collect()(0).getLong(0)
+    assert(nRows == rows.size)
+  }
 }
