@@ -15,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the catalog; a join of two tables bucketed on the join key with the
   * same bucket count satisfies both sides' `HashClusteredDistribution`
   * from the scan itself, so the sort-merge join plans with NO
-  * `Exchange` on either side (`BucketedJoinSpec` asserts exactly this),
+  * `Exchange` on either side (`BucketingSpec` asserts exactly this),
   * and `sortBy` additionally pre-sorts each bucket file so the per-bucket
   * sort is a cheap merge. One write-time shuffle, amortized over every
   * consumer — the same once-per-pipeline economics as

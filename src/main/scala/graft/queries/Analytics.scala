@@ -453,7 +453,7 @@ object Analytics {
     // stored pre-hash-partitioned on the order key, so THIS join plans
     // with zero Exchange on either side — the write-once layout that
     // makes every repeated fact-fact join on a 100 TB warehouse
-    // shuffle-free (BucketedJoinSpec asserts the exchange-free plan; the
+    // shuffle-free (BucketingSpec asserts the exchange-free plan; the
     // oracle proves the layout is semantics-preserving by recomputing on
     // the raw parquet).
     Q("bucketed_orders_revenue",

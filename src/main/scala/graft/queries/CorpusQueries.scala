@@ -71,6 +71,20 @@ object CorpusQueries {
         blockCols = Seq("lang", "source"), threshold = 0.8)
     }
 
+  /** Materialized Zipf-corpus near-dup pair graph — shared by
+    * `doc_jaccard_pairs_zipf` (emits it) and `doc_dup_triangles_zipf`
+    * (audits it), the realistic-corpus twins of the pair above. Same
+    * determinism/fingerprint contract as [[jaccardPairGraph]]; the
+    * corpus itself is already memoized by `ZipfCorpus.materialized`.
+    */
+  private def zipfPairGraph(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame =
+    graft.ops.Materialize.cached(s, "jaccard_pairs|zipf|0.8",
+        Seq(new java.io.File(dir, "documents.parquet"))) {
+      Dedup.prefixJaccardPairs(graft.gen.ZipfCorpus.materialized(s, dir),
+        blockCols = Seq.empty, threshold = 0.8)
+    }
+
   /** Materialized transitive dup-group labels over [[jaccardPairGraph]] —
     * shared by `doc_dup_groups` (emits it) and `doc_dup_survivors` (window
     * argmax over it). The iterative CC is deterministic (min-label fixed
@@ -752,9 +766,7 @@ object CorpusQueries {
          WHERE len(list_intersect(a.w, b.w)) /
              (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
          ORDER BY a_id, b_id""") { (s, dir) =>
-      Dedup.prefixJaccardPairs(ZipfCorpus.materialized(s, dir),
-          blockCols = Seq.empty, threshold = 0.8)
-        .orderBy(col("a_id"), col("b_id"))
+      zipfPairGraph(s, dir).orderBy(col("a_id"), col("b_id"))
     },
 
     // Transitive duplicate GROUPS: connected components over the exact
@@ -1636,6 +1648,43 @@ object CorpusQueries {
            ELSE 0.0 END AS clustering
          FROM deg LEFT JOIN tc USING (v_id) ORDER BY v_id""") { (s, dir) =>
       val edges = jaccardPairGraph(s, dir).select(col("a_id"), col("b_id"))
+      graft.ops.Graph.triangleStats(edges).orderBy(col("v_id"))
+    },
+
+    // The triangle audit on the REALISTIC corpus: the fixture vocabulary
+    // makes the dup graph near-clique (407M wedges at sf1 — the audit is
+    // output-mass-bound there by the graph itself), so this twin runs the
+    // identical plan over the Zipf corpus' sparse dup graph and re-proves
+    // every round that the wedge volume — and hence the cost — collapses
+    // when the edge set is realistic (planted near-dup pairs only). Same
+    // 3-way-join oracle shape as doc_dup_triangles, corpus generated
+    // bit-identically in both engines.
+    Q("doc_dup_triangles_zipf",
+      s"""WITH z AS (${graft.gen.ZipfCorpus.sql}),
+         d AS (SELECT doc_id,
+           list_distinct(regexp_split_to_array(text, '\\s+')) AS w FROM z),
+         e AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM d a JOIN d b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.w, b.w)) /
+               (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8),
+         sym AS (SELECT a_id AS u, b_id AS v FROM e
+                 UNION ALL SELECT b_id, a_id FROM e),
+         deg AS (SELECT u AS v_id, CAST(COUNT(*) AS BIGINT) AS deg
+                 FROM sym GROUP BY 1),
+         tri AS (SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+           FROM e e1 JOIN e e2 ON e2.a_id = e1.b_id
+                     JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+         tc AS (SELECT v_id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+             SELECT x AS v_id FROM tri UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri) GROUP BY 1)
+         SELECT deg.v_id, deg.deg,
+           COALESCE(tc.triangles, 0) AS triangles,
+           CASE WHEN deg.deg >= 2 THEN
+             CAST(2 * COALESCE(tc.triangles, 0) AS DOUBLE)
+               / (deg.deg * (deg.deg - 1))
+           ELSE 0.0 END AS clustering
+         FROM deg LEFT JOIN tc USING (v_id) ORDER BY v_id""") { (s, dir) =>
+      val edges = zipfPairGraph(s, dir).select(col("a_id"), col("b_id"))
       graft.ops.Graph.triangleStats(edges).orderBy(col("v_id"))
     },
 
