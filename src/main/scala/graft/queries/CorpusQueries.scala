@@ -1273,6 +1273,34 @@ object CorpusQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // Hard-negative mining for contrastive training: top-5 most-similar
+    // vectors with a DIFFERENT label per query — the near-boundary
+    // negatives metric-learning losses need (random negatives are
+    // trivially separable). Query set = every step-th vector (~512
+    // queries, the ANN-benchmark sampling protocol) so the registered
+    // cost is |Q|·n, not n²; the op itself takes any query frame. Same
+    // bit-exact cosine determinism as emb_knn_join's oracle.
+    Q("emb_hard_negatives",
+      """WITH v AS (SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+         FROM embeddings),
+       st AS (SELECT GREATEST(1, COUNT(*) // 512) AS step FROM embeddings),
+       q AS (SELECT v.* FROM v CROSS JOIN st WHERE vec_id % step = 0),
+       s AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         list_sum(list_transform(range(len(q.embedding)),
+           i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(n.embedding[i+1] AS DOUBLE)))
+           / (q.norm * n.norm) AS cos
+         FROM q JOIN v n ON n.vec_id <> q.vec_id AND n.label <> q.label)
+       SELECT q_id, n_id, cos, rnk FROM (
+         SELECT q_id, n_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
+         FROM s) WHERE rnk <= 5 ORDER BY q_id, rnk""") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val step = math.max(1L, emb.count() / 512)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") % step === 0), k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // Bucketed kNN graph with its recall measured IN-ENGINE each round
     // (the ann_ivf_recall shape, applied to the graph case): for
     // nProbe ∈ {1, 2, 4}, the fraction of the oracle-green exact top-5

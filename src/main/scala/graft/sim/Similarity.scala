@@ -148,6 +148,38 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most COSINE-SIMILAR corpus vectors carrying a
+    * DIFFERENT label — the negatives that sit closest to the decision
+    * boundary, which is exactly what contrastive / metric-learning
+    * losses want (random negatives are trivially separable and
+    * contribute no gradient). Same machinery as [[knnJoinExact]]:
+    * corpus broadcasts once, scored pairs are consumed map-side by the
+    * bounded [[TopKByScore]] accumulator, the one shuffle carries
+    * |Q|·k entries; the label-mismatch predicate rides the broadcast
+    * join condition, so same-label pairs are never scored.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val n = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      col(labelCol).as("n_label"), l2Norm(col(vecCol)).as("n_norm"))
+    val q = spreadForCompute(queries).select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), col(labelCol).as("q_label"),
+      l2Norm(col(vecCol)).as("q_norm"))
+    val topk = udaf(new TopKByScore(k))
+    q.join(broadcast(n),
+        col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
+      .select(col("q_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cos"),
+        col("n_id"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("n_id")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")))
+      .select(col("q_id"), col("col._2").as("n_id"), col("col._1").as("cos"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplanes (seeded). */
   private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

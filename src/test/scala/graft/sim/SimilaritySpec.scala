@@ -59,6 +59,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: closest different-label vectors, no same-label leakage") {
+    val emb = Tables(spark, sfDir, "embeddings").limit(150)
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Similarity.hardNegatives(emb, queries, k = 5)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    // no mined negative shares its query's label
+    rows.foreach { case (q, n, _, _) =>
+      assert(labels(q) != labels(n), s"same-label pair leaked: $q -> $n")
+    }
+    // ≡ the window-rank formulation with the label predicate, and
+    // partition-invariant
+    def key(t: (Long, Long, Double, Int)) = t
+    val want = {
+      val scored = Similarity.bruteForceTopK(emb, queries, k = 150)
+      scored.join(emb.select(col("vec_id").as("q_id"), col("label").as("ql")), "q_id")
+        .join(emb.select(col("vec_id").as("n_id"), col("label").as("nl")), "n_id")
+        .where(col("ql") =!= col("nl"))
+        .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("n_id"))).cast("int"))
+        .where(col("rnk") <= 5)
+        .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    }
+    assert(rows.map(key).toSet == want)
+    val reparted = Similarity.hardNegatives(emb.repartition(13), queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(reparted == want)
+  }
+
   test("TopKByScore: bounded buffer, deterministic ties, merge associativity") {
     val agg = new Similarity.TopKByScore(3)
     val xs = Seq((0.5, 7L), (0.9, 2L), (0.5, 1L), (0.9, 9L), (0.1, 4L), (0.9, 2L))
