@@ -28,8 +28,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `ev_sketch_rollup` — Datasketches HLL estimates are engine-side
   *    (like `ev_hll_users`); the exact weekly count rides in-row, and
   *    SketchesSpec pins the sketch-table algebra itself: merged daily
-  *    sketches estimate EXACTLY like a direct whole-range sketch, and
-  *    append-maintenance equals a full rebuild.
+  *    sketches estimate EXACTLY like a direct whole-range sketch when
+  *    each group's rows land in one sketch (the partitioned-table
+  *    case), and per-batch streaming appends track a full rebuild
+  *    within the sketch's own resolution after every prefix (partial
+  *    sketches of one group promote out of sparse mode along different
+  *    paths than a one-pass sketch).
   *  - `ev_heavy_hitters` — Misra–Gries estimates depend on merge order
   *    (like HLL); SketchesSpec proves the est ∈ [f − N/(k+1), f]
   *    guarantee against exact counts under multiple partitionings.

@@ -290,4 +290,59 @@ class SketchesSpec extends SparkSpec {
       .select(col("n_rows")).collect()(0).getLong(0)
     assert(nRows == rows.size)
   }
+
+  test("sketch table at ingest: per-batch appends ≡ from-scratch build after EVERY prefix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the streaming form of the warehouse maintenance loop: each
+    // micro-batch contributes per-day sketch rows; the standing table is
+    // the running union — never a re-scan of earlier events
+    val rows = for { d <- 1 to 4; u <- 0 until 300 }
+      yield (f"2024-05-$d%02d", (u * d * 48271L) % 900L)
+    // the standing table MATERIALIZES each batch's sketch rows (a batch
+    // DataFrame is only valid inside its micro-batch) — which is the
+    // real shape anyway: appends are written rows, not live plans
+    val standingRows = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    var sketchSchema: org.apache.spark.sql.types.StructType = null
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val stream = MemoryStream[(String, Long)]
+    val q = stream.toDS().toDF("d", "user_id")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val t = Sketches.sketchTable(b, Seq("d"), "user_id")
+        sketchSchema = t.schema
+        standingRows ++= t.collect()
+        ()
+      }.start()
+    try {
+      rows.grouped(450).foreach { chunk =>
+        stream.addData(chunk: _*)
+        q.processAllAvailable()
+        seen ++= chunk
+        val standing = spark.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(standingRows.toSeq).asJava), sketchSchema)
+        val merged = Sketches.sketchRollup(
+            standing.withColumn("all", lit(1)), Seq("all"))
+          .collect()(0)
+        val direct = Sketches.sketchRollup(
+            Sketches.sketchTable(seen.toSeq.toDF("d", "user_id"), Seq("d"), "user_id")
+              .withColumn("all", lit(1)), Seq("all"))
+          .collect()(0)
+        // a day whose rows span batches holds SEVERAL sketch rows; HLL
+        // union of partial sketches and a one-pass sketch promote out of
+        // sparse mode along different paths, so their estimates agree
+        // only within the sketch's own resolution (lgK=12 → rsd ≈ 1.6%;
+        // measured 1.2% here) — unlike the disjoint-day case the
+        // previous test pins exactly
+        val est = merged.getLong(1); val want = direct.getLong(1)
+        assert(math.abs(est - want) <= math.max(4L, want * 32 / 1000),
+          s"prefix n=${seen.size}: streaming-appended=$est rebuilt=$want")
+        assert(merged.getLong(2) == seen.size)
+      }
+    } finally q.stop()
+  }
 }
