@@ -107,10 +107,14 @@ object Graph {
         .select(col("dst").as("node"),
           expr("(rank * 85 * n) div (100 * outw)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      // truncate lineage each round: ranks is ≤ |V| rows, and without
+      // the checkpoint the final action analyzes/executes a plan that
+      // deepens by two joins + an aggregation per iteration
       ranks = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("rank"))
+        .localCheckpoint()
     }
     ranks
   }
@@ -212,8 +216,11 @@ object Graph {
       val picked = scored
         .withColumn("rn", row_number().over(pick)).where(col("rn") === 1)
         .select(col("src").as("node"), col("label"))
+      // same lineage truncation as pageRank: |V|-row label table, plan
+      // otherwise deepens by a join + window + join per round
       labels = nodes.join(picked, Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint()
     }
     labels
   }
