@@ -140,32 +140,7 @@ object Graph {
     val sym = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
     val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("deg"))
       .select(col("x").as("v_id"), col("deg"))
-    // orientation order ≺ = (deg, id); each undirected edge keeps the
-    // direction smaller ≺ larger, carrying the head's rank for the
-    // wedge-side ordering below
-    val withDeg = sym
-      .join(deg.select(col("v_id").as("x"), col("deg").as("dx")), "x")
-      .join(deg.select(col("v_id").as("y"), col("deg").as("dy")), "y")
-    val oriented = withDeg.filter(
-        col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
-      .select(col("x").as("u"), col("y").as("v"), col("dy").as("dv"))
-    // wedges at u: neighbor pairs (v ≺ w); close with the oriented v→w edge
-    val wedges = oriented.select(col("u"), col("v"), col("dv"))
-      .join(oriented.select(col("u"), col("v").as("w"), col("dv").as("dw")), "u")
-      .filter(col("dv") < col("dw") ||
-        (col("dv") === col("dw") && col("v") < col("w")))
-    // Close wedges against the oriented edge set via a BROADCAST semi
-    // join: the wedge stream is the quadratic side (Σ C(outdeg,2) — 407M
-    // rows on the sf1 dup graph vs 3.9M edges) and must never hit an
-    // exchange; broadcasting the IDs-only edge set keeps wedge
-    // generation + closing in ONE map-side codegen stage. Edge sets are
-    // the small side by construction here (a dedup graph's edges ≪ the
-    // corpus); for a graph whose edge list outgrows broadcast, drop the
-    // hint and Spark falls back to shuffling the wedges.
-    val closed = wedges.join(
-        broadcast(oriented.select(col("u").as("v"), col("v").as("w"))),
-        Seq("v", "w"), "leftsemi")
-      .select(col("u"), col("v"), col("w"))
+    val closed = closedWedges(sym, deg)
     // ONE pass over the closed-wedge stream: each triangle explodes into
     // its three corners feeding a map-side-combined count. (A unionAll of
     // three projections reads as equivalent but re-executes the whole
@@ -182,6 +157,88 @@ object Graph {
           (lit(2L) * col("triangles")).cast("double") /
             (col("deg") * (col("deg") - 1)))
           .otherwise(lit(0.0)))
+  }
+
+  /** Each triangle of the undirected graph enumerated exactly once, at
+    * its orientation-minimal vertex. `sym` is the symmetrized edge list
+    * (x, y), `deg` the (v_id, deg) table over it.
+    *
+    * Orientation order ≺ = (deg, id): each undirected edge keeps the
+    * direction smaller ≺ larger — the standard preprocessing that bounds
+    * wedge generation by O(m^1.5) REGARDLESS of hub degree (a vertex's
+    * oriented out-degree is ≤ √(2m), so no single-task wedge explosion
+    * on skewed graphs; an unoriented wedge join would be quadratic in
+    * the hub's degree).
+    *
+    * Wedges close against the oriented edge set via a BROADCAST semi
+    * join: the wedge stream is the quadratic side (Σ C(outdeg,2) — 407M
+    * rows on the sf1 dup graph vs 3.9M edges) and must never hit an
+    * exchange; broadcasting the IDs-only edge set keeps wedge
+    * generation + closing in ONE map-side codegen stage. Edge sets are
+    * the small side by construction here (a dedup graph's edges ≪ the
+    * corpus); for a graph whose edge list outgrows broadcast, drop the
+    * hint and Spark falls back to shuffling the wedges.
+    */
+  private def closedWedges(sym: DataFrame, deg: DataFrame): DataFrame = {
+    val withDeg = sym
+      .join(deg.select(col("v_id").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("v_id").as("y"), col("deg").as("dy")), "y")
+    val oriented = withDeg.filter(
+        col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("x").as("u"), col("y").as("v"), col("dy").as("dv"))
+    val wedges = oriented.select(col("u"), col("v"), col("dv"))
+      .join(oriented.select(col("u"), col("v").as("w"), col("dv").as("dw")), "u")
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    wedges.join(
+        broadcast(oriented.select(col("u").as("v"), col("v").as("w"))),
+        Seq("v", "w"), "leftsemi")
+      .select(col("u"), col("v"), col("w"))
+  }
+
+  /** Edge-sparsified approximate GLOBAL triangle count (Tsourakakis et
+    * al.'s DOULION estimator) — the scale path for the triangle audit
+    * when the graph's own wedge mass makes the exact count the most
+    * expensive query in the suite (the sf1 dup graph: 407M wedges, 54 s;
+    * [[triangleStats]] is already wedge-optimal there — the remaining
+    * lever is not enumerating every wedge).
+    *
+    * Each edge is kept iff `md5(a|b) mod keepDen < keepNum` — a
+    * DETERMINISTIC coin (the corpus-sampling idiom from
+    * `Text.hashModBucket`), so the sparsified graph, and therefore the
+    * whole output row, is a pure function of the input: rerun-stable,
+    * partition-invariant, and replayable by any engine with md5 — which
+    * is what lets a sampling estimator sit under an exact-hash oracle.
+    * Every triangle survives with probability p³ (p = keepNum/keepDen),
+    * so `kept_triangles · (keepDen/keepNum)³` is unbiased for the true
+    * count; wedge mass — the cost driver — falls by p² (sf1
+    * measurements in SCALE.md; concentration spec-checked on planted
+    * graphs). Arithmetic stays in BIGINTs (`div`), so both engines
+    * agree exactly.
+    *
+    * Returns ONE row: (total_edges, kept_edges, kept_triangles,
+    * est_triangles). Variance ∝ 1/p³ per triangle but concentrates
+    * sharply on triangle-dense graphs (the audit's target); for sparse
+    * graphs the exact count is already cheap — run [[triangleStats]].
+    */
+  def triangleCountSampled(edges: DataFrame, keepNum: Int, keepDen: Int,
+                           aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    require(keepNum >= 1 && keepNum <= keepDen, "need 0 < keepNum <= keepDen")
+    val e = edges.select(col(aCol).as("x"), col(bCol).as("y"))
+    val coin = conv(substring(md5(
+        concat_ws("|", col("x").cast("string"), col("y").cast("string"))),
+      1, 8), 16, 10).cast("long") % keepDen
+    val keptE = e.filter(coin < keepNum)
+    val sym = keptE.unionAll(keptE.select(col("y").as("x"), col("x").as("y")))
+    val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      .select(col("x").as("v_id"), col("deg"))
+    val scale = keepDen.toLong * keepDen * keepDen
+    val inv = keepNum.toLong * keepNum * keepNum
+    closedWedges(sym, deg).agg(count(lit(1)).as("kept_triangles"))
+      .crossJoin(e.agg(count(lit(1)).as("total_edges")))
+      .crossJoin(keptE.agg(count(lit(1)).as("kept_edges")))
+      .select(col("total_edges"), col("kept_edges"), col("kept_triangles"),
+        expr(s"kept_triangles * ${scale}L div ${inv}L").as("est_triangles"))
   }
 
   /** Community detection by SYNCHRONOUS weighted label propagation over a

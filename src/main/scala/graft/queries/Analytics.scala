@@ -977,6 +977,54 @@ object Analytics {
         .orderBy(col("n").desc, col("event_type"))
     },
 
+    // Ingest-robustness at the decode boundary: the reference's stream
+    // decode (stream_processor.py:120-126) silently nulls malformed
+    // frames; production ingest needs them QUARANTINED and counted.
+    // The fixture carries no malformed JSON, so the wire is rebuilt
+    // in-query: each event serializes to an explicit-concat JSON line
+    // (integers + strings only — both engines render them identically;
+    // to_json would hand field order and float formatting to the
+    // engine), and every event_id ≡ 0 (mod 7) line is truncated 5 bytes
+    // — always syntactically fatal, since the line ends in a quoted
+    // string field. `decodeJsonQuarantine` must route EXACTLY those to
+    // the quarantine bucket; parsed buckets prove real field extraction
+    // by summing an extracted BIGINT. DuckDB replays the identical
+    // lines via try_cast(... AS JSON). One narrow pass, no shuffle
+    // before the bounded aggregate.
+    Q("ev_ingest_quarantine",
+      """WITH w AS (SELECT event_id,
+           '{"event_id":' || CAST(event_id AS VARCHAR) ||
+             ',"user_id":' || CAST(user_id AS VARCHAR) ||
+             ',"t":"' || event_type || '"}' AS line
+           FROM events),
+         c AS (SELECT CASE WHEN event_id % 7 = 0
+             THEN substr(line, 1, len(line) - 5) ELSE line END AS line FROM w),
+         p AS (SELECT try_cast(line AS JSON) AS j FROM c)
+         SELECT CASE WHEN j IS NULL THEN '_quarantine'
+             ELSE json_extract_string(j, '$.t') END AS bucket,
+           COUNT(*) AS n,
+           COALESCE(SUM(CAST(json_extract(j, '$.event_id') AS BIGINT)), 0)
+             AS sum_event_id
+         FROM p GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val line = concat(
+        lit("{\"event_id\":"), col("event_id").cast("string"),
+        lit(",\"user_id\":"), col("user_id").cast("string"),
+        lit(",\"t\":\""), col("event_type"), lit("\"}"))
+      val wire = Tables.events(s, dir)
+        .select(col("event_id"), line.as("line"))
+        .select(when(col("event_id") % 7 === 0,
+            expr("substring(line, 1, length(line) - 5)"))
+          .otherwise(col("line")).as("value"))
+      graft.source.ClickstreamSource
+        .decodeJsonQuarantine(wire, org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, t STRING"))
+        .groupBy(when(col("is_corrupt"), lit("_quarantine"))
+          .otherwise(col("data.t")).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("data.event_id")), lit(0L)).as("sum_event_id"))
+        .orderBy(col("bucket"))
+    },
+
     // The skew-salted aggregation path, registered against the PLAIN
     // aggregation as its oracle: event_type has cardinality 5 over the
     // whole table — the textbook heavy-key shape where one reducer

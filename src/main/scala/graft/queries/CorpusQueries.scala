@@ -1679,6 +1679,42 @@ object CorpusQueries {
       graft.ops.Graph.triangleStats(edges).orderBy(col("v_id"))
     },
 
+    // The SCALE PATH for the triangle audit: DOULION edge sparsification
+    // at p = 1/4 — the registered configuration for graphs whose wedge
+    // mass makes the exact audit the most expensive query in the suite
+    // (sf1 dup graph: 407M wedges; measurements in SCALE.md). The
+    // per-edge coin is md5(a|b) mod 4 — deterministic,
+    // so the sparsified graph IS the oracle's sparsified graph and a
+    // SAMPLING estimator sits under an exact hash-match: every triangle
+    // survives with p³, est = kept · 4³, all BIGINT. Concentration on
+    // triangle-dense graphs (the audit's target) is GraphSpec's job;
+    // here DuckDB replays the identical coin, 3-way-joins the kept
+    // edges, and must agree bit-for-bit.
+    Q("doc_dup_triangles_sampled",
+      """WITH d AS (SELECT doc_id, lang, source,
+           list_distinct(regexp_split_to_array(text, '\s+')) AS w FROM documents),
+         e AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.w, b.w)) /
+               (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8),
+         k AS (SELECT a_id, b_id FROM e
+           WHERE list_reduce(list_transform(range(8),
+               i -> CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(a_id AS VARCHAR) || '|' ||
+                   CAST(b_id AS VARCHAR)), i + 1, 1)) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) % 4 < 1),
+         tri AS (SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+           FROM k e1 JOIN k e2 ON e2.a_id = e1.b_id
+                     JOIN k e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id)
+         SELECT (SELECT COUNT(*) FROM e) AS total_edges,
+           (SELECT COUNT(*) FROM k) AS kept_edges,
+           (SELECT COUNT(*) FROM tri) AS kept_triangles,
+           (SELECT COUNT(*) * 64 FROM tri) AS est_triangles""") { (s, dir) =>
+      val edges = jaccardPairGraph(s, dir).select(col("a_id"), col("b_id"))
+      graft.ops.Graph.triangleCountSampled(edges, keepNum = 1, keepDen = 4)
+    },
+
     // The triangle audit on the REALISTIC corpus: the fixture vocabulary
     // makes the dup graph near-clique (407M wedges at sf1 — the audit is
     // output-mass-bound there by the graph itself), so this twin runs the

@@ -99,6 +99,41 @@ object ClickstreamSource {
     parsed.select(col("data.*"))
   }
 
+  /** Ingest-robustness variant of the decode boundary: parse raw JSON
+    * against `schema`, keeping syntactically malformed records as
+    * FIRST-CLASS rows flagged `is_corrupt` instead of silently nulling
+    * them (what PERMISSIVE `from_json` alone does). The quarantine split
+    * is what a production ingest needs: corrupt counts are an SLO metric,
+    * and the raw line survives in `valueCol` for replay after a parser
+    * fix — the `_corrupt_record` column of Spark's file sources,
+    * reconstructed at the stream boundary where that option doesn't
+    * exist as an option (PERMISSIVE `from_json` without it returns an
+    * ALL-NULL struct for malformed input — indistinguishable from a
+    * legitimately null payload; the corrupt-record field added to the
+    * parse schema here is the only reliable malformation signal).
+    *
+    * Quarantine = any record the parser could not FULLY convert:
+    * syntactic malformation, or a well-formed line whose field value
+    * cannot convert to the declared type (Spark's PERMISSIVE
+    * corrupt-record contract — partial conversions also record the raw
+    * line). Semantically-null fields in convertible records flow
+    * through un-flagged — the downstream quality gate's job
+    * (`ops.Quality`), not the parser's.
+    *
+    * Scale shape: one narrow codegen'd projection — no shuffle, no UDF;
+    * the flag reads the corrupt-record field of the same `from_json`
+    * the happy path already pays for. Works identically on batch and
+    * streaming frames.
+    */
+  def decodeJsonQuarantine(json: DataFrame, schema: org.apache.spark.sql.types.StructType,
+                           valueCol: String = "value"): DataFrame = {
+    val parseSchema = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    json.withColumn("data", from_json(col(valueCol).cast("string"), parseSchema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .withColumn("is_corrupt", col("data._corrupt_record").isNotNull)
+  }
+
   /** S4: the Kafka producer path — typed events → JSON wire frames →
     * Kafka sink (replaces the reference's hand-rolled confluent-kafka
     * client, `kafka_produer/producer.py:51-118`; delivery guarantees come

@@ -148,6 +148,39 @@ class GraphSpec extends SparkSpec {
     assert(got(101L) == ((1L, 0L, 0.0)), "leaf")
   }
 
+  test("triangleCountSampled at p=1 ≡ exact count; est arithmetic is integer-exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val edgeSet = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L if rnd.nextDouble() < 0.15
+    } yield (a, b)).toSeq
+    val exact = Graph.triangleStats(edgeSet.toDF("a_id", "b_id"))
+      .agg(org.apache.spark.sql.functions.sum("triangles")).as[Long].head() / 3
+    val r = Graph.triangleCountSampled(edgeSet.toDF("a_id", "b_id"), 1, 1).head()
+    assert(r.getLong(0) == edgeSet.size && r.getLong(1) == edgeSet.size)
+    assert(r.getLong(2) == exact && r.getLong(3) == exact)
+  }
+
+  test("triangleCountSampled concentrates on a triangle-dense graph; partition-invariant") {
+    import spark.implicits._
+    // 8 disjoint K20 cliques: 8·C(20,3) = 9120 triangles — the dense
+    // regime the sampled audit targets (sparse graphs run the exact one)
+    val edges = for {
+      c <- 0L until 8L; a <- 0L until 20L; b <- (a + 1) until 20L
+    } yield (c * 100 + a, c * 100 + b)
+    val exact = 8L * 1140
+    for ((num, den, tol) <- Seq((1, 2, 0.15), (1, 4, 0.35))) {
+      val rows = Seq(1, 7).map(p =>
+        Graph.triangleCountSampled(edges.toDF("a_id", "b_id").repartition(p), num, den).head())
+      assert(rows(0) == rows(1), s"p=$num/$den: not partition-invariant")
+      val r = rows.head
+      assert(r.getLong(0) == edges.size)
+      assert(r.getLong(3) == r.getLong(2) * den * den * den / (num * num * num))
+      val relErr = math.abs(r.getLong(3) - exact).toDouble / exact
+      assert(relErr < tol, s"p=$num/$den: est=${r.getLong(3)} exact=$exact relErr=$relErr")
+    }
+  }
+
   test("labelPropagation: two dense cliques joined by one weak edge separate cleanly") {
     import spark.implicits._
     // clique A = {1,2,3}, clique B = {10,11,12}, internal weight 10,

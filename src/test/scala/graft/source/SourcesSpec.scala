@@ -27,6 +27,35 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decodeJsonQuarantine: syntactic corruption flagged exactly; raw line survives") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, t STRING")
+    val lines = Seq(
+      """{"event_id":1,"t":"view"}""",      // clean
+      """{"event_id":2,"t":"vi""",          // truncated → corrupt
+      """{"event_id":"oops","t":"view"}""", // type mismatch → corrupt (unconvertible)
+      """not json at all""",                // corrupt
+      """{"event_id":4,"t":"buy"}""")       // clean
+    val out = graft.source.ClickstreamSource
+      .decodeJsonQuarantine(lines.toDF("value"), schema)
+      .select(col("value"), col("is_corrupt"), col("data.event_id"), col("data.t"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    // corrupt-record contract: syntactic malformation AND unconvertible
+    // field values quarantine; clean rows never do
+    assert(out.count(_._2) == 3, s"flags: ${out.mkString(", ")}")
+    assert(out.filter(_._2).map(_._1).toSet ==
+      Set("""{"event_id":2,"t":"vi""", "not json at all",
+        """{"event_id":"oops","t":"view"}"""),
+      "quarantined rows keep the raw line for replay")
+    val clean = graft.source.ClickstreamSource
+      .decodeJsonQuarantine(lines.toDF("value"), schema)
+      .filter(!col("is_corrupt"))
+      .select(col("data.event_id"), col("data.t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(clean == Set((1L, "view"), (4L, "buy")))
+  }
+
   test("RocksDB state store provider drives a stateful streaming agg") {
     val checkpoint = Files.createTempDirectory("graft-rocks").toString
     val runner = new StreamRunner(spark,
