@@ -241,6 +241,62 @@ object Graph {
         expr(s"kept_triangles * ${scale}L div ${inv}L").as("est_triangles"))
   }
 
+  /** k-core decomposition by SYNCHRONOUS peeling, a fixed number of
+    * rounds: each round simultaneously removes every vertex whose
+    * current degree is < k, together with its edges. After enough
+    * rounds the surviving subgraph is THE k-core (the unique maximal
+    * subgraph with minimum degree ≥ k); the round-count parameter keeps
+    * the recurrence deterministic and finite so an oracle can unroll it
+    * exactly — GraphSpec proves the fixpoint is the true k-core, and
+    * the registered query's round count is convergence-checked on the
+    * fixtures.
+    *
+    * On the near-dup graph this extracts the dense duplication BACKBONE:
+    * boilerplate/template clusters are near-cliques (every member
+    * k-core-survives) while thin accidental chains peel away — the
+    * standard pre-filter before cluster-level curation decisions
+    * (SemDeDup-style prune-the-cluster, keep-one policies).
+    *
+    * Scale shape: each round is one map-side-combined degree aggregation
+    * + two IDs-only semi joins on the shrinking edge list, checkpointed
+    * per round so plan depth stays constant (the [[pageRank]] /
+    * `Dedup.dupGroups` discipline). Rounds are a fixed small constant;
+    * each round's cost is bounded by the CURRENT edge count, which only
+    * shrinks.
+    *
+    * Returns `(v_id, core_deg)` for surviving vertices — `core_deg` is
+    * the degree WITHIN the core, ≥ k at the fixpoint.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    val e0 = edges.select(col(aCol).as("x"), col(bCol).as("y"))
+    var sym = e0.unionAll(e0.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint()
+    // Early exit at the fixpoint: peeling only ever REMOVES edges, so an
+    // unchanged edge count means no vertex fell below k and every later
+    // round is a no-op — the result is identical to running all `rounds`
+    // (which is what the unrolled oracle computes), at the cost of one
+    // O(1) count per round on the already-checkpointed list.
+    var n = sym.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val keep = sym.groupBy(col("x")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("x"))
+      sym = sym
+        .join(keep, Seq("x"), "leftsemi")
+        .join(keep.select(col("x").as("y")), Seq("y"), "leftsemi")
+        .localCheckpoint()
+      val m = sym.count()
+      converged = m == n
+      n = m
+      r += 1
+    }
+    sym.groupBy(col("x")).agg(count(lit(1)).as("core_deg"))
+      .select(col("x").as("v_id"), col("core_deg"))
+  }
+
   /** Community detection by SYNCHRONOUS weighted label propagation over a
     * directed weighted edge list `(src, dst, w)` — symmetrized here, so a
     * community is dense under co-transition in either direction.

@@ -85,6 +85,34 @@ object CorpusQueries {
         blockCols = Seq.empty, threshold = 0.8)
     }
 
+  /** DuckDB oracle for `doc_dup_kcore`: the identical synchronous peel
+    * recurrence over the Jaccard pair graph, one keep-set + edge-restrict
+    * CTE pair per round — the same unrolling idiom as the PageRank/LPA
+    * oracles (standard SQL forbids aggregation in a recursive CTE's
+    * recursive term, and the fixed round count is what keeps the
+    * iterative engine result exactly replayable).
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""kp$r AS (SELECT x FROM (
+           SELECT x, COUNT(*) AS d FROM s${r - 1} GROUP BY x) WHERE d >= $k),
+         s$r AS (SELECT s.x, s.y FROM s${r - 1} s
+           JOIN kp$r a ON s.x = a.x JOIN kp$r b ON s.y = b.x)"""
+    }.mkString(",\n         ")
+    s"""WITH d AS (SELECT doc_id, lang, source,
+         list_distinct(regexp_split_to_array(text, '\\s+')) AS w FROM documents),
+       e AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+           AND a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.w, b.w)) /
+             (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8),
+       s0 AS (SELECT a_id AS x, b_id AS y FROM e
+              UNION ALL SELECT b_id, a_id FROM e),
+       $steps
+       SELECT x AS v_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+       FROM s$rounds GROUP BY x ORDER BY x"""
+  }
+
   /** Materialized transitive dup-group labels over [[jaccardPairGraph]] —
     * shared by `doc_dup_groups` (emits it) and `doc_dup_survivors` (window
     * argmax over it). The iterative CC is deterministic (min-label fixed
@@ -1713,6 +1741,22 @@ object CorpusQueries {
            (SELECT COUNT(*) * 64 FROM tri) AS est_triangles""") { (s, dir) =>
       val edges = jaccardPairGraph(s, dir).select(col("a_id"), col("b_id"))
       graft.ops.Graph.triangleCountSampled(edges, keepNum = 1, keepDen = 4)
+    },
+
+    // k-core of the near-dup graph: the dense duplication BACKBONE.
+    // Boilerplate/template clusters are near-cliques — every member
+    // survives the k=3 peel — while thin accidental chains (the
+    // false-positive shape) peel away; the survivors are the clusters
+    // a SemDeDup-style keep-one/prune-the-cluster policy acts on.
+    // Synchronous peeling for a FIXED 6 rounds (convergence-checked on
+    // the fixtures: round 7 is a no-op), so DuckDB unrolls the
+    // identical recurrence one CTE pair per round and the iterative
+    // engine result sits under an exact hash-match.
+    Q("doc_dup_kcore", kCoreOracleSql(k = 3, rounds = 6)) { (s, dir) =>
+      graft.ops.Graph.kCore(
+          jaccardPairGraph(s, dir).select(col("a_id"), col("b_id")),
+          k = 3, rounds = 6)
+        .orderBy(col("v_id"))
     },
 
     // The triangle audit on the REALISTIC corpus: the fixture vocabulary

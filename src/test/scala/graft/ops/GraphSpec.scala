@@ -181,6 +181,66 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Sequential reference: peel synchronously until fixpoint; returns
+    * surviving vertex → within-core degree. */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    var es = edges
+    var changed = true
+    while (changed) {
+      val deg = es.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, xs) => v -> xs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next.size != es.size
+      es = next
+    }
+    es.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, xs) => v -> xs.size }
+  }
+
+  test("kCore reaches the true k-core on a random graph, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val edgeSet = (for {
+      a <- 0L until 50L; b <- (a + 1) until 50L if rnd.nextDouble() < 0.12
+    } yield (a, b)).toSeq
+    for (k <- Seq(2, 3, 4); parts <- Seq(1, 7)) {
+      val want = refKCore(edgeSet, k)
+      val got = Graph.kCore(edgeSet.toDF("a_id", "b_id").repartition(parts),
+          k, rounds = 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got == want, s"k=$k parts=$parts")
+      assert(got.values.forall(_ >= k), s"k=$k: fixpoint must have min degree >= k")
+    }
+  }
+
+  test("kCore peels SYNCHRONOUSLY: a path erodes one layer per round from both ends") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5-6, k=2: endpoints have degree 1 and peel together
+    val path = (0L until 6L).map(i => (i, i + 1))
+    val after1 = Graph.kCore(path.toDF("a_id", "b_id"), k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(after1 == Set(1L, 2L, 3L, 4L, 5L), "round 1 removes only the two endpoints")
+    val after3 = Graph.kCore(path.toDF("a_id", "b_id"), k = 2, rounds = 3)
+      .collect()
+    assert(after3.isEmpty, "a path has an empty 2-core")
+    // a cycle is its own 2-core at any round count
+    val cycle = (0L until 8L).map(i => (i, (i + 1) % 8))
+    val got = Graph.kCore(cycle.toDF("a_id", "b_id"), k = 2, rounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0L until 8L).toSet && got.values.forall(_ == 2L))
+  }
+
+  test("kCore: K5 with pendant chains keeps exactly the clique at k=3") {
+    import spark.implicits._
+    val clique = for { a <- 0L until 5L; b <- (a + 1) until 5L } yield (a, b)
+    val chains = (0L until 5L).flatMap(v => Seq((v, 100 + v), (100 + v, 200 + v)))
+    val got = Graph.kCore((clique ++ chains).toDF("a_id", "b_id"), k = 3, rounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 5L).map(_ -> 4L).toMap,
+      "3-core is the K5 alone, each at within-core degree 4")
+  }
+
   test("labelPropagation: two dense cliques joined by one weak edge separate cleanly") {
     import spark.implicits._
     // clique A = {1,2,3}, clique B = {10,11,12}, internal weight 10,
