@@ -35,4 +35,42 @@ object RangeJoin {
         col("__rts") <= col("__lts") + expr(s"INTERVAL $windowSec SECONDS"))
       .drop("__bucket")
   }
+
+  /** INTERVAL × INTERVAL overlap join (closed intervals:
+    * `lStart ≤ rEnd AND rStart ≤ lEnd`) — the general form
+    * [[timeRangeJoin]]'s point-in-range is a special case of: sessions ×
+    * campaign windows, builds × incident windows, any two validity
+    * ranges.
+    *
+    * The inequality pair plans as a nested loop; this implementation
+    * makes it EQUI: time is quantized into `cellSec` cells, each
+    * interval explodes to the cells it covers, the join runs on
+    * (`by`…, cell), and the exact overlap predicate post-filters. A pair
+    * overlapping several shared cells would duplicate, so each pair is
+    * kept ONLY at its overlap's first cell —
+    * `cell = max(⌊lStart/c⌋, ⌊rStart/c⌋)` (floor commutes with max, and
+    * the overlap start lies in both spans) — which de-duplicates WITHOUT
+    * a distinct shuffle. Cost: Σ(len/cell + 1) exploded rows per side,
+    * shuffle-partitionable and AQE-skew-splittable; pick `cellSec` near
+    * the typical interval length so most intervals emit ~2 cells.
+    *
+    * Interval bounds are epoch-second LONG columns (exact integer
+    * arithmetic end-to-end — the oracle-determinism contract); the two
+    * inputs' other column names must be disjoint.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          cellSec: Long, by: Seq[String] = Nil): DataFrame = {
+    require(cellSec > 0, "cellSec must be positive")
+    def cells(s: String, e: String) =
+      explode(sequence(expr(s"$s div ${cellSec}L"), expr(s"$e div ${cellSec}L")))
+    val l = left.withColumn("__cell", cells(lStart, lEnd))
+    val r = right.withColumn("__cell", cells(rStart, rEnd))
+    l.join(r, by :+ "__cell")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__cell") ===
+        greatest(expr(s"$lStart div ${cellSec}L"), expr(s"$rStart div ${cellSec}L")))
+      .drop("__cell")
+  }
 }

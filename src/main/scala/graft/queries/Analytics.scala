@@ -1243,6 +1243,64 @@ object Analytics {
         .orderBy(col("user_id"), col("sess_idx"))
     },
 
+    // Interval × interval overlap join: which user sessions overlap the
+    // daily maintenance windows (one 2-hour window per fixture day at a
+    // deterministic day-of-month-derived hour — both engines generate
+    // the identical windows from the data's own calendar). The
+    // inequality pair would plan as a nested loop; the engine quantizes
+    // both interval sets into 2-hour cells, equi-joins on the cell, and
+    // keeps each pair only at its overlap's FIRST cell — exact, no
+    // distinct shuffle (ops.RangeJoin.intervalOverlapJoin). All bounds
+    // are epoch-second BIGINTs of second-truncated timestamps, so the
+    // overlap arithmetic is integer-exact in both engines; the oracle
+    // is the plain inequality join.
+    Q("ev_session_window_overlap",
+      """WITH g AS (SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s0 AS (SELECT user_id, ts,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_idx
+           FROM g),
+         sess AS (SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+           CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS ls,
+           CAST(epoch(date_trunc('second', MAX(ts))) AS BIGINT) AS le
+           FROM s0 GROUP BY user_id, sess_idx),
+         wins AS (SELECT CAST(wday AS TIMESTAMP) AS window_day,
+           CAST(epoch(wday) AS BIGINT)
+             + (EXTRACT(day FROM wday) % 12 + 6) * 3600 AS ws
+           FROM (SELECT DISTINCT date_trunc('day', ts) AS wday FROM events))
+         SELECT s.user_id, s.sess_idx, w.window_day,
+           CAST(LEAST(s.le, w.ws + 7200) - GREATEST(s.ls, w.ws) AS BIGINT)
+             AS overlap_sec
+         FROM sess s JOIN wins w ON s.ls <= w.ws + 7200 AND w.ws <= s.le
+         ORDER BY s.user_id, s.sess_idx, w.window_day""") { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(lag(col("ts"), 1).over(w).isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))) > 1800, 1)
+            .otherwise(0).as("brk"))
+        .select(col("user_id"), col("ts"),
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("sess_idx"))
+        .groupBy(col("user_id"), col("sess_idx"))
+        .agg(unix_timestamp(sec(min(col("ts")))).as("ls"),
+          unix_timestamp(sec(max(col("ts")))).as("le"))
+      val wins = Tables.events(s, dir)
+        .select(date_trunc("DAY", col("ts")).as("window_day")).distinct()
+        .select(col("window_day"),
+          (unix_timestamp(col("window_day")) +
+            (dayofmonth(col("window_day")) % 12 + 6).cast("long") * 3600L).as("ws"))
+        .withColumn("we", col("ws") + 7200L)
+      graft.ops.RangeJoin.intervalOverlapJoin(sess, wins,
+          lStart = "ls", lEnd = "le", rStart = "ws", rEnd = "we", cellSec = 7200L)
+        .select(col("user_id"), col("sess_idx"), col("window_day"),
+          (least(col("le"), col("we")) - greatest(col("ls"), col("ws")))
+            .as("overlap_sec"))
+        .orderBy(col("user_id"), col("sess_idx"), col("window_day"))
+    },
+
     // As-of join: attribute each purchase to the user's latest prior view
     // (point-in-time lookup; oracle uses DuckDB's native ASOF JOIN).
     Q("ev_purchase_attribution",

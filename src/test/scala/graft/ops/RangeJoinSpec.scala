@@ -38,4 +38,43 @@ class RangeJoinSpec extends SparkSpec {
       Seq("id"), Seq("id")).count()
     assert(n == 1)
   }
+
+  test("intervalOverlapJoin ≡ plain inequality join on random intervals, no duplicates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    // interval lengths straddle the cell size (100): some inside one
+    // cell, some spanning many — the duplicate-risk regime
+    val ls = (1L to 60L).map { id =>
+      val s = rnd.nextInt(2000).toLong; (id, s, s + rnd.nextInt(350)) }
+    val rs = (1L to 60L).map { id =>
+      val s = rnd.nextInt(2000).toLong; (id, s, s + rnd.nextInt(350)) }
+    val want = (for {
+      (li, lsv, lev) <- ls; (ri, rsv, rev) <- rs
+      if lsv <= rev && rsv <= lev
+    } yield (li, ri)).toSet
+    for (cell <- Seq(50L, 100L, 1000L); parts <- Seq(1, 5)) {
+      val out = RangeJoin.intervalOverlapJoin(
+          ls.toDF("l_id", "ls", "le").repartition(parts),
+          rs.toDF("r_id", "rs", "re"),
+          "ls", "le", "rs", "re", cellSec = cell)
+        .select(col("l_id"), col("r_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.length == out.toSet.size, s"cell=$cell: duplicate pairs")
+      assert(out.toSet == want, s"cell=$cell parts=$parts: pair sets differ")
+    }
+  }
+
+  test("intervalOverlapJoin: touching endpoints count as overlap; key isolation") {
+    import spark.implicits._
+    val l = Seq((1L, "A", 100L, 200L), (2L, "B", 100L, 200L)).toDF("l_id", "k", "ls", "le")
+    val r = Seq((10L, "A", 200L, 300L), // touches at 200 → overlap
+                (11L, "A", 201L, 300L), // disjoint
+                (12L, "B", 150L, 160L)) // contained, other key
+      .toDF("r_id", "k", "rs", "re")
+    val out = RangeJoin.intervalOverlapJoin(l, r, "ls", "le", "rs", "re",
+        cellSec = 60L, by = Seq("k"))
+      .select(col("l_id"), col("r_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (2L, 12L)), s"got $out")
+  }
 }
