@@ -63,4 +63,41 @@ object GlobalRank {
       ranked
     } catch { case t: Throwable => ranged.unpersist(); throw t }
   }
+
+  /** Distributed global WEIGHTED prefix sum over a total order — the
+    * generalization of [[withGlobalRowNumber]] from counts to weights
+    * (row number is the weight-1 case). Same two-pass discipline: range-
+    * repartition on the order, per-partition weight totals offset a
+    * within-partition running sum, so no task ever windows more than its
+    * own slice and the driver holds ≤ numPartitions longs.
+    *
+    * `out` is the INCLUSIVE prefix sum (this row's weight included) of
+    * the integer `weight` column along `order`. Callers must make the
+    * order total (unique tiebreaker) — same contract as row numbering.
+    */
+  def withGlobalPrefixSum(df: DataFrame, order: Seq[Column], weight: Column,
+                          out: String = "prefix_sum",
+                          numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val parts = numPartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val ranged = df.withColumn("__w", weight.cast("long"))
+      .repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sums = ranged.groupBy(col("__pid")).agg(sum(col("__w")).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = (0 until parts).scanLeft(0L) {
+        (acc, p) => acc + sums.getOrElse(p, 0L)
+      }
+      val offsetArr = array(offsets.take(parts).map(lit): _*)
+      val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranged
+        .withColumn(out, element_at(offsetArr, col("__pid") + 1) +
+          sum(col("__w")).over(w))
+        .drop("__pid", "__w")
+    } catch { case t: Throwable => ranged.unpersist(); throw t }
+  }
 }

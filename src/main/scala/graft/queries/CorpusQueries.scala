@@ -574,6 +574,50 @@ object CorpusQueries {
         .orderBy(col("lang"), col("rnk"))
     },
 
+    // Cross-source quality calibration: per-source percentile (ppm) of
+    // the composite quality score — the quantile-normalization step of
+    // multi-source curation (raw scores from heterogeneous sources are
+    // not comparable; percentiles are). The engine computes ranks
+    // through ONE GlobalRank total order over (source, quality, id) —
+    // no per-source hot window — with per-source offsets from a
+    // #sources-row broadcast; the oracle windows per source directly.
+    // Quality doubles are bit-identical in both engines (the
+    // doc_quality_topk precedent), ranks integer, pct arithmetic pure
+    // BIGINT — hash-exact.
+    Q("doc_quality_calibrated",
+      s"""WITH q AS (SELECT doc_id, source, $qualitySql AS quality FROM documents),
+         r AS (SELECT doc_id, source, quality,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n FROM q)
+         SELECT doc_id, source, quality,
+           CAST((rn - 1) * 1000000 // GREATEST(n - 1, 1) AS BIGINT) AS pct_ppm
+         FROM r ORDER BY doc_id""") { (s, dir) =>
+      Text.qualityCalibrated(Tables(s, dir, "documents")).orderBy(col("doc_id"))
+    },
+
+    // Systematic PPS sampling: keep every document in which the running
+    // corpus token total (id order) crosses a multiple of 2,000 — one
+    // document per ~2k tokens, selection probability proportional to
+    // length. The token-budget subsample a training mixture needs when
+    // uniform-by-document sampling would over-weight short documents.
+    // Engine: range-partitioned two-pass weighted prefix sum
+    // (GlobalRank.withGlobalPrefixSum — never a partitionless window);
+    // oracle: the same running sum as one window. Integer crossing test
+    // (`div` ≡ DuckDB `//` on non-negatives) — hash-exact.
+    Q("doc_pps_sample",
+      """WITH t AS (SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
+         SELECT doc_id, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens // 2000 > (cum_tokens - n_tokens) // 2000
+         ORDER BY doc_id""") { (s, dir) =>
+      Text.ppsSample(Tables(s, dir, "documents"), step = 2000L)
+        .orderBy(col("doc_id"))
+    },
+
     // Within-document repetition metrics (Gopher-style repetition filter
     // signals): adjacent-bigram totals and the top-bigram fraction. All
     // counts are exact BIGINTs; top_ratio is one IEEE division of exact

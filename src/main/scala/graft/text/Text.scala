@@ -448,6 +448,62 @@ object Text {
       .drop("pos")
   }
 
+  /** Cross-source quality calibration: each document's quality mapped to
+    * its WITHIN-SOURCE percentile (parts-per-million). Heterogeneous
+    * sources score on different scales — a global threshold over raw
+    * scores keeps whichever source happens to score high; rank-
+    * normalizing per source first makes one threshold mean the same
+    * thing everywhere (the quantile-normalization step of multi-source
+    * curation).
+    *
+    * Scale shape: ONE [[graft.ops.GlobalRank]] total order over
+    * (source, quality, id) — range-partitioned two-pass numbering, so
+    * there is no per-source hot window (a corpus with 5 sources under a
+    * source-partitioned window would funnel n/5 rows through single
+    * tasks); per-source rank offsets come from a #sources-row aggregate
+    * broadcast back. `pct_ppm = (rank_in_source − 1)·10⁶ div
+    * max(n_source − 1, 1)` — BIGINT end-to-end, 0 for a singleton
+    * source, endpoints exactly 0 and 10⁶.
+    */
+  def qualityCalibrated(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val q = docs.select(col("doc_id"), col("source"),
+      qualityScore(col("text")).as("quality"))
+    val ranked = graft.ops.GlobalRank.withGlobalRowNumber(q,
+      Seq(col("source"), col("quality"), col("doc_id")), out = "__rn")
+    val stats = ranked.groupBy(col("source"))
+      .agg(min(col("__rn")).as("__r0"), count(lit(1)).as("__n"))
+    ranked.join(broadcast(stats), "source")
+      .select(col("doc_id"), col("source"), col("quality"),
+        expr("(__rn - __r0) * 1000000L div greatest(__n - 1L, 1L)").as("pct_ppm"))
+  }
+
+  /** Systematic PPS (probability-proportional-to-size) sampling: walk
+    * the corpus in id order accumulating token counts and keep every
+    * document in which the running total crosses a multiple of `step` —
+    * one kept document per ~`step` tokens, selection probability ∝
+    * length (every document of ≥ `step` tokens is kept with certainty).
+    * The token-budget-proportional subsample a training mixture needs
+    * when uniform-by-document sampling would over-weight short
+    * documents; deterministic (no RNG state), rerun-stable, and exactly
+    * replayable by any engine with a window sum.
+    *
+    * Scale shape: the running total is
+    * [[graft.ops.GlobalRank.withGlobalPrefixSum]] — range-partitioned
+    * two-pass weighted prefix sum, never a partitionless window; the
+    * crossing test `cum div step > (cum − w) div step` is one narrow
+    * integer filter.
+    */
+  def ppsSample(docs: org.apache.spark.sql.DataFrame,
+                step: Long): org.apache.spark.sql.DataFrame = {
+    require(step >= 1, "step must be >= 1")
+    val q = docs.select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.ops.GlobalRank.withGlobalPrefixSum(q,
+        Seq(col("doc_id")), col("n_tokens"), out = "cum_tokens")
+      .filter(expr(s"cum_tokens div ${step}L > (cum_tokens - n_tokens) div ${step}L"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Weighted mixture sampling: per-stratum keep rates (in tenths),
     * applied through the deterministic md5 bucket — the "40% web, 100%
     * reference" mixture step of a training-data pipeline, reproducible

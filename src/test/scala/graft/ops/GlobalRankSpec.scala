@@ -28,6 +28,53 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("withGlobalPrefixSum equals the partitionless window sum on randomized data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = rnd.shuffle((1 to 400).map(i => (i.toLong, rnd.nextInt(50).toLong)))
+    val df = rows.toDF("id", "w")
+    Seq(1, 3, 8).foreach { parts =>
+      val fast = GlobalRank.withGlobalPrefixSum(df, Seq(col("id")), col("w"),
+          out = "ps", numPartitions = Some(parts))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val slow = df.withColumn("ps",
+          sum(col("w")).over(Window.orderBy(col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(fast == slow, s"parts=$parts")
+    }
+  }
+
+  test("ppsSample: crossing count, long-doc certainty, ≡ sequential reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // lengths straddle the step: shorts sampled ∝ length, longs certain
+    val docs = (1L to 300L).map { id =>
+      val len = if (id % 37 == 0) 120 + rnd.nextInt(80) else 1 + rnd.nextInt(40)
+      (id, Seq.fill(len)("w").mkString(" "))
+    }
+    val step = 100L
+    val out = graft.text.Text.ppsSample(
+        docs.toDF("doc_id", "text").repartition(5), step)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // sequential reference walk
+    var cum = 0L
+    val want = docs.flatMap { case (id, text) =>
+      val n = text.split("\\s+").length.toLong
+      val before = cum; cum += n
+      if (cum / step > before / step) Some((id, n, cum)) else None
+    }
+    assert(out.sortBy(_._1).toSeq == want, "≡ sequential crossing walk")
+    // every step-multiple ≤ total is crossed by exactly one kept doc (a
+    // long doc may absorb several), so crossings sum to total div step
+    val total = docs.map(_._2.split("\\s+").length.toLong).sum
+    val crossings = out.map { case (_, n, cum) => cum / step - (cum - n) / step }.sum
+    assert(crossings == total / step, s"crossings $crossings != ${total / step}")
+    // every document of ≥ step tokens crosses at least one multiple
+    val longIds = docs.filter(_._2.split("\\s+").length >= step).map(_._1).toSet
+    assert(longIds.subsetOf(out.map(_._1).toSet), "long docs kept with certainty")
+  }
+
   test("shardAssign balances token totals across shards (snake deal)") {
     val docs = graft.source.Tables(spark, sfDir, "documents")
     val n = 8

@@ -613,4 +613,39 @@ class TextSpec extends SparkSpec {
     val normFps = df.select(md5(col("norm"))).as[String].collect()
     assert(normFps.distinct.length == 1)
   }
+
+  test("qualityCalibrated: within-source percentiles, endpoints exact, partition-invariant") {
+    import spark.implicits._
+    // source A: 5 long docs (high raw scores); source B: 5 terse docs
+    // (low raw scores); source C: a singleton. Calibration must depend
+    // ONLY on within-source rank, not the raw scale.
+    val docs = (
+      (1L to 5L).map(i => (i, "A", Seq.fill(10 * i.toInt)("tok").zipWithIndex
+        .map { case (w, j) => s"$w$j" }.mkString(" "))) ++
+      (11L to 15L).map(i => (i, "B", Seq.fill((i - 10).toInt)("x").mkString(" "))) ++
+      Seq((21L, "C", "lonely doc text"))
+    ).toDF("doc_id", "source", "text")
+    val out = Text.qualityCalibrated(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // each 5-doc source spans exactly {0, 250000, 500000, 750000, 1000000}
+    val expectSteps = Set(0L, 250000L, 500000L, 750000L, 1000000L)
+    assert((1L to 5L).map(out).toSet == expectSteps, s"source A: $out")
+    assert((11L to 15L).map(out).toSet == expectSteps, s"source B: $out")
+    assert(out(21L) == 0L, "singleton source pins to 0")
+    // ≡ the naive per-source window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality"), col("doc_id"))
+    val naive = docs
+      .select(col("doc_id"), col("source"), Text.qualityScore(col("text")).as("quality"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .select(col("doc_id"),
+        expr("(rn - 1) * 1000000L div greatest(n - 1L, 1L)").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == naive)
+    val repart = Text.qualityCalibrated(docs.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(repart == out, "partition-invariant")
+  }
 }
