@@ -1025,6 +1025,37 @@ object Analytics {
         .orderBy(col("bucket"))
     },
 
+    // Equi-depth discretization (feature binning): global deciles of the
+    // event value — bin boundaries adapt to the distribution, so each
+    // bin carries the same row mass (what quantile-based featurization
+    // and histogram equalization need; equi-WIDTH bins would put most
+    // of an Exp-shaped value column in one bucket). Bin assignment is
+    // rank arithmetic, not NTILE (whose remainder-distribution rule
+    // differs by engine): decile = (rank−1)·10 div N over the total
+    // order (value, event_id). The engine ranks through GlobalRank
+    // (range-partitioned two-pass — never a partitionless window) with
+    // N from a 1-row broadcast; the oracle windows directly. Per-bin
+    // sums ride the DECIMAL path — hash-exact.
+    Q("ev_value_deciles",
+      """WITH r AS (SELECT value,
+           ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER () AS n FROM events)
+         SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
+           COUNT(*) AS n_rows, MIN(value) AS lo, MAX(value) AS hi,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+         FROM r GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val ranked = graft.ops.GlobalRank.withGlobalRowNumber(
+        Tables.events(s, dir).select(col("value"), col("event_id")),
+        Seq(col("value"), col("event_id")), out = "rn")
+      val n = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .select(expr("(rn - 1) * 10 div n").as("decile"), col("value"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_rows"), min(col("value")).as("lo"),
+          max(col("value")).as("hi"), dsum(col("value")).as("total"))
+        .orderBy(col("decile"))
+    },
+
     // The skew-salted aggregation path, registered against the PLAIN
     // aggregation as its oracle: event_type has cardinality 5 over the
     // whole table — the textbook heavy-key shape where one reducer
@@ -1533,6 +1564,74 @@ object Analytics {
           col("est_distinct").cast("long").as("est_users"),
           col("exact_users"), col("n_rows"))
         .orderBy(col("week"))
+    },
+
+    // One-pass Pearson correlation audit across lineitem measure pairs —
+    // the ANALYZE-style companion to lineitem_profile (is price entangled
+    // with quantity? discount with tax?). Everything that must be exact
+    // IS exact: measures become integer units scan-side (quantity whole,
+    // money/rates in hundredths via the DECIMAL(12,2) view), all 12
+    // moment sums accumulate in DECIMAL(38,0)/HUGEINT (order-independent,
+    // overflow-free: Σp² ≈ 6.6e20 at sf1 would overflow BIGINT), and each
+    // corr is then ONE identical IEEE tree — cast, two sqrts, a multiply,
+    // a divide — so both engines emit the same bits. One scan, one
+    // aggregate row on the shuffle, three stacked output rows.
+    Q("lineitem_corr",
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p,
+           CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS d,
+           CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT) AS t
+           FROM lineitem),
+         s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(CAST(q AS HUGEINT)) AS sq, SUM(CAST(p AS HUGEINT)) AS sp,
+           SUM(CAST(d AS HUGEINT)) AS sd, SUM(CAST(t AS HUGEINT)) AS st,
+           SUM(CAST(q AS HUGEINT) * q) AS sqq, SUM(CAST(p AS HUGEINT) * p) AS spp,
+           SUM(CAST(d AS HUGEINT) * d) AS sdd, SUM(CAST(t AS HUGEINT) * t) AS stt,
+           SUM(CAST(q AS HUGEINT) * p) AS sqp, SUM(CAST(d AS HUGEINT) * t) AS sdt,
+           SUM(CAST(q AS HUGEINT) * d) AS sqd
+           FROM b)
+         SELECT pair, CAST(n AS BIGINT) AS n,
+           CAST(num AS DOUBLE) /
+             (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))) AS corr
+         FROM (
+           SELECT 'discount_tax' AS pair, n, n*sdt - sd*st AS num,
+             n*sdd - sd*sd AS vx, n*stt - st*st AS vy FROM s
+           UNION ALL SELECT 'quantity_discount', n, n*sqd - sq*sd,
+             n*sqq - sq*sq, n*sdd - sd*sd FROM s
+           UNION ALL SELECT 'quantity_price', n, n*sqp - sq*sp,
+             n*sqq - sq*sq, n*spp - sp*sp FROM s)
+         ORDER BY pair""") { (s, dir) =>
+      val dec38 = (c: Column) => c.cast("decimal(38,0)")
+      val base = Tables(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("q"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("p"),
+        (col("l_discount").cast("decimal(12,2)") * 100).cast("long").as("d"),
+        (col("l_tax").cast("decimal(12,2)") * 100).cast("long").as("t"))
+      val sums = base.agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(dec38(col("q"))).cast("decimal(38,0)").as("sq"),
+          sum(dec38(col("p"))).cast("decimal(38,0)").as("sp"),
+          sum(dec38(col("d"))).cast("decimal(38,0)").as("sd"),
+          sum(dec38(col("t"))).cast("decimal(38,0)").as("st"),
+          sum(dec38(col("q")) * dec38(col("q"))).cast("decimal(38,0)").as("sqq"),
+          sum(dec38(col("p")) * dec38(col("p"))).cast("decimal(38,0)").as("spp"),
+          sum(dec38(col("d")) * dec38(col("d"))).cast("decimal(38,0)").as("sdd"),
+          sum(dec38(col("t")) * dec38(col("t"))).cast("decimal(38,0)").as("stt"),
+          sum(dec38(col("q")) * dec38(col("p"))).cast("decimal(38,0)").as("sqp"),
+          sum(dec38(col("d")) * dec38(col("t"))).cast("decimal(38,0)").as("sdt"),
+          sum(dec38(col("q")) * dec38(col("d"))).cast("decimal(38,0)").as("sqd"))
+      def corr(sxy: String, x: String, xx: String, y: String, yy: String) =
+        s"CAST(n*$sxy - $x*$y AS DOUBLE) / " +
+          s"(sqrt(CAST(n*$xx - $x*$x AS DOUBLE)) * sqrt(CAST(n*$yy - $y*$y AS DOUBLE)))"
+      sums.select(
+          expr("stack(3, " +
+            s"'discount_tax', ${corr("sdt", "sd", "sdd", "st", "stt")}, " +
+            s"'quantity_discount', ${corr("sqd", "sq", "sqq", "sd", "sdd")}, " +
+            s"'quantity_price', ${corr("sqp", "sq", "sqq", "sp", "spp")}" +
+            ") AS (pair, corr)"),
+          col("n").cast("long").as("n"))
+        .select(col("pair"), col("n"), col("corr"))
+        .orderBy(col("pair"))
     },
 
     Q("lineitem_profile",
