@@ -839,6 +839,28 @@ object Analytics {
     },
 
     // A3 analog: hourly purchase revenue with exact distinct buyers.
+    // Small-file compaction round-trip: the events table is first
+    // fragmented into 64 files (the streaming-sink shape — one file per
+    // trigger × partition), compacted back to ~4 MB files
+    // (ops.Compact: ⌈bytes/target⌉ round-robin rewrite, staging +
+    // atomic publish), and THEN aggregated. The oracle computes the
+    // same aggregate on the RAW table — hash-equality proves the
+    // maintenance pass changes layout, never content. File-count and
+    // byte accounting are CompactSpec's job.
+    Q("ev_compacted_revenue",
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val path = graft.ops.Compact.compactedEvents(s, dir)
+      s.read.parquet(path)
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("revenue"))
+        .orderBy(col("hour"))
+    },
+
     Q("ev_hourly_revenue",
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
          CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
