@@ -618,6 +618,48 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Snapshot diff: the corpus-version delta report of an incremental
+    // ingest. The previous snapshot is rebuilt deterministically from
+    // the current table — every id ≡ 3 (mod 10) is absent from it
+    // (those are the ADDS), ids ≡ 0 (mod 7) carried a ' v1' text
+    // suffix (the CHANGES), and a shifted-id copy of the ≡3 rows
+    // existed only in it (the REMOVES) — so both engines derive the
+    // identical pair of snapshots and the md5-fingerprint FULL OUTER
+    // join (the one join type nothing else in the registry exercises)
+    // must classify every id the same way. Text never rides the join:
+    // (id, fp) only.
+    Q("doc_snapshot_diff",
+      """WITH old AS (
+           SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v1'
+             ELSE text END AS text
+           FROM documents WHERE doc_id % 10 <> 3
+           UNION ALL
+           SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 3),
+         o AS (SELECT doc_id, md5(text) AS old_fp FROM old),
+         n AS (SELECT doc_id, md5(text) AS new_fp FROM documents),
+         j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_fp, new_fp
+           FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         SELECT CASE WHEN old_fp IS NULL THEN 'added'
+             WHEN new_fp IS NULL THEN 'removed'
+             WHEN old_fp <> new_fp THEN 'changed'
+             ELSE 'unchanged' END AS status,
+           COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+         FROM j GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v1")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      Dedup.snapshotDiff(old, docs)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("status"))
+    },
+
     // Within-document repetition metrics (Gopher-style repetition filter
     // signals): adjacent-bigram totals and the top-bigram fraction. All
     // counts are exact BIGINTs; top_ratio is one IEEE division of exact

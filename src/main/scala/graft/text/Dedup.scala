@@ -50,6 +50,30 @@ object Dedup {
       .drop("__fp", "__min_id")
   }
 
+  /** Snapshot diff — the corpus-version delta an incremental ingest
+    * reports: per document id, whether it was `added`, `removed`,
+    * `changed`, or `unchanged` between two snapshots, decided on md5
+    * fingerprints via a FULL OUTER join on the id.
+    *
+    * Scale shape: fingerprints are computed scan-side, so the only
+    * thing the outer join shuffles is (id, fp) — text never rides the
+    * exchange regardless of corpus size — and the join key is the
+    * unique document id, so there is no skew hazard. The output is one
+    * slim row per id in either snapshot; callers aggregate it into the
+    * delta report (the registered query) or anti-filter it into the
+    * to-reprocess work list.
+    */
+  def snapshotDiff(old: DataFrame, cur: DataFrame,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    old.select(col(idCol), md5(col(textCol)).as("old_fp"))
+      .join(cur.select(col(idCol), md5(col(textCol)).as("new_fp")),
+        Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged"))
+
   /** The streaming form of [[incremental]]: a document stream dedups
     * against the standing fingerprint index (stream-static anti join —
     * the static side is the index, re-read per micro-batch) and within

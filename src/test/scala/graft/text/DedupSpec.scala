@@ -494,4 +494,21 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 1L, 2L),
       (5L, 5L, 5L), (6L, 5L, 5L), (9L, 9L, 9L)), got.toString)
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "alpha"),        // unchanged
+                  (2L, "beta prime"),   // changed
+                  (5L, "epsilon"))      // added; 3, 4 removed
+      .toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(old.repartition(3), cur.repartition(2))
+      .select(col("doc_id"), col("status"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "removed", 5L -> "added"), got.toString)
+    // every id from either snapshot appears exactly once
+    assert(got.size == 5)
+  }
 }
