@@ -56,6 +56,38 @@ class SourcesSpec extends SparkSpec {
     assert(clean == Set((1L, "view"), (4L, "buy")))
   }
 
+  test("decodeJsonQuarantine: streaming frames classify identically to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, t STRING")
+    val lines = Seq(
+      """{"event_id":1,"t":"view"}""",
+      """{"event_id":2,"t":"vi""",
+      """{"event_id":"oops","t":"view"}""",
+      """not json at all""",
+      """{"event_id":4,"t":"buy"}""")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    mem.addData(lines.take(2))
+    mem.addData(lines.drop(2))
+    val q = graft.source.ClickstreamSource
+      .decodeJsonQuarantine(mem.toDF(), schema)
+      .select(col("value"), col("is_corrupt"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("quarantine_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("quarantine_stream")
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      val batch = graft.source.ClickstreamSource
+        .decodeJsonQuarantine(lines.toDF("value"), schema)
+        .select(col("value"), col("is_corrupt"))
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(streamed == batch, "stream ≡ batch classification")
+    } finally q.stop()
+  }
+
   test("RocksDB state store provider drives a stateful streaming agg") {
     val checkpoint = Files.createTempDirectory("graft-rocks").toString
     val runner = new StreamRunner(spark,
