@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Spread a scan whose ROW-GROUP COUNT caps parallelism: parquet decode
+  * parallelism is bounded by row groups, not byte splits — Spark will
+  * happily cut a one-row-group file into 3 byte ranges, but only the
+  * range holding the row-group midpoint decodes anything, so every
+  * operator until the first exchange runs on ONE task. Round-robin
+  * repartition of the already-projected columns restores parallelism
+  * for one narrow shuffle.
+  *
+  * Two guards keep this a local-fixture fix rather than a scale hazard:
+  * inputs whose row groups already cover ≥ half the session's shuffle
+  * partitions are untouched (at warehouse scale scans arrive in
+  * thousands of row groups and the spread would be a pointless
+  * full-table exchange — the `Entity.editDistancePairs` probePartitions
+  * contract), and inputs under `floorBytes` are untouched because only
+  * a decode that is expensive enough amortizes the shuffle. The right
+  * floor depends on the CONSUMER: cheap scan-aggregates need ~8 MB of
+  * decode to win (measured: spreading the 2 MB events table COST 0.5 s;
+  * spreading the 10.8 MB lineitem file won 2× on the multi-distinct
+  * profile), while kernel-heavy per-row stages (shingling, MinHash,
+  * SimHash, sign-bit signatures) pay far more CPU per byte and win from
+  * ~1 MB (measured at sf1 on the one-row-group 5.9 MB documents
+  * fixture: simhash pairs 13.2 → 2.1 s, containment 37 → 25 s,
+  * prefix-Jaccard 12 → 9 s). Non-file inputs (memory frames, already
+  * shuffled plans) report no input files and pass through untouched.
+  */
+object ScanSpread {
+
+  val DefaultFloor: Long = 8L * 1024 * 1024
+  /** For kernel-heavy consumers: per-row CPU dominates decode cost. */
+  val KernelFloor: Long = 1L * 1024 * 1024
+
+  def spread(s: SparkSession, df: DataFrame,
+             floorBytes: Long = DefaultFloor): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val files = df.inputFiles
+    if (files.isEmpty) return df
+    val rowGroups = files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRowGroups.size finally r.close()
+    }.sum
+    val bytes = files
+      .map(f => new java.io.File(f.stripPrefix("file:")).length).sum
+    if (rowGroups * 2 < s.sessionState.conf.numShufflePartitions &&
+        bytes > floorBytes)
+      df.repartition(s.sessionState.conf.numShufflePartitions)
+    else df
+  }
+}

@@ -30,41 +30,13 @@ object Analytics {
   private def sec(c: Column): Column = date_trunc("second", c)
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
-  /** Spread a scan whose ROW-GROUP COUNT caps parallelism: parquet decode
-    * parallelism is bounded by row groups, not byte splits — Spark will
-    * happily cut a one-row-group file into 3 byte ranges, but only the
-    * range holding the row-group midpoint decodes anything, so every
-    * operator until the first exchange runs on ONE task. The driver's
-    * sf0.1 fixtures are written as single giant row groups: the
-    * multi-distinct profile queries paid a single-threaded Expand over
-    * the whole table (6.4 s at sf0.1 vs 4.9 s at 10× the data in a
-    * multi-row-group file). Round-robin repartition of the
-    * already-projected columns restores parallelism for one narrow
-    * shuffle. Tables whose row groups already cover ≥ half the session's
-    * shuffle partitions are left untouched — at warehouse scale scans
-    * arrive in thousands of row groups and the spread would be a
-    * pointless full-table exchange (same contract as
-    * Entity.editDistancePairs' probePartitions). Small files are also
-    * left untouched: only a decode that's large enough amortizes the
-    * shuffle (measured: spreading the 2 MB events table COST 0.5 s;
-    * spreading the 10.8 MB lineitem file won 2×).
+  /** Row-group-aware scan spread for the profile queries — the decision
+    * logic, measurements and guards live in [[graft.ops.ScanSpread]]
+    * (shared with the kernel-heavy text/embedding pipelines, which use
+    * the lower kernel floor).
     */
-  private def spreadSmallSplits(s: SparkSession, df: DataFrame): DataFrame = {
-    val conf = s.sparkContext.hadoopConfiguration
-    val files = df.inputFiles
-    val rowGroups = files.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRowGroups.size finally r.close()
-    }.sum
-    val bytes = files
-      .map(f => new java.io.File(f.stripPrefix("file:")).length).sum
-    if (rowGroups * 2 < s.sessionState.conf.numShufflePartitions &&
-        bytes > 8L * 1024 * 1024)
-      df.repartition(s.sessionState.conf.numShufflePartitions)
-    else df
-  }
+  private def spreadSmallSplits(s: SparkSession, df: DataFrame): DataFrame =
+    graft.ops.ScanSpread.spread(s, df)
 
   /** DuckDB oracle for `ev_pagerank`: the same integer recurrence as
     * `ops.Graph.pageRank`, unrolled into one CTE per power iteration

@@ -296,8 +296,12 @@ object Similarity {
     require(nChunks * chunkBits == nPlanes, "chunkBits must divide nPlanes")
     require(maxHamming < nChunks,
       s"pigeonhole guarantee needs maxHamming < nChunks ($maxHamming >= $nChunks)")
+    // the nPlanes×dim sign-bit kernel is CPU-per-row: spread a
+    // row-group-starved scan before it (ScanSpread kernel floor)
+    val corpusIn = graft.ops.ScanSpread.spread(corpus.sparkSession, corpus,
+      graft.ops.ScanSpread.KernelFloor)
     val chunked = chunkBuckets(
-      corpus.select(col(idCol).as("id"),
+      corpusIn.select(col(idCol).as("id"),
         VectorExpressions.lshSignBits(col(vecCol),
           signPlanes(nPlanes, dim, seed), nPlanes, dim).as("sig")),
       "sig", nChunks, chunkBits, Seq("id", "sig"))
@@ -306,7 +310,7 @@ object Similarity {
     // corpus-sized vector payload: shuffle-joined back by id, never
     // broadcast (corpus-proportional build ≠ scale-safe)
     def side(role: String): DataFrame =
-      corpus.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
+      corpusIn.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
         l2Norm(col(vecCol)).as(s"${role}_norm"))
         .hint("SHUFFLE_HASH")
     a.join(b, Seq("chunk", "ch")).filter(col("a_id") < col("b_id"))

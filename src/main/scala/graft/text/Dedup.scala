@@ -154,13 +154,16 @@ object Dedup {
                    numHashes: Int = 64, bands: Int = 16, shingleW: Int = 3,
                    textCol: String = "text", idCol: String = "doc_id",
                    hotBucketCap: Int = 100000): DataFrame = {
-    val cand = minhashCandidates(docs, numHashes, bands, shingleW,
+    // shingle+MinHash kernels are CPU-per-row: kernel-floor scan spread
+    val docsIn = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
+      graft.ops.ScanSpread.KernelFloor)
+    val cand = minhashCandidates(docsIn, numHashes, bands, shingleW,
       textCol, idCol, hotBucketCap)
       .dropDuplicates("a_id", "b_id")
     // Corpus-sized shingle payload: shuffle-join it back by id — its
     // parquet-bytes estimate is tiny, so the planner would otherwise
     // build a corpus-proportional broadcast (see prefixJaccardPairs).
-    def side(role: String): DataFrame = docs
+    def side(role: String): DataFrame = docsIn
       .select(col(idCol).as(s"${role}_id"),
         shingles(col(textCol), shingleW).as(s"${role}_sh"))
       .withColumn(s"${role}_n", size(col(s"${role}_sh")))
@@ -245,7 +248,11 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    textCol: String = "text", idCol: String = "doc_id",
                    hotBucketCap: Int = 100000): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // signature kernel is CPU-per-row: spread a row-group-starved scan
+    // before it (13.2 s → 2.1 s at sf1 on the one-row-group fixture)
+    val din = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
+      graft.ops.ScanSpread.KernelFloor)
+    val sh = din.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val chunked = sh.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)), c =>
         struct(c.as("chunk"),
@@ -317,8 +324,12 @@ object Dedup {
     // token sets are SORTED once per document so the per-candidate verify
     // can merge-walk (SortedIntersectSize) instead of building an
     // intersection array per pair; PrefixTokens re-sorts by rank
-    // internally, so w's stored order is free
-    val d = docs.select(
+    // internally, so w's stored order is free. The tokenize+sort stage
+    // is CPU-per-row — spread a row-group-starved scan first
+    // (ScanSpread kernel floor; 12 → 9 s at sf1).
+    val din = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
+      graft.ops.ScanSpread.KernelFloor)
+    val d = din.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
       .withColumn("nw", size(col("w")))
@@ -632,7 +643,10 @@ object Dedup {
                        textCol: String = "text", idCol: String = "doc_id",
                        commonVocab: Int = 10000,
                        hotBucketCap: Int = 100000): DataFrame = {
-    val d = docs.select(
+    // same kernel-floor scan spread as prefixJaccardPairs (37 → 25 s at sf1)
+    val din = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
+      graft.ops.ScanSpread.KernelFloor)
+    val d = din.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
       .withColumn("nw", size(col("w")))
