@@ -857,6 +857,34 @@ object CorpusQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // The containment audit on the REALISTIC corpus — completing the
+    // Zipf twin pattern (jaccard and triangles have theirs) and
+    // measuring the OPPOSITE regime: where the fixture run is
+    // output-bound (PairStats at sf1: 19.7M candidates → 10.8M true
+    // results, 1.8 per result), the Zipf run is CANDIDATE-bound (23.0M
+    // candidates → 65k results, 354 per result). That asymmetry is the
+    // known hardness of directed containment at high thresholds: the
+    // probe prefix is only the (1−t)·|A|+1 ≈ 4–8 rarest tokens of each
+    // document, and "rarest within a 30–70-token doc" drawn from a
+    // Zipf vocabulary is still a mid-tail token indexing hundreds of
+    // documents — unlike symmetric Jaccard, whose prefix bound prunes
+    // to 0.6% of the pair space on the same corpus. The twin keeps
+    // that measured honestly under an oracle every round. Unblocked
+    // (the Zipf corpus carries no lang/source).
+    Q("doc_containment_pairs_zipf",
+      s"""WITH z AS (${graft.gen.ZipfCorpus.sql}),
+         d AS (SELECT doc_id,
+           list_distinct(regexp_split_to_array(text, '\\s+')) AS w FROM z)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           len(list_intersect(a.w, b.w)) / len(a.w) AS containment
+         FROM d a JOIN d b ON a.doc_id <> b.doc_id
+         WHERE len(list_intersect(a.w, b.w)) / len(a.w) >= 0.9
+         ORDER BY a_id, b_id""") { (s, dir) =>
+      Dedup.containmentPairs(graft.gen.ZipfCorpus.materialized(s, dir),
+          blockCols = Seq.empty, threshold = 0.9)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Exact word-set Jaccard near-dup pairs, blocked on (lang, source).
     Q("doc_jaccard_pairs",
       """WITH d AS (SELECT doc_id, lang, source,

@@ -29,7 +29,8 @@ import graft.source.Tables
 object PairStats {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--minhash-boilerplate")) return minhashHot(args)
-    if (args.headOption.contains("--containment")) return containmentStats(args)
+    if (args.headOption.exists(_.startsWith("--containment")))
+      return containmentStats(args)
     val zipf = args.headOption.contains("--zipf")
     val rest = if (zipf) args.drop(1) else args
     val dir = rest(0)
@@ -61,10 +62,12 @@ object PairStats {
     spark.stop()
   }
 
-  /** `--containment <sfDir> [threshold]`: candidate-volume evidence for
-    * the asymmetric containment join (`doc_containment_pairs` plan).
+  /** `--containment <sfDir> [threshold]` (or `--containment-zipf`):
+    * candidate-volume evidence for the asymmetric containment join
+    * (`doc_containment_pairs` / `_zipf` plans).
     */
   private def containmentStats(args: Array[String]): Unit = {
+    val zipf = args.headOption.contains("--containment-zipf")
     val dir = args(1)
     val threshold = if (args.length > 2) args(2).toDouble else 0.9
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -75,8 +78,9 @@ object PairStats {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = Tables(spark, dir, "documents")
-    val blockCols = Seq("lang", "source")
+    val docs = if (zipf) graft.gen.ZipfCorpus.materialized(spark, dir)
+               else Tables(spark, dir, "documents")
+    val blockCols = if (zipf) Seq.empty[String] else Seq("lang", "source")
     val d = docs.select(
       (col("doc_id").as("id") +: blockCols.map(col)) :+
         array_sort(array_distinct(split(col("text"), "\\s+"))).as("w"): _*)
