@@ -1532,6 +1532,33 @@ object CorpusQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // Multi-probe LSH recall surface — the META query for the
+    // query-side recall lever: each query chunk probes its own bucket
+    // plus the chunkBits Hamming-1 neighbors (near misses where one
+    // plane voted the other way), so recall rises without extra hash
+    // tables or corpus scans. Reports recall@10 vs the oracle-exact
+    // brute-force result for single- and multi-probe at the same
+    // signature configuration; rows-only for the same reason as
+    // ann_lsh_topk (LSH randomness shape), with SimilaritySpec pinning
+    // the candidate-superset dominance property.
+    Q.unchecked("ann_lsh_multiprobe") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select(col("q_id"), col("n_id"))
+      val denom = exact.agg(count(lit(1)).as("n_exact"))
+      val single = Similarity.lshTopK(emb, queries, k = 10, chunkBits = 4)
+        .select(lit("probe_1").as("method"), col("q_id"), col("n_id"))
+      val multi = Similarity.lshTopKMultiProbe(emb, queries, k = 10, chunkBits = 4)
+        .select(lit("probe_1plus4flips").as("method"), col("q_id"), col("n_id"))
+      single.unionAll(multi)
+        .join(exact, Seq("q_id", "n_id")) // hits = LSH ∩ exact
+        .groupBy(col("method")).agg(count(lit(1)).as("hits"))
+        .crossJoin(denom) // 2 × 1-row aggregate
+        .select(col("method"), (col("hits") / col("n_exact")).as("recall_at_10"))
+        .orderBy(col("method"))
+    },
+
     // IVF ANN: k-means-lite inverted lists + exact rerank. Registered at
     // FULL probe (nProbe = nCentroids): exhaustive IVF is exact search, so
     // the brute-force SQL oracle applies — the plan still exercises the

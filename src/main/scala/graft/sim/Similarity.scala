@@ -227,13 +227,21 @@ object Similarity {
       .join(chunked(queries, "q"), Seq("chunk", "ch"))
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")
+    exactRerankTopK(cand, corpus, queries, k, idCol, vecCol)
+  }
+
+  /** Exact-cosine rerank of an IDs-only (q_id, n_id) candidate set to the
+    * per-query top-k — the shared tail of the LSH surfaces. queries is
+    * |Q|-bounded (broadcast is right); the CORPUS payload is not —
+    * shuffle-join it back by id (see spreadForCompute's sibling concern:
+    * byte-small vector files mislead the size estimate).
+    */
+  private def exactRerankTopK(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+                              k: Int, idCol: String, vecCol: String): DataFrame = {
     def sides(df: DataFrame, role: String): DataFrame =
       df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
         l2Norm(col(vecCol)).as(s"${role}_norm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    // queries is |Q|-bounded (broadcast is right); the CORPUS payload is
-    // not — shuffle-join it back by id (see spreadForCompute's sibling
-    // concern: byte-small vector files mislead the size estimate).
     cand
       .join(sides(queries, "q"), "q_id")
       .join(sides(corpus, "n").hint("SHUFFLE_HASH"), "n_id")
@@ -241,6 +249,40 @@ object Similarity {
         (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("cos"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
+  }
+
+  /** Multi-probe LSH top-k (Lv et al.'s idea on the sign-bit chunk
+    * index): each QUERY chunk probes its own bucket plus the
+    * `chunkBits` Hamming-1 neighbor buckets — near misses where one
+    * plane voted the other way land one bit away, so probing them buys
+    * most of the recall extra hash tables would, at the cost of
+    * (chunkBits + 1)× probe rows on the query side ONLY. The corpus
+    * index is unchanged (no extra tables, no extra corpus scan), probe
+    * rows carry (q_id, chunk, ch) — never vectors — and candidates
+    * dedup before the same IDs-only exact rerank as [[lshTopK]].
+    * Single-probe candidates are a subset by construction (the 0-flip
+    * probe is included), so per-query rank-r cosine dominates
+    * single-probe's — spec-pinned along with the recall gain.
+    */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                        nPlanes: Int = 32, chunkBits: Int = 8, dim: Int = 64,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        seed: Long = 42L): DataFrame = {
+    val nChunks = nPlanes / chunkBits
+    def chunked(df: DataFrame, role: String): DataFrame =
+      chunkBuckets(
+        df.select(col(idCol).as(s"${role}_id"),
+          lshSignature(col(vecCol), nPlanes, dim, seed).as("sig")),
+        "sig", nChunks, chunkBits, Seq(s"${role}_id"))
+    val probeSet = array((Seq(col("ch")) ++
+      (0 until chunkBits).map(b => col("ch").bitwiseXOR(lit(1L << b)))): _*)
+    val probes = chunked(queries, "q")
+      .select(col("q_id"), col("chunk"), explode(probeSet).as("ch"))
+    val cand = chunked(corpus, "n")
+      .join(probes, Seq("chunk", "ch"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+    exactRerankTopK(cand, corpus, queries, k, idCol, vecCol)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed

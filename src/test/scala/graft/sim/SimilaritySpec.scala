@@ -125,6 +125,30 @@ class SimilaritySpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("lshTopKMultiProbe dominates single-probe per rank and lifts recall") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.lshTopK(emb, queries, k = 10, chunkBits = 4).collect()
+    val multi = Similarity.lshTopKMultiProbe(emb, queries, k = 10, chunkBits = 4).collect()
+    // candidate superset (the 0-flip probe is included) ⇒ at every
+    // (query, rank) the multi-probe cosine is ≥ the single-probe one
+    val sMap = single.map(r => (r.getLong(0), r.getInt(3)) -> r.getDouble(2)).toMap
+    multi.foreach { r =>
+      sMap.get((r.getLong(0), r.getInt(3))).foreach { sc =>
+        assert(r.getDouble(2) >= sc,
+          s"q=${r.getLong(0)} rnk=${r.getInt(3)}: multi ${r.getDouble(2)} < single $sc")
+      }
+    }
+    val rs = exact.intersect(single.map(r => (r.getLong(0), r.getLong(1))).toSet)
+      .size.toDouble / exact.size
+    val rm = exact.intersect(multi.map(r => (r.getLong(0), r.getLong(1))).toSet)
+      .size.toDouble / exact.size
+    assert(rm >= rs, s"multi-probe recall $rm below single-probe $rs")
+    assert(rm > 0.6, s"multi-probe recall $rm") // single-probe gate is 0.4
+  }
+
   test("cosineDupPairs returns only pairs above threshold, exact scores") {
     import spark.implicits._
     val v1 = Array.fill(8)(1.0f)
