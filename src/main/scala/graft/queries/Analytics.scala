@@ -64,6 +64,29 @@ object Analytics {
        SELECT node, rank FROM pr$iters ORDER BY node"""
   }
 
+  /** The rebuilt JSON wire for `ev_ingest_quarantine`: each event renders
+    * to an explicit-concat JSON line (integers + strings only — both
+    * engines render them identically; `to_json` would hand field order
+    * and float formatting to the engine), and every event_id ≡ 0 (mod 7)
+    * line is truncated 5 characters — always syntactically fatal, since
+    * the line ends in a quoted string field. This construction is the
+    * ONLY seam between the engine and the DuckDB oracle (which replays
+    * the identical `||` rendering): `QuarantineWireSpec` pins it
+    * byte-identical against an independent plain-JVM rendering, so a
+    * rendering drift can never silently flip the driver row again.
+    */
+  def quarantineWire(s: SparkSession, dir: String): DataFrame = {
+    val line = concat(
+      lit("{\"event_id\":"), col("event_id").cast("string"),
+      lit(",\"user_id\":"), col("user_id").cast("string"),
+      lit(",\"t\":\""), col("event_type"), lit("\"}"))
+    Tables.events(s, dir)
+      .select(col("event_id"), line.as("line"))
+      .select(when(col("event_id") % 7 === 0,
+          expr("substring(line, 1, length(line) - 5)"))
+        .otherwise(col("line")).as("value"))
+  }
+
   /** Deterministic versioned snapshots of the customer dimension for the
     * SCD2 queries: full load, then a segment change for every 10th key,
     * then a balance bump for every 20th. Balances ride as DECIMAL(12,2)
@@ -1000,17 +1023,9 @@ object Analytics {
            COALESCE(SUM(CAST(json_extract(j, '$.event_id') AS BIGINT)), 0)
              AS sum_event_id
          FROM p GROUP BY 1 ORDER BY 1""") { (s, dir) =>
-      val line = concat(
-        lit("{\"event_id\":"), col("event_id").cast("string"),
-        lit(",\"user_id\":"), col("user_id").cast("string"),
-        lit(",\"t\":\""), col("event_type"), lit("\"}"))
-      val wire = Tables.events(s, dir)
-        .select(col("event_id"), line.as("line"))
-        .select(when(col("event_id") % 7 === 0,
-            expr("substring(line, 1, length(line) - 5)"))
-          .otherwise(col("line")).as("value"))
       graft.source.ClickstreamSource
-        .decodeJsonQuarantine(wire, org.apache.spark.sql.types.StructType.fromDDL(
+        .decodeJsonQuarantine(quarantineWire(s, dir),
+          org.apache.spark.sql.types.StructType.fromDDL(
           "event_id BIGINT, user_id BIGINT, t STRING"))
         .groupBy(when(col("is_corrupt"), lit("_quarantine"))
           .otherwise(col("data.t")).as("bucket"))
