@@ -1474,6 +1474,28 @@ object Analytics {
         Tables.events(s, dir), "user_id", k = 64, topN = 20)
     },
 
+    // The SAME Misra–Gries path in its provably-exact regime: when the
+    // key domain is ≤ k, no counter is ever evicted — reduce never
+    // decrements (buffer holds < k keys) and merge never subtracts the
+    // (k+1)-th count (union ≤ domain ≤ k) — so est_count collapses to
+    // the exact frequency at EVERY scale, independent of merge order.
+    // Key = user_id mod 32 (a cohort-bucket domain, bounded by
+    // construction, not by the fixture) with k = 64. This turns the
+    // sketch machinery itself — aggregator, shuffle merge, bound
+    // arithmetic — into an oracle-checkable surface; the unbounded-domain
+    // config above keeps the rows-only guarantee check.
+    Q("ev_heavy_hitters_exact",
+      """WITH c AS (SELECT user_id % 32 AS key,
+           CAST(COUNT(*) AS BIGINT) AS est_count FROM events GROUP BY 1),
+         n AS (SELECT CAST(COUNT(*) // 65 AS BIGINT) AS max_underestimate
+           FROM events)
+         SELECT key, est_count, max_underestimate FROM c CROSS JOIN n
+         ORDER BY est_count DESC, key LIMIT 20""") { (s, dir) =>
+      graft.ops.Sketches.heavyHitters(
+        Tables.events(s, dir).select((col("user_id") % 32).as("uid_bucket")),
+        "uid_bucket", k = 64, topN = 20)
+    },
+
     // Greenwald–Khanna quantile sketch per event type — the third
     // mergeable sketch beside ev_hll_users (distinct) and
     // ev_heavy_hitters (frequency): bounded-state percentiles for when a

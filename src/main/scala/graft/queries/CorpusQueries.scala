@@ -50,6 +50,48 @@ object CorpusQueries {
       m, ksub, dim, iters, path)
   }
 
+  /** DuckDB oracle for `doc_bpe_merges`: the pure one-merge-per-round
+    * BPE recurrence (Sennrich et al. 2016), unrolled into one CTE block
+    * per learned merge — the same recurrence-unroll idiom that oracles
+    * the iterative graph queries (`pageRankOracle`). Per round k:
+    * adjacent-pair counts over the round-(k−1) word-symbol table, the
+    * argmax under the engine's exact tie order (count desc, a, b), and
+    * the leftmost-non-overlapping merge application as a list_reduce
+    * fold (accumulator starts as the first symbol's singleton list —
+    * identical to the engine's empty-init fold after its first append).
+    * The engine's disjoint-BATCH acceptance is provably equal to this
+    * sequential fixpoint (see `Text.bpeMerges`; TextSpec pins the
+    * equality against a reference implementation), so the oracle checks
+    * the production path, not a twin.
+    */
+  private def bpeMergesOracle(nMerges: Int): String = {
+    val steps = (1 to nMerges).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT s.syms[i] AS a, s.syms[i + 1] AS b,
+             CAST(SUM(s.cnt) AS BIGINT) AS n
+           FROM (SELECT syms, cnt, unnest(range(1, len(syms))) AS i
+                 FROM w${k - 1}) s
+           GROUP BY 1, 2),
+         m$k AS MATERIALIZED (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+         w$k AS MATERIALIZED (SELECT CASE WHEN len(syms) < 2 THEN syms ELSE
+             list_reduce(list_transform(syms, s -> [s]),
+               (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
+                 THEN list_append(acc[1:len(acc) - 1], m.a || m.b)
+                 ELSE list_concat(acc, x) END)
+           END AS syms, cnt FROM w${k - 1}, m$k m)"""
+    }.mkString(",\n       ")
+    val out = (1 to nMerges).map(k =>
+      s"""SELECT CAST($k AS INT) AS rank, a AS "left", b AS "right",
+          n AS pair_count FROM m$k""").mkString("\n         UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+         SELECT list_transform(range(length(w)), i -> substr(w, i + 1, 1)) AS syms,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
+               FROM documents)
+         WHERE length(w) > 0 GROUP BY w),
+       $steps
+       SELECT * FROM ($out) ORDER BY rank"""
+  }
+
   /** Materialized near-dup pair graph per fixture dir (the registered
     * 0.8-Jaccard / (lang, source)-blocked configuration): FOUR registered
     * queries consume this exact relation (`doc_jaccard_pairs` emits it,
@@ -1052,12 +1094,13 @@ object CorpusQueries {
 
     // Distributed BPE tokenizer training: the first 20 learned merge
     // operations (rank, left, right, pair_count) from corpus word
-    // frequencies — the artifact a tokenizer ships. Iterative argmax
-    // fixpoint (each round's counts depend on the previous round's
-    // merge), so it is not single-statement-SQL-expressible; TextSpec
-    // pins the whole merge sequence against an exact sequential
-    // reference implementation and proves partition invariance.
-    Q.unchecked("doc_bpe_merges") { (s, dir) =>
+    // frequencies — the artifact a tokenizer ships. Oracle-checked via
+    // the recurrence-unroll idiom (`bpeMergesOracle`): one CTE block per
+    // merge replays the sequential argmax fixpoint the engine's
+    // disjoint-batch acceptance is provably equal to (TextSpec pins that
+    // equality against a reference implementation; this row pins it
+    // against a second ENGINE).
+    Q("doc_bpe_merges", bpeMergesOracle(20)) { (s, dir) =>
       Text.bpeMerges(docsKernel(s, dir), nMerges = 20)
         .orderBy(col("rank"))
     },
@@ -1263,6 +1306,58 @@ object CorpusQueries {
     // against exact shingle Jaccard.
     Q.unchecked("doc_minhash_pairs") { (s, dir) =>
       Dedup.minhashPairs(Tables(s, dir, "documents"), threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // The SAME MinHash+LSH pipeline in its oracle-replayable config
+    // (Dedup.minhashPairsMd5): md5-derived 60-bit shingle hashes,
+    // formula-derived permutation constants, literal band-tuple keys —
+    // DuckDB recomputes the identical signatures, bands, candidates and
+    // Jaccard verify, so the banded-LSH machinery itself (including the
+    // fused minhash kernel, which takes the same (a,b) arrays) is
+    // hash-checked end-to-end, recall curve and all. The xxhash64-kernel
+    // config above stays the production path (and rows-only: its hash
+    // family is engine-side). Jaccard is one IEEE division of exact
+    // integers — bit-identical across engines.
+    Q("doc_minhash_pairs_md5", {
+      val h60 = (s: String) =>
+        s"""list_reduce(list_transform(range(15), j ->
+             CAST(strpos('0123456789abcdef',
+               substr(md5($s), j + 1, 1)) - 1 AS BIGINT)),
+             (x, y) -> x * 16 + y)"""
+      s"""WITH perms AS (
+           SELECT i, (1103515245 * (i + 1) + 12345) % 2147483646 + 1 AS a,
+                  (69069 * (i + 1) + 362437) % 2147483647 AS b
+           FROM (SELECT unnest(range(64)) AS i)),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+             ${h60("array_to_string(list_slice(t, i, i + 2), ' ')")} AS h
+           FROM (SELECT doc_id, t,
+             unnest(range(1, len(t) - 1)) AS i FROM toks)),
+         m AS (SELECT doc_id, i,
+             MIN((a * (h % 2147483647) + b) % 2147483647) AS v
+           FROM sh CROSS JOIN perms GROUP BY doc_id, i),
+         bk AS (SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS key
+           FROM m GROUP BY doc_id, i // 4),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM bk x JOIN bk y
+             ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS ni
+           FROM cand c
+           JOIN sh sa ON sa.doc_id = c.a_id
+           JOIN sh sb ON sb.doc_id = c.b_id AND sb.h = sa.h
+           GROUP BY c.a_id, c.b_id)
+         SELECT i.a_id, i.b_id,
+           CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) AS jaccard
+         FROM inter i
+         JOIN cnt na ON na.doc_id = i.a_id
+         JOIN cnt nb ON nb.doc_id = i.b_id
+         WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.5
+         ORDER BY a_id, b_id"""
+    }) { (s, dir) =>
+      Dedup.minhashPairsMd5(Tables(s, dir, "documents"), threshold = 0.5)
         .orderBy(col("a_id"), col("b_id"))
     },
 

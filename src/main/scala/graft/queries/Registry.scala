@@ -13,10 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    SimilaritySpec measures recall against the exact result. The exact
   *    ANN surfaces (`ann_brute_topk`, full-probe `ann_ivf_topk`) ARE
   *    oracle-checked.
-  *  - `doc_minhash_pairs` — MinHash permutations are engine-side constants;
-  *    DedupSpec checks candidates against exact shingle Jaccard. The exact
-  *    pair surfaces (`doc_jaccard_pairs`, `emb_dup_pairs`) ARE
-  *    oracle-checked.
+  *  - `doc_minhash_pairs` — MinHash permutations are engine-side constants
+  *    (seeded RNG + xxhash64 band folding); DedupSpec checks candidates
+  *    against exact shingle Jaccard. The SAME pipeline in its
+  *    oracle-replayable config (`doc_minhash_pairs_md5`: md5 shingle
+  *    hashes, formula permutations, literal band keys) IS hash-checked
+  *    end-to-end, as are the exact pair surfaces (`doc_jaccard_pairs`,
+  *    `emb_dup_pairs`).
   *  - `doc_simhash_pairs` — weighted-token SimHash is engine-side;
   *    DedupSpec pins signatures and verifies the Hamming pigeonhole.
   *  - `ev_hll_users` — HLL++ estimates are engine-specific; the spec
@@ -36,7 +39,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    paths than a one-pass sketch).
   *  - `ev_heavy_hitters` — Misra–Gries estimates depend on merge order
   *    (like HLL); SketchesSpec proves the est ∈ [f − N/(k+1), f]
-  *    guarantee against exact counts under multiple partitionings.
+  *    guarantee against exact counts under multiple partitionings. The
+  *    SAME aggregator in its provably-exact regime (domain ≤ k,
+  *    `ev_heavy_hitters_exact`) IS oracle-checked to equality.
   *  - `ev_value_quantile_sketch` — Greenwald–Khanna summaries likewise
   *    depend on partition merge order; SketchesSpec proves the rank
   *    bound |true_rank − p·N| ≤ N/accuracy against exactly sorted data.
@@ -51,12 +56,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    driver-side reference, eigenpair residuals, and projection
   *    decorrelation, and the query itself re-measures each eigenvalue as
   *    the distributed variance of the projected coordinate.
-  *  - `doc_bpe_merges` — BPE merge learning is an iterative argmax
-  *    fixpoint (round n's pair counts depend on round n−1's merge), not
-  *    single-statement SQL; TextSpec pins the full merge sequence
-  *    against an exact sequential reference and proves partition
-  *    invariance. The non-iterative tokenizer surfaces it feeds
-  *    (`doc_vocab_top`, `doc_bpe_tokens`) ARE oracle-checked.
   *  - `emb_knn_graph` — same META shape for the bucketed kNN graph:
   *    recall@5 of `Ivf.knnGraph` per probe depth against the
   *    oracle-green exact join (`emb_knn_join`); IvfSpec additionally

@@ -193,6 +193,17 @@ object Dedup {
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows)))))
           .as("bh"))
+    bucketSelfJoin(buckets, hotBucketCap)
+  }
+
+  /** Grid-salted self-join of a bucket index `(id, bh)` → candidate
+    * `(a_id, b_id)` multiset (a_id < b_id) of rows sharing a bucket.
+    * `bh` may be any equatable type (long band hashes, string band
+    * tuples). Shared by the MinHash configs; see [[minhashPairs]] for
+    * the hot-bucket rationale.
+    */
+  private[text] def bucketSelfJoin(buckets: DataFrame,
+                                   hotBucketCap: Int): DataFrame = {
     // corpus-proportional exploded index: never broadcastable (see
     // prefixCandidates)
     val a = buckets.toDF("a_id", "bh").hint("SHUFFLE_HASH")
@@ -207,7 +218,7 @@ object Dedup {
     val joined =
       if (hotRows.isEmpty) a.join(b, Seq("bh"))
       else {
-        val hot = hotRows.map(_.getLong(0)).toSeq
+        val hot: Seq[Any] = hotRows.map(_.get(0)).toSeq
         val maxN = hotRows.map(_.getLong(1)).max
         val grid = math.min(32L, (maxN + hotBucketCap - 1) / hotBucketCap).toInt
         val cold = a.filter(!col("bh").isin(hot: _*))
@@ -222,6 +233,78 @@ object Dedup {
           aHot.join(bHot, Seq("bh", "g1", "g2")).drop("g1", "g2"))
       }
     joined.filter(col("a_id") < col("b_id")).select("a_id", "b_id")
+  }
+
+  /** The ORACLE-REPLAYABLE MinHash+LSH config: identical pipeline shape
+    * to [[minhashPairs]] (signature → banded buckets → grid-salted
+    * bucket self-join → exact-Jaccard verify), but every engine-side
+    * constant is replaced by one a SQL oracle can recompute exactly:
+    *
+    *  - shingle hash  = first 15 hex chars of md5(shingle text) as a
+    *    60-bit integer (both engines render the identical md5 hex —
+    *    the `doc_hash_sample` idiom, widened to 15 nibbles);
+    *  - permutations  = the affine family h_i(x) = (a_i·(x mod p)+b_i)
+    *    mod p with FORMULA-derived constants
+    *    a_i = (1103515245·(i+1)+12345) mod (p−1) + 1,
+    *    b_i = (69069·(i+1)+362437) mod p, p = 2³¹−1 — an LCG-step
+    *    parameter draw both engines compute from `i` alone (the
+    *    production config draws from a seeded RNG the oracle can't
+    *    replay);
+    *  - band key      = the literal (band, sig-slice) tuple rendered to
+    *    a string — collision-free by construction, where the
+    *    production config folds the slice through xxhash64 (a hash
+    *    collision there can only ADD a verified-true pair, which is
+    *    fine for dedup but breaks exact oracle equality).
+    *
+    * The minhash minima still run through the fused native kernel
+    * (`VectorExpressions.minhashSig` takes the (a,b) arrays), so this
+    * config oracle-checks the kernel arithmetic itself; only the
+    * shingle hashing rides md5 instead of the xxhash64 kernel.
+    * [[minhashPairs]] stays the production path — md5-per-shingle costs
+    * ~an order of magnitude more CPU than the fused shingle kernel.
+    */
+  def minhashPairsMd5(docs: DataFrame, threshold: Double = 0.5,
+                      numHashes: Int = 64, bands: Int = 16, shingleW: Int = 3,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      hotBucketCap: Int = 100000): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val p = MinhashPrime
+    val as = Array.tabulate(numHashes)(i => (1103515245L * (i + 1) + 12345L) % (p - 1) + 1)
+    val bs = Array.tabulate(numHashes)(i => (69069L * (i + 1) + 362437L) % p)
+    val docsIn = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
+      graft.ops.ScanSpread.KernelFloor)
+    // 3-word shingles on the single-space tokenization (the fixture's
+    // separator; the oracle splits identically), md5-hashed to 60 bits.
+    val toks = split(col(textCol), " ")
+    val shingleHashes = array_distinct(
+      when(size(toks) >= shingleW,
+        transform(sequence(lit(1), size(toks) - (shingleW - 1)),
+          i => conv(substring(md5(concat_ws(" ",
+            slice(toks, i, lit(shingleW)))), 1, 15), 16, 10).cast("long")))
+      .otherwise(array().cast("array<long>")))
+    val sigs = docsIn
+      .select(col(idCol).as("id"), shingleHashes.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"),
+        VectorExpressions.minhashSig(col("sh"), as, bs, p).as("sig"))
+    val buckets = sigs.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat(b.cast("string"), lit(":"),
+          array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
+            v => v.cast("string")), ",")))).as("bh"))
+    val cand = bucketSelfJoin(buckets, hotBucketCap)
+      .dropDuplicates("a_id", "b_id")
+    def side(role: String): DataFrame = sigs
+      .select(col("id").as(s"${role}_id"), col("sh").as(s"${role}_sh"),
+        size(col("sh")).as(s"${role}_n"))
+      .hint("SHUFFLE_HASH")
+    cand
+      .join(side("a"), "a_id").join(side("b"), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .select(col("a_id"), col("b_id"),
+        (col("inter") / (col("a_n") + col("b_n") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens: per-token xxhash64, each bit

@@ -43,6 +43,24 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got(0)._3 - expect) < 1e-12, s"${got(0)._3} vs $expect")
   }
 
+  test("minhashPairsMd5: finds near-dups, skips unrelated, exact jaccard values") {
+    val d = docs((1L, base), (2L, nearDup), (3L, other), (4L, base))
+    val got = Dedup.minhashPairsMd5(d, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 4L)), s"identical docs always collide; got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // every surfaced jaccard equals the exact 3-shingle jaccard (the
+    // md5 hash family is injective on the fixture's shingle sets)
+    val texts = Map(1L -> base, 2L -> nearDup, 3L -> other, 4L -> base)
+    def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    got.foreach { case (a, b, j) =>
+      val (sa, sb) = (sh(texts(a)), sh(texts(b)))
+      val expect = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(j - expect) < 1e-12, s"($a,$b): $j vs $expect")
+    }
+  }
+
   test("simhash: identical docs at hamming 0, near-dups within threshold, unrelated out") {
     val d = docs((1L, base), (2L, nearDup), (3L, other), (4L, base))
     val out = Dedup.simhashPairs(d, maxHamming = 16)
