@@ -1283,6 +1283,41 @@ object Analytics {
         .orderBy(col("user_id"), col("sess_idx"))
     },
 
+    // The session_window OPERATOR itself (Pipelines.sessionsWindowed —
+    // the *correct* streaming session formulation, whose state drops at
+    // the watermark; SURVEY.md §7.4.2), driven in batch mode over the
+    // driver events table with user_id as the session key and a
+    // 30-minute gap. Semantics differ from ev_sessionized's windowed
+    // islands at exactly-gap boundaries: session_window merges B into A
+    // iff B.ts < A.ts + gap (window end exclusive), so the island break
+    // is diff >= gap, not > gap — the oracle encodes >=. This gives the
+    // production operator its own driver row instead of only the
+    // reference-faithful groupBy(session_id) rollup.
+    Q("ev_session_windows",
+      """WITH g AS (SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('second', LAG(ts) OVER w, ts) >= 1800
+                THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (SELECT user_id, ts,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_idx
+           FROM g)
+         SELECT user_id,
+           CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS session_start,
+           CAST(date_trunc('second', MAX(ts)) AS TIMESTAMP) AS session_end,
+           COUNT(*) AS event_count
+         FROM sess GROUP BY user_id, sess_idx
+         ORDER BY user_id, session_start""") { (s, dir) =>
+      graft.ops.Pipelines.sessionsWindowed(
+          Tables.events(s, dir).select(
+            col("user_id").as("session_id"), col("user_id"),
+            col("ts").as("timestamp")),
+          gap = "30 minutes")
+        .select(col("user_id"), sec(col("session_start")).as("session_start"),
+          sec(col("session_end")).as("session_end"), col("event_count"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
     // Interval × interval overlap join: which user sessions overlap the
     // daily maintenance windows (one 2-hour window per fixture day at a
     // deterministic day-of-month-derived hour — both engines generate
