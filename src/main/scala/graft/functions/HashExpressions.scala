@@ -209,6 +209,70 @@ object HashExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** A ∩ B of two SORTED, DISTINCT arrays (long or string elements) by
+    * a single merge walk — the element-returning sibling of
+    * [[SortedIntersectSize]], for consumers that need the common
+    * MEMBERS, not just the count (the triangle edge-iterator: the
+    * intersection of two out-adjacency lists IS the closing-vertex
+    * set; vertex ids are longs on the raw graph, group keys on the
+    * contracted one). O(|A|+|B|) comparisons and one exactly-sized
+    * output array; `array_intersect` builds a hash set per call.
+    * Precondition: both inputs ascending (the `sort_array` order — for
+    * strings that is UTF8 binary order, which is also the order
+    * Spark's `<` on strings and the merge walk's compareTo use), no
+    * duplicates.
+    */
+  case class SortedIntersectElems(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    @transient private lazy val elemType: DataType =
+      left.dataType.asInstanceOf[ArrayType].elementType
+    override def dataType: DataType = ArrayType(elemType, containsNull = false)
+    override def prettyName: String = "sorted_intersect"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements()
+      val nb = b.numElements()
+      elemType match {
+        case LongType =>
+          val out = new Array[Long](math.min(na, nb))
+          var i = 0
+          var j = 0
+          var c = 0
+          while (i < na && j < nb) {
+            val va = a.getLong(i)
+            val vb = b.getLong(j)
+            if (va == vb) { out(c) = va; c += 1; i += 1; j += 1 }
+            else if (va < vb) i += 1
+            else j += 1
+          }
+          UnsafeArrayData.fromPrimitiveArray(
+            if (c == out.length) out else java.util.Arrays.copyOf(out, c))
+        case StringType =>
+          val out = new Array[AnyRef](math.min(na, nb))
+          var i = 0
+          var j = 0
+          var c = 0
+          while (i < na && j < nb) {
+            val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+            if (cmp == 0) { out(c) = a.getUTF8String(i); c += 1; i += 1; j += 1 }
+            else if (cmp < 0) i += 1
+            else j += 1
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            if (c == out.length) out else java.util.Arrays.copyOf(out, c))
+        case t => throw new IllegalArgumentException(
+          s"sorted_intersect: unsupported element type $t")
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ---- Column API ----
 
   def shingleHashes(tokens: Column, w: Int): Column =
@@ -225,5 +289,9 @@ object HashExpressions {
 
   def sortedIntersectSize(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectSize(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sortedIntersect(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectElems(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

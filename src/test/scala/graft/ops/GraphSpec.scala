@@ -148,6 +148,58 @@ class GraphSpec extends SparkSpec {
     assert(got(101L) == ((1L, 0L, 0.0)), "leaf")
   }
 
+  test("triangleStatsContracted ≡ triangleStats on a twin-expanded random graph") {
+    import spark.implicits._
+    // Random contracted graph H on 12 group nodes, random group sizes
+    // 1..4, expanded to the full twin graph G: cliques inside groups,
+    // complete bipartite between adjacent groups — exactly the structure
+    // an exact-dup cluster graph has. Contraction must reproduce
+    // triangleStats bit-for-bit, under any partitioning.
+    val rnd = new scala.util.Random(123)
+    val nGroups = 12
+    val sizes = (0 until nGroups).map(_ => 1 + rnd.nextInt(4))
+    val memberIds: Seq[Seq[Long]] = {
+      var next = 0L
+      sizes.map { s => val ids = (next until next + s).toSeq; next += s; ids }
+    }
+    val hEdges = for {
+      a <- 0 until nGroups; b <- (a + 1) until nGroups
+      if rnd.nextDouble() < 0.25
+    } yield (a, b)
+    val intra = memberIds.flatMap(ids =>
+      for { i <- ids.indices; j <- (i + 1) until ids.size } yield (ids(i), ids(j)))
+    val cross = hEdges.flatMap { case (ga, gb) =>
+      for { u <- memberIds(ga); v <- memberIds(gb) }
+        yield (math.min(u, v), math.max(u, v))
+    }
+    val edges = (intra ++ cross).toDF("a_id", "b_id")
+    val groups = memberIds.zipWithIndex
+      .flatMap { case (ids, gi) => ids.map(v => (v, s"g$gi")) }
+      .toDF("v_id", "grp")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val direct = key(Graph.triangleStats(edges))
+    for (parts <- Seq(1, 5)) {
+      val contracted = key(Graph.triangleStatsContracted(
+        edges.repartition(parts), groups.repartition(parts)))
+      assert(contracted == direct, s"parts=$parts: contracted != direct")
+    }
+  }
+
+  test("triangleStatsContracted with all-singleton groups ≡ triangleStats") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val edgeSet = (for {
+      a <- 0L until 30L; b <- (a + 1) until 30L if rnd.nextDouble() < 0.2
+    } yield (a, b)).toSeq
+    val edges = edgeSet.toDF("a_id", "b_id")
+    val groups = (0L until 30L).map(v => (v, v.toString)).toDF("v_id", "grp")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(key(Graph.triangleStatsContracted(edges, groups)) ==
+      key(Graph.triangleStats(edges)))
+  }
+
   test("triangleCountSampled at p=1 ≡ exact count; est arithmetic is integer-exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(77)
