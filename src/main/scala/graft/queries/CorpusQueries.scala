@@ -901,18 +901,20 @@ object CorpusQueries {
 
     // The containment audit on the REALISTIC corpus — completing the
     // Zipf twin pattern (jaccard and triangles have theirs) and
-    // measuring the OPPOSITE regime: where the fixture run is
-    // output-bound (PairStats at sf1: 19.7M candidates → 10.8M true
-    // results, 1.8 per result), the Zipf run is CANDIDATE-bound (23.0M
-    // candidates → 65k results, 354 per result). That asymmetry is the
-    // known hardness of directed containment at high thresholds: the
-    // probe prefix is only the (1−t)·|A|+1 ≈ 4–8 rarest tokens of each
+    // measuring the OPPOSITE regime: the fixture run is output-bound
+    // (PairStats at sf1: 19.7M candidates → 10.8M true results, 1.8
+    // per result) where the Zipf run was CANDIDATE-bound — the probe
+    // prefix is only the (1−t)·|A|+1 ≈ 4–8 rarest tokens of each
     // document, and "rarest within a 30–70-token doc" drawn from a
     // Zipf vocabulary is still a mid-tail token indexing hundreds of
-    // documents — unlike symmetric Jaccard, whose prefix bound prunes
-    // to 0.6% of the pair space on the same corpus. The twin keeps
-    // that measured honestly under an oracle every round. Unblocked
-    // (the Zipf corpus carries no lang/source).
+    // documents (measured 23.0M candidates → 65k results, 354 per
+    // result). Round 8's per-row 64-bit token bloom (missing-token
+    // witness bound, lossless) plus positional container-index
+    // truncation cut that to 1.06M candidates (16.3 per result,
+    // 21.7× fewer; 25.8 → 12.4 s at sf1) — see
+    // Dedup.containmentCandidates. The twin keeps the regime measured
+    // honestly under an oracle every round. Unblocked (the Zipf
+    // corpus carries no lang/source).
     Q("doc_containment_pairs_zipf",
       s"""WITH z AS (${graft.gen.ZipfCorpus.sql}),
          d AS (SELECT doc_id,

@@ -756,16 +756,42 @@ object Dedup {
                                           threshold: Double, commonVocab: Int,
                                           hotBucketCap: Int): DataFrame = {
     val ranks = tokenRanks(d, commonVocab)
-    val aPref = d.select((col("id") +: blockCols.map(col)) :+ col("nw") :+
+    // 64-bit token BLOOM per document, carried on every index row (8
+    // bytes): a bit set in a_sig & ~b_sig witnesses ≥1 distinct A-token
+    // absent from B, so bit_count(a_sig & ~b_sig) ≤ |A| − α is a
+    // LOSSLESS pairwise prune (distinct missing tokens can share a bit,
+    // so the witness count only undercounts; a qualifying pair — at
+    // most |A| − α missing — always passes). Applied INSIDE the
+    // candidate join it kills one-shared-rare-token coincidences before
+    // the pair-dedup shuffle and the payload verify: the single shared
+    // prefix token is weak evidence at high thresholds, which is where
+    // the measured 354-candidates-per-result Zipf blowup came from.
+    val dS = d.withColumn("sig", expr(
+      "aggregate(w, 0L, (acc, t) -> acc | shiftleft(1L, cast(pmod(xxhash64(t), 64) as int)))"))
+    val aPref = dS.select((col("id") +: blockCols.map(col)) :+ col("nw") :+ col("sig") :+
       posexplode(HashExpressions.prefixTokens(col("w"), ranks, threshold)): _*)
       .withColumnRenamed("col", "token")
-      .toDF("a_id" +: blockCols :+ "a_nw" :+ "a_pos" :+ "token": _*)
-    // container side: full canonical order (threshold ~0 ⇒ prefix = whole
-    // list; ⌊εn⌋ = 0 for any real corpus size, so nothing is truncated)
-    val bAll = d.select((col("id") +: blockCols.map(col)) :+ col("nw") :+
+      .toDF("a_id" +: blockCols :+ "a_nw" :+ "a_sig" :+ "a_pos" :+ "token": _*)
+    // Container-side index in canonical order, POSITIONALLY TRUNCATED:
+    // any qualifying pair (A, B) produces a join row at the FIRST common
+    // token (canonical order), which sits at B-position p_b with all α
+    // common tokens at positions ≥ p_b — so p_b ≤ |B| − α. Since
+    // α = ⌈t·|A|⌉ ≥ ⌈t·min|A|⌉ =: αmin for EVERY probe, index entries at
+    // positions > |B| − αmin can never be a surviving pair's first
+    // common token, and dropping them is lossless (the pair still meets
+    // at p_b). The dropped tail is each document's MOST FREQUENT tokens
+    // (canonical order is rare-first), i.e. exactly the Zipf-head
+    // entries whose probe×index products caused the measured
+    // 354-candidates-per-result blowup; αmin is a 1-row aggregate.
+    val minNw = Option(d.agg(min(col("nw"))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(0)
+    val eps0 = 1e-9
+    val alphaMin = math.ceil(threshold * minNw - eps0).toInt
+    val bAll = dS.select((col("id") +: blockCols.map(col)) :+ col("nw") :+ col("sig") :+
       posexplode(HashExpressions.prefixTokens(col("w"), ranks, 1e-9)): _*)
       .withColumnRenamed("col", "token")
-      .toDF("b_id" +: blockCols :+ "b_nw" :+ "b_pos" :+ "token": _*)
+      .toDF("b_id" +: blockCols :+ "b_nw" :+ "b_sig" :+ "b_pos" :+ "token": _*)
+      .filter(col("b_pos") <= col("b_nw") - alphaMin)
     // hot buckets by JOIN COST (a-count × b-count per token): the b side
     // indexes every token, so frequent tokens are hot by construction —
     // but their a-side prefix occurrences are few (prefixes prefer rare
@@ -809,6 +835,9 @@ object Dedup {
       .filter(col("b_nw") >= alpha)
       .filter(lit(1) + least(col("a_nw") - col("a_pos") - 1,
         col("b_nw") - col("b_pos") - 1) >= alpha)
+      // bloom witness bound (see dS): missing-token witnesses ≤ |A| − α
+      .filter(bit_count(col("a_sig").bitwiseAND(bitwise_not(col("b_sig")))) <=
+        col("a_nw") - alpha)
       .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
   }
 
