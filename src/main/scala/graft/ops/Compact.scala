@@ -52,16 +52,32 @@ object Compact {
       java.lang.ProcessHandle.current().pid())
     spark.read.parquet(in).repartition(n)
       .write.mode("overwrite").parquet(staging.getAbsolutePath)
-    try java.nio.file.Files.move(staging.toPath, out.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.FileSystemException =>
-      // lost a cross-process race: discard ours, serve the winner
-      org.apache.commons.io.FileUtils.deleteQuietly(staging)
-    }
+    publishAtomically(staging, out)
     val after = dataFiles(out)
     CompactStats(before.size, bytesBefore, after.size, after.map(_.length).sum)
   }
+
+  /** Atomic-move publish of a staged directory. Exactly ONE failure mode
+    * is survivable — losing the publish race to another process, in
+    * which case the winner's copy is served and ours is discarded. Any
+    * other move failure (AtomicMoveNotSupportedException when tmpdir
+    * straddles filesystems, DirectoryNotEmptyException, permissions)
+    * rethrows: swallowing it returned a path that did not exist and
+    * surfaced later as a misleading read error (ADVICE r7).
+    */
+  private def publishAtomically(staging: File, out: File): Unit =
+    try java.nio.file.Files.move(staging.toPath, out.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        if (out.exists()) {
+          // lost a cross-process race: discard ours, serve the winner
+          org.apache.commons.io.FileUtils.deleteQuietly(staging)
+        } else {
+          org.apache.commons.io.FileUtils.deleteQuietly(staging)
+          throw e
+        }
+    }
 
   /** Fragment-then-compact copy of the events table, built once per JVM
     * under java.io.tmpdir (fixture dirs are read-only): the events rows
@@ -72,8 +88,13 @@ object Compact {
   def compactedEvents(spark: SparkSession, dir: String,
                       fragFiles: Int = 64,
                       targetBytes: Long = 4L * 1024 * 1024): String = lock.synchronized {
+    // key folds in the fixture file's (size, mtime) — matching
+    // ZipfCorpus.materialized — so a regenerated events.parquet
+    // re-materializes instead of serving a stale compacted copy
+    val src = new File(dir, "events.parquet")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|compacted_events|$fragFiles|$targetBytes".getBytes("UTF-8"))
+      .digest((s"$dir|compacted_events|$fragFiles|$targetBytes|" +
+        s"${src.length}|${src.lastModified}").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val root = new File(sys.props("java.io.tmpdir"), "graft_compacted")
     val frag = new File(root, s"frag_${key}_${Materialize.codeFingerprint.take(8)}")
@@ -86,12 +107,7 @@ object Compact {
           .withColumn("ts", date_trunc("second", col("ts")))
           .repartition(fragFiles)
           .write.mode("overwrite").parquet(staging.getAbsolutePath)
-        try java.nio.file.Files.move(staging.toPath, frag.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException |
-                     _: java.nio.file.FileSystemException =>
-          org.apache.commons.io.FileUtils.deleteQuietly(staging)
-        }
+        publishAtomically(staging, frag)
       }
       compact(spark, frag.getAbsolutePath, out, targetBytes)
     }

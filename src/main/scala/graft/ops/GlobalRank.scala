@@ -94,6 +94,13 @@ object GlobalRank {
       val offsetArr = array(offsets.take(parts).map(lit): _*)
       val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // The returned plan reads the persisted frame lazily, so the cache
+      // entry is INTENTIONALLY left to Spark's LRU — same contract as
+      // withGlobalRowNumber (bounded: one ranged copy per call; under
+      // eviction the deterministic range sampler reproduces the same
+      // boundaries the offsets were computed from, so results stay
+      // correct). An eager unpersist here would recompute the ranged
+      // frame on the caller's first action with re-sampled boundaries.
       ranged
         .withColumn(out, element_at(offsetArr, col("__pid") + 1) +
           sum(col("__w")).over(w))

@@ -33,16 +33,31 @@ object ScanSpread {
   /** For kernel-heavy consumers: per-row CPU dominates decode cost. */
   val KernelFloor: Long = 1L * 1024 * 1024
 
+  // Footer row-group counts memoized per (path, size, mtime): every
+  // registered kernel query calls spread() on the same fixture files,
+  // and a ParquetFileReader.open per call per file is a driver-side
+  // footer read that adds up (ADVICE r7). Keyed on size+mtime so a
+  // regenerated fixture re-reads its footer.
+  private val rowGroupCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Int]()
+
   def spread(s: SparkSession, df: DataFrame,
              floorBytes: Long = DefaultFloor): DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
-    val files = df.inputFiles
+    // non-parquet inputs pass through: the row-group heuristic is
+    // parquet-specific and the footer open would throw on other formats
+    val files = df.inputFiles.filter(_.endsWith(".parquet"))
     if (files.isEmpty) return df
     val rowGroups = files.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRowGroups.size finally r.close()
+      val local = new java.io.File(f.stripPrefix("file:"))
+      rowGroupCache.computeIfAbsent(
+        (f, local.length, local.lastModified),
+        _ => {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRowGroups.size finally r.close()
+        })
     }.sum
     val bytes = files
       .map(f => new java.io.File(f.stripPrefix("file:")).length).sum

@@ -50,19 +50,38 @@ class PlanSpec extends SparkSpec {
 
   /** KEYED exchanges (hash/range shuffle or broadcast) whose input still
     * contains the raw text column — the payload-never-rides-the-shuffle
-    * claim, checkable. Round-robin exchanges are exempt: they are the
-    * ScanSpread parallelism fix (each row crosses exactly once, linear
-    * and bounded, BEFORE any kernel or candidate generation), not the
-    * candidate/aggregation shuffles whose volume the discipline bounds.
+    * claim, checkable. Round-robin exchanges are exempt ONLY when their
+    * input is the raw scan (every input column is a source-table
+    * column): that is the ScanSpread parallelism fix (each row crosses
+    * exactly once, linear and bounded, BEFORE any kernel or candidate
+    * generation). A round-robin added after candidate generation would
+    * carry DERIVED columns and is an offender like any keyed exchange
+    * (ADVICE r7: the blanket exemption let that regression through).
     */
   private def textCarryingExchanges(name: String): (Seq[String], Seq[String]) = {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     val lines = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       .linesIterator.toSeq
+    // source-table columns across all fixture tables: a round-robin
+    // whose Input holds only these is the pre-kernel scan spread
+    val baseCols: Set[String] = graft.source.Tables.names.flatMap { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").schema.fieldNames.toSeq
+      catch { case _: Throwable => Seq.empty }
+    }.toSet
+    def scanSpreadExempt(i: Int): Boolean =
+      lines.slice(i, i + 3).exists(_.contains("roundrobinpartitioning")) && {
+        lines.slice(i + 1, i + 4).find(_.startsWith("Input")) match {
+          case Some(in) =>
+            val names = """([A-Za-z0-9_]+)#\d+""".r
+              .findAllMatchIn(in).map(_.group(1)).toSeq
+            names.nonEmpty && names.forall(baseCols.contains)
+          case None => false
+        }
+      }
     val offenders = lines.zipWithIndex.collect {
       case (l, i) if l.matches("""\(\d+\) (Exchange|BroadcastExchange).*""") &&
-          !lines.slice(i, i + 3).exists(_.contains("roundrobinpartitioning")) =>
+          !scanSpreadExempt(i) =>
         // the node's Input [...] line follows within the next few lines
         (l, lines.slice(i + 1, i + 4).find(_.startsWith("Input")))
     }.collect { case (node, Some(in)) if in.contains("text#") => s"$node :: $in" }
