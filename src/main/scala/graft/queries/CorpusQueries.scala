@@ -184,6 +184,40 @@ object CorpusQueries {
       Dedup.dupGroups(Tables(s, dir, "documents"), jaccardPairGraph(s, dir))
     }
 
+  /** Force-build (or warm-load) every one-time shared store the
+    * registered queries consume, returning (store, seconds) rows —
+    * `graft.Bench`'s separate BUILD meter. A real pipeline pays these
+    * once per corpus snapshot (that is the point of the stores); letting
+    * the first consumer query absorb a 40 s pair-graph build made bench
+    * query rows measure store state instead of queries (round-7
+    * verdict). Times are build-or-load: cold runs show the true build
+    * cost, warm runs the (small) load cost — both honest, both
+    * separated from query timings.
+    */
+  def prebuildStores(s: org.apache.spark.sql.SparkSession,
+                     dir: String): Seq[(String, Double)] = {
+    def t(name: String)(f: => Any): (String, Double) = {
+      val t0 = System.nanoTime()
+      f
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+    val nVec = Tables(s, dir, "embeddings").count()
+    val nCent = math.max(16, math.min(256, (nVec / 250).toInt))
+    // distinct: the scale-adaptive knnGraph config collapses onto 16×2
+    // at small fixtures — don't time (and report) the same store twice
+    val ivfConfigs = Seq((16, 1), (16, 2), (nCent, 2)).distinct
+    Seq(
+      t("zipf_corpus") { graft.gen.ZipfCorpus.materialized(s, dir).count() },
+      t("jaccard_pair_graph") { jaccardPairGraph(s, dir).count() },
+      t("zipf_pair_graph") { zipfPairGraph(s, dir).count() },
+      t("dup_group_labels") { dupGroupLabels(s, dir).count() }) ++
+    ivfConfigs.map { case (k, it) =>
+      t(s"ivf_model_${k}x$it") { ivfModel(s, dir, nCentroids = k, dim = 64, iters = it) }
+    } ++ Seq(
+      t("pq_model_8x16") { pqModel(s, dir, m = 8, ksub = 16, dim = 64, iters = 2) },
+      t("compacted_events") { graft.ops.Compact.compactedEvents(s, dir) })
+  }
+
   /** Exact top-10 cosine neighbors of the first 20 vectors — the oracle for
     * both `ann_brute_topk` and `ann_ivf_topk` (IVF probing every inverted
     * list is exhaustive search, so its result set is identical by
