@@ -1403,6 +1403,45 @@ object CorpusQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // The SAME SimHash pipeline in its oracle-replayable config
+    // (Dedup.simhashPairsMd5 — the doc_minhash_pairs_md5 pattern):
+    // 60-bit signatures over md5-derived token hashes, multiset bit
+    // votes, 4×15-bit chunk pigeonhole, Hamming ≤ 3 verify. DuckDB
+    // recomputes identical signatures and buckets, so the
+    // chunk-bucketed candidate machinery is hash-checked end-to-end;
+    // the fused-kernel xxhash64 config above stays the production path.
+    Q("doc_simhash_pairs_md5", {
+      val h60 =
+        """list_reduce(list_transform(range(15), k ->
+             CAST(strpos('0123456789abcdef',
+               substr(md5(tok), k + 1, 1)) - 1 AS BIGINT)),
+             (x, y) -> x * 16 + y)"""
+      s"""WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents),
+         h AS (SELECT doc_id, $h60 AS h FROM toks),
+         v AS (SELECT doc_id, j,
+             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM h CROSS JOIN (SELECT unnest(range(60)) AS j)
+           GROUP BY doc_id, j),
+         sig AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
+               ELSE 0 END) AS BIGINT) AS sig
+           FROM v GROUP BY doc_id),
+         ck AS (SELECT doc_id, sig, c, (sig >> (c * 15)) & 32767 AS ch
+           FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c)),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+             x.sig AS a_sig, y.sig AS b_sig
+           FROM ck x JOIN ck y
+             ON x.c = y.c AND x.ch = y.ch AND x.doc_id < y.doc_id)
+         SELECT a_id, b_id,
+           CAST(bit_count(xor(a_sig, b_sig)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= 3
+         ORDER BY a_id, b_id"""
+    }) { (s, dir) =>
+      Dedup.simhashPairsMd5(Tables(s, dir, "documents"), maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Language ID + quality score (heuristic models). Oracle-checked: the
     // scoring is deterministic integer arithmetic over literal profiles
     // (see langIdSql). The fixture file is a single parquet row group

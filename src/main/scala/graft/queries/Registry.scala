@@ -20,8 +20,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    hashes, formula permutations, literal band keys) IS hash-checked
   *    end-to-end, as are the exact pair surfaces (`doc_jaccard_pairs`,
   *    `emb_dup_pairs`).
-  *  - `doc_simhash_pairs` — weighted-token SimHash is engine-side;
-  *    DedupSpec pins signatures and verifies the Hamming pigeonhole.
+  *  - `doc_simhash_pairs` — weighted-token SimHash is engine-side
+  *    (xxhash64 token hashes); DedupSpec pins signatures and verifies
+  *    the Hamming pigeonhole. The SAME chunk-bucketed pipeline in its
+  *    oracle-replayable config (`doc_simhash_pairs_md5`: 60-bit md5
+  *    token hashes, shared pigeonhole join) IS hash-checked
+  *    end-to-end.
   *  - `ev_hll_users` — HLL++ estimates are engine-specific; the spec
   *    bounds them against exact counts within the configured rsd.
   *  - `ev_hll_overlap` — HLL inclusion-exclusion intersection estimates

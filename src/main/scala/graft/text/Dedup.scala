@@ -336,23 +336,42 @@ object Dedup {
     val din = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
       graft.ops.ScanSpread.KernelFloor)
     val sh = din.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    simhashPairsOnSigs(sh, maxHamming, chunks = 4, chunkBits = 16, hotBucketCap)
+  }
+
+  /** The chunk-pigeonhole pair join over an (id, sig) signature table:
+    * any pair within Hamming distance < `chunks` shares at least one of
+    * the `chunks` bit-chunks (pigeonhole), so bucketing on (chunk index,
+    * chunk value) and verifying `bit_count(xor) ≤ maxHamming` finds
+    * exactly the qualifying pairs. Shared by the production xxhash64
+    * config ([[simhashPairs]]) and the oracle-replayable md5 config
+    * ([[simhashPairsMd5]]); hot-bucket grid salting as documented on
+    * [[simhashPairs]]. The pigeonhole guarantee (every qualifying pair
+    * found) holds when maxHamming < chunks — the registered configs;
+    * looser thresholds still verify exactly but only among chunk-mates
+    * (recall < 1, the DedupSpec wide-threshold usage).
+    */
+  private def simhashPairsOnSigs(sh: DataFrame, maxHamming: Int,
+                                 chunks: Int, chunkBits: Int,
+                                 hotBucketCap: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1
     val chunked = sh.select(col("id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(3)), c =>
+      explode(transform(sequence(lit(0), lit(chunks - 1)), c =>
         struct(c.as("chunk"),
-          shr(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("ch")))).as("ck"))
+          shr(col("sig"), c * chunkBits).bitwiseAND(mask).as("ch")))).as("ck"))
       .select(col("id"), col("sig"), col("ck.chunk"), col("ck.ch"))
     val a = chunked.toDF("a_id", "a_sig", "chunk", "ch")
     val b = chunked.toDF("b_id", "b_sig", "chunk", "ch")
-    // (chunk, ch) packs into one long: chunk ∈ [0,4), ch ∈ [0,2^16)
+    // (chunk, ch) packs into one long: chunk ∈ [0,chunks), ch < 2^chunkBits
     def bkey(chunkC: Column, chC: Column): Column =
-      chunkC.cast("long") * 65536L + chC
+      chunkC.cast("long") * (mask + 1) + chC
     val hotRows = chunked.groupBy(col("chunk"), col("ch"))
       .agg(count(lit(1)).as("n")).filter(col("n") > hotBucketCap)
       .orderBy(col("n").desc, col("chunk"), col("ch")).limit(64).collect()
     val joined =
       if (hotRows.isEmpty) a.join(b, Seq("chunk", "ch"))
       else {
-        val hotKeys = hotRows.map(r => (r.getInt(0).toLong << 16) | r.getLong(1)).toSeq
+        val hotKeys = hotRows.map(r => (r.getInt(0).toLong * (mask + 1)) | r.getLong(1)).toSeq
         val maxN = hotRows.map(_.getLong(2)).max
         val grid = math.min(32L, (maxN + hotBucketCap - 1) / hotBucketCap).toInt
         val aK = a.withColumn("bk", bkey(col("chunk"), col("ch")))
@@ -374,6 +393,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** The ORACLE-REPLAYABLE SimHash config (the [[minhashPairsMd5]]
+    * pattern applied to SimHash): 60-bit signatures over md5-derived
+    * per-token hashes, so a SQL oracle recomputes the identical
+    * signatures, chunk buckets, candidates and Hamming verify.
+    *
+    *  - token hash = first 15 hex chars of md5(token) (60 bits — 16
+    *    would overflow signed BIGINT in the replay);
+    *  - per-bit votes over the token MULTISET (duplicates count, as in
+    *    the production kernel), bit j set iff its vote sum is > 0;
+    *  - pairs via the shared chunk-pigeonhole join: 4 chunks × 15 bits,
+    *    Hamming ≤ 3 < 4 chunks keeps the pigeonhole lossless.
+    *
+    * The signature is one exploded (doc, token) aggregation with 60
+    * conditional-sum columns — map-side combined, 60 longs per doc on
+    * the shuffle, text never rides an exchange. [[simhashPairs]]' fused
+    * kernel stays the production path.
+    */
+  def simhashPairsMd5(docs: DataFrame, maxHamming: Int = 3,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      hotBucketCap: Int = 100000): DataFrame = {
+    val bits = 60
+    val din = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
+      graft.ops.ScanSpread.KernelFloor)
+    val toks = din.select(col(idCol).as("id"),
+      explode(split(col(textCol), "\\s+")).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until bits).map(j =>
+      sum(when(shr(col("h"), lit(j)).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"v$j"))
+    val sig = (0 until bits).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val sh = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"), sig.as("sig"))
+    simhashPairsOnSigs(sh, maxHamming, chunks = 4, chunkBits = 15, hotBucketCap)
   }
 
   /** Exact Jaccard-threshold pairs AT SCALE: prefix-filtered candidate

@@ -61,6 +61,15 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashPairsMd5: identical docs at hamming 0, unrelated docs out") {
+    val d = docs((1L, base), (2L, nearDup), (3L, other), (4L, base))
+    val out = Dedup.simhashPairsMd5(d, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0),
+      s"identical docs must pair at hamming 0; got $out")
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $out")
+  }
+
   test("simhash: identical docs at hamming 0, near-dups within threshold, unrelated out") {
     val d = docs((1L, base), (2L, nearDup), (3L, other), (4L, base))
     val out = Dedup.simhashPairs(d, maxHamming = 16)
