@@ -1702,6 +1702,64 @@ object CorpusQueries {
         .orderBy(col("q_id"), col("rnk"))
     },
 
+    // The SAME sign-bit LSH pipeline in its oracle-replayable config
+    // (Similarity.lshTopKMd5 — completing the md5-twin pattern for the
+    // third and last production hash family): 16 planes of md5-derived
+    // INTEGER coefficients in [−8, 8], so each projection is an
+    // index-ordered fold of exact float·int products that DuckDB
+    // replays bit-identically (the emb_norms precedent), signs → the
+    // identical signature, 2×8-bit chunk buckets → the identical
+    // candidate set, exact-cosine rerank → the identical top-k. The
+    // engine runs the SAME fused LshSignBits kernel (it takes the plane
+    // array), so this row oracle-checks the kernel arithmetic, the
+    // bucket join, and the rerank end-to-end — recall curve included.
+    Q("ann_lsh_topk_md5", {
+      val h8 = """(list_reduce(list_transform(range(8), k ->
+           CAST(strpos('0123456789abcdef',
+             substr(md5(CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)),
+               k + 1, 1)) - 1 AS BIGINT)),
+           (x, y) -> x * 16 + y) % 17) - 8"""
+      s"""WITH pl AS (SELECT i, j, $h8 AS c
+           FROM range(16) t(i) CROSS JOIN range(64) u(j)),
+         prods AS (SELECT e.vec_id, p.i, p.j,
+             CAST(e.embedding[p.j + 1] AS DOUBLE) * p.c AS prod
+           FROM embeddings e CROSS JOIN pl p),
+         dots AS (SELECT vec_id, i,
+             list_reduce(list(prod ORDER BY j), (x, y) -> x + y) AS s
+           FROM prods GROUP BY vec_id, i),
+         sig AS (SELECT vec_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i)
+               ELSE 0 END) AS BIGINT) AS sig
+           FROM dots GROUP BY vec_id),
+         ck AS (SELECT vec_id, cn, (sig >> (cn * 8)) & 255 AS ch
+           FROM sig CROSS JOIN range(2) r(cn)),
+         cand AS (SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+           FROM ck q JOIN ck n ON q.cn = n.cn AND q.ch = n.ch
+           WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id),
+         v AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * x))) AS norm
+           FROM embeddings),
+         sc AS (SELECT c.q_id, c.n_id,
+             list_sum(list_transform(range(len(q.embedding)),
+               jj -> CAST(q.embedding[jj + 1] AS DOUBLE)
+                 * CAST(n.embedding[jj + 1] AS DOUBLE)))
+               / (q.norm * n.norm) AS cos
+           FROM cand c
+           JOIN v q ON q.vec_id = c.q_id
+           JOIN v n ON n.vec_id = c.n_id)
+         SELECT q_id, n_id, cos, rnk FROM (
+           SELECT q_id, n_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, n_id) AS INT) AS rnk
+           FROM sc)
+         WHERE rnk <= 10 ORDER BY q_id, rnk"""
+    }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshTopKMd5(emb, emb.filter(col("vec_id") < 20), k = 10)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // Multi-probe LSH recall surface — the META query for the
     // query-side recall lever: each query chunk probes its own bucket
     // plus the chunkBits Hamming-1 neighbors (near misses where one

@@ -9,10 +9,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The remaining oracle-less queries are engine-side BY DESIGN, each with a
   * spec that verifies the property the oracle can't:
-  *  - `ann_lsh_topk` — recall < 1 by construction (chunked sign-bit LSH);
-  *    SimilaritySpec measures recall against the exact result. The exact
-  *    ANN surfaces (`ann_brute_topk`, full-probe `ann_ivf_topk`) ARE
-  *    oracle-checked.
+  *  - `ann_lsh_topk` — recall < 1 by construction (chunked sign-bit LSH
+  *    over seeded Gaussian planes); SimilaritySpec measures recall
+  *    against the exact result. The SAME pipeline in its
+  *    oracle-replayable config (`ann_lsh_topk_md5`: md5-derived integer
+  *    planes through the same fused kernel, buckets, and rerank) IS
+  *    hash-checked end-to-end, as are the exact ANN surfaces
+  *    (`ann_brute_topk`, full-probe `ann_ivf_topk`).
   *  - `doc_minhash_pairs` — MinHash permutations are engine-side constants
   *    (seeded RNG + xxhash64 band folding); DedupSpec checks candidates
   *    against exact shingle Jaccard. The SAME pipeline in its

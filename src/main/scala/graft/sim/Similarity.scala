@@ -230,6 +230,49 @@ object Similarity {
     exactRerankTopK(cand, corpus, queries, k, idCol, vecCol)
   }
 
+  /** md5-derived INTEGER plane matrix, row-major [plane][dim] — the
+    * oracle-REPLAYABLE projection family (the `minhashPairsMd5`
+    * pattern): plane(i,j) = (first-8-hex-of-md5("i,j") mod 17) − 8
+    * ∈ [−8, 8], computable by any engine with md5. Integer
+    * coefficients keep each product float·int exact in double, and
+    * both engines fold the products in index order (the kernel's j
+    * loop ≡ the oracle's ordered list_reduce), so the SIGN of every
+    * projection — hence the signature, buckets and candidate set — is
+    * engine-independent. `signPlanes`' seeded Rademacher family is
+    * reproducible only inside the JVM.
+    */
+  def lshPlanesMd5(nPlanes: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes * dim) { p =>
+      val (i, j) = (p / dim, p % dim)
+      val hex = md.digest(s"$i,$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      ((java.lang.Long.parseLong(hex, 16) % 17) - 8).toDouble
+    }
+  }
+
+  /** [[lshTopK]] with the md5-derived plane family — the oracle-checked
+    * twin (`ann_lsh_topk_md5`): same fused signature kernel, same chunk
+    * bucket join, same IDs-only candidates and exact rerank; only the
+    * plane constants change, to ones a SQL oracle can recompute.
+    */
+  def lshTopKMd5(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                 nPlanes: Int = 16, chunkBits: Int = 8, dim: Int = 64,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nChunks = nPlanes / chunkBits
+    val pl = lshPlanesMd5(nPlanes, dim)
+    def chunked(df: DataFrame, role: String): DataFrame =
+      chunkBuckets(
+        df.select(col(idCol).as(s"${role}_id"),
+          VectorExpressions.lshSignBits(col(vecCol), pl, nPlanes, dim).as("sig")),
+        "sig", nChunks, chunkBits, Seq(s"${role}_id"))
+    val cand = chunked(corpus, "n")
+      .join(chunked(queries, "q"), Seq("chunk", "ch"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+    exactRerankTopK(cand, corpus, queries, k, idCol, vecCol)
+  }
+
   /** Exact-cosine rerank of an IDs-only (q_id, n_id) candidate set to the
     * per-query top-k — the shared tail of the LSH surfaces. queries is
     * |Q|-bounded (broadcast is right); the CORPUS payload is not —

@@ -125,6 +125,26 @@ class SimilaritySpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("lshTopKMd5: md5 planes are in range and deterministic; hits carry exact cosines") {
+    // plane formula stability: any drift here silently flips the
+    // oracle-replayable signature family
+    val pl = Similarity.lshPlanesMd5(16, 64)
+    assert(pl.length == 16 * 64)
+    assert(pl.forall(c => c >= -8.0 && c <= 8.0 && c == c.floor))
+    assert(java.util.Arrays.equals(pl, Similarity.lshPlanesMd5(16, 64)))
+    val emb = Tables(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val approx = Similarity.lshTopKMd5(emb, queries, k = 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(approx.nonEmpty)
+    // rerank exactness: every surfaced cosine equals the brute-force one
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 500).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    approx.foreach { case (pair, cos) =>
+      exact.get(pair).foreach(e => assert(e == cos, s"$pair: $cos vs $e"))
+    }
+  }
+
   test("lshTopKMultiProbe dominates single-probe per rank and lifts recall") {
     val emb = Tables(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 20)
