@@ -1546,6 +1546,34 @@ object Analytics {
         .orderBy(col("event_type"), col("p"))
     },
 
+    // The SAME Greenwald–Khanna path in its provably-exact regime (the
+    // ev_heavy_hitters_exact pattern, third leg): accuracy ≥ N makes
+    // the rank-error bound N/accuracy < 1, which pins the returned
+    // element to EXACTLY rank ⌈p·n⌉ (1-based over the group's sorted
+    // values) independent of partitioning or merge order — verified by
+    // probe across all (group, p) on the fixture, and both engines
+    // compute ⌈p·n⌉ on the identical IEEE product. The summary
+    // machinery (per-partition compress, shuffle merge, query rule)
+    // is thereby oracle-checked to equality; the bounded-accuracy
+    // config above keeps the rows-only guarantee check.
+    Q("ev_quantile_sketch_exactmode",
+      """WITH e AS (SELECT event_type, value FROM events
+           WHERE value IS NOT NULL),
+         r AS (SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n FROM e),
+         p(p) AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE))
+         SELECT event_type, p, value AS approx_value,
+           CAST(CEIL(CAST(n AS DOUBLE) / 10000000) AS BIGINT) AS max_rank_err
+         FROM r CROSS JOIN p
+         WHERE rn = CAST(CEIL(p * n) AS BIGINT)
+         ORDER BY event_type, p""") { (s, dir) =>
+      graft.ops.Sketches.quantileSketch(
+        Tables.events(s, dir).filter(col("value").isNotNull),
+        "event_type", "value", ps = Seq(0.5, 0.9, 0.99), accuracy = 10000000)
+        .orderBy(col("event_type"), col("p"))
+    },
+
     // Count-Min point-frequency sketch — the fourth mergeable sketch, and
     // the only one whose registered query is FULLY oracle-checked: CMS
     // counters are pure sums (merge = commutative matrix addition), so

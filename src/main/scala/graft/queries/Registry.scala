@@ -52,8 +52,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `ev_value_quantile_sketch` — Greenwald–Khanna summaries likewise
   *    depend on partition merge order; SketchesSpec proves the rank
   *    bound |true_rank − p·N| ≤ N/accuracy against exactly sorted data.
-  *    The exact-percentile surface (quantity_quantiles) IS
-  *    oracle-checked.
+  *    The SAME path in its provably-exact regime (accuracy ≥ N ⇒ rank
+  *    error < 1 ⇒ the element at rank ⌈p·n⌉, `ev_quantile_sketch_
+  *    exactmode`) IS oracle-checked to equality, as is the
+  *    exact-percentile surface (quantity_quantiles).
   *  - `ann_ivf_recall` — a META query (recall@10 of partial-probe IVF vs
   *    the oracle-green exact result, per nProbe); the exact surfaces it
   *    measures against ARE oracle-checked, and IvfSpec gates the curve.
