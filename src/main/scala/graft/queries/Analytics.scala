@@ -1287,34 +1287,44 @@ object Analytics {
     // the *correct* streaming session formulation, whose state drops at
     // the watermark; SURVEY.md §7.4.2), driven in batch mode over the
     // driver events table with user_id as the session key and a
-    // 30-minute gap. Semantics differ from ev_sessionized's windowed
-    // islands at exactly-gap boundaries: session_window merges B into A
-    // iff B.ts < A.ts + gap (window end exclusive), so the island break
-    // is diff >= gap, not > gap — the oracle encodes >=. This gives the
-    // production operator its own driver row instead of only the
-    // reference-faithful groupBy(session_id) rollup.
+    // 30-minute gap. Boundary semantics pinned EMPIRICALLY, not from
+    // the docs: Spark's session merge treats the window end as CLOSED —
+    // an event at exactly prev.ts + gap still merges (the sf0.1 fixture
+    // has exactly one such truncated gap, and the engine merges it) —
+    // so the island break is diff > gap, the same rule ev_sessionized
+    // uses. Timestamps are second-truncated BEFORE windowing on both
+    // sides: session_window
+    // compares exact microseconds, while SQL date_diff('second') counts
+    // second-boundary crossings — on the micros-resolution fixtures the
+    // two disagree for gaps inside (gap−1s, gap+1s), which sf0.1's
+    // event density actually hits (caught by the round-8 full sf0.1
+    // comparator sweep; sf0.01 was green by luck of the gaps). This
+    // gives the production operator its own driver row instead of only
+    // the reference-faithful groupBy(session_id) rollup.
     Q("ev_session_windows",
-      """WITH g AS (SELECT user_id, ts, event_id,
+      """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts, event_id
+           FROM events),
+         g AS (SELECT user_id, ts, event_id,
            CASE WHEN LAG(ts) OVER w IS NULL
-                  OR date_diff('second', LAG(ts) OVER w, ts) >= 1800
+                  OR date_diff('second', LAG(ts) OVER w, ts) > 1800
                 THEN 1 ELSE 0 END AS brk
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sess AS (SELECT user_id, ts,
            SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_idx
            FROM g)
          SELECT user_id,
-           CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS session_start,
-           CAST(date_trunc('second', MAX(ts)) AS TIMESTAMP) AS session_end,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
            COUNT(*) AS event_count
          FROM sess GROUP BY user_id, sess_idx
          ORDER BY user_id, session_start""") { (s, dir) =>
       graft.ops.Pipelines.sessionsWindowed(
           Tables.events(s, dir).select(
             col("user_id").as("session_id"), col("user_id"),
-            col("ts").as("timestamp")),
+            sec(col("ts")).as("timestamp")),
           gap = "30 minutes")
-        .select(col("user_id"), sec(col("session_start")).as("session_start"),
-          sec(col("session_end")).as("session_end"), col("event_count"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("event_count"))
         .orderBy(col("user_id"), col("session_start"))
     },
 

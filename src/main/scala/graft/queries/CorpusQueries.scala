@@ -584,7 +584,7 @@ object CorpusQueries {
     // per-doc partials and every join carries counts only.
     Q("doc_bigram_lm",
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-           FROM documents WHERE doc_id < 2000),
+           FROM documents),
          grams AS (
            SELECT doc_id, unnest(list_transform(range(1, len(t)),
              i -> t[i] || ' ' || t[i + 1])) AS gram

@@ -75,14 +75,34 @@ class PipelinesSpec extends SparkSpec {
     assert(tight.length == 2)
   }
 
+  test("sessionsWindowed merge boundary is CLOSED: an exact-gap event still merges") {
+    // Pinned EMPIRICALLY (Spark 4.1): an event at exactly prev.ts + gap
+    // merges into the session — the island break is diff > gap, not ≥.
+    // This is the seam the ev_session_windows oracle encodes; the sf0.1
+    // fixture has exactly one such truncated gap and the driver hash
+    // only matches under the closed-end rule. If a Spark upgrade flips
+    // this semantic, this test fails before the driver row does.
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val rows = Seq(
+      ("u1", 1L, at(0)), ("u1", 1L, at(600)),
+      ("u1", 1L, at(600 + 1800)),          // exactly gap after → merges
+      ("u1", 1L, at(600 + 1800 + 1801)))   // gap + 1s after → new session
+      .toDF("session_id", "user_id", "timestamp")
+    val got = Pipelines.sessionsWindowed(rows, gap = "30 minutes")
+      .collect().map(r => r.getAs[Long]("event_count")).sorted
+    assert(got.toSeq == Seq(1L, 3L), s"got ${got.toSeq}")
+  }
+
   test("sessionsWindowed emits the identical session set to batch gap-split") {
     // batch/stream unification for sessions: session_window with a
     // 30-minute gap over the events fixture must produce EXACTLY the
     // session set of the batch lag/cumsum sessionization that the
     // ev_sessionized oracle hash-checks. (The two differ only on events
-    // at an exact 30:00.000000 gap — session_window's window is half-open
-    // — and the fixture has none; real deployments should treat that
-    // boundary as unspecified.)
+    // at an exact 30:00.000000 gap — where session_window still MERGES
+    // (closed end, pinned above) but ev_sessionized's > 1800 rule also
+    // merges, so the sets agree; the fixture has none regardless.)
     import spark.implicits._
     val ev = graft.source.Tables.events(spark, sfDir)
     def key(df: org.apache.spark.sql.DataFrame) = df
