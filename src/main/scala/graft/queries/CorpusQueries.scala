@@ -870,6 +870,30 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Sequence packing (concat-and-split): documents concatenate in
+    // doc_id order and the token stream is cut every 2048 tokens — the
+    // canonical step between tokenization and training (each training
+    // sequence is a fixed token budget; documents may straddle cuts).
+    // Per doc the assignment is arithmetic on the exclusive prefix sum
+    // of token counts. Engine: ops.GlobalRank.withGlobalPrefixSum
+    // (range-partitioned two-pass — never a partitionless window);
+    // oracle: the single-node window prefix sum. Integer-exact.
+    Q("doc_packed_sequences",
+      """WITH d AS (SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n
+           FROM documents),
+         r AS (SELECT doc_id, n,
+           SUM(n) OVER (ORDER BY doc_id) - n AS excl FROM d)
+         SELECT doc_id, n AS n_tokens,
+           CAST(excl // 2048 AS BIGINT) AS first_seq,
+           CAST(excl % 2048 AS BIGINT) AS offset_in_seq,
+           CAST((excl + n - 1) // 2048 - excl // 2048 + 1 AS BIGINT)
+             AS n_seqs_spanned
+         FROM r ORDER BY doc_id""") { (s, dir) =>
+      Text.packSequences(docsKernel(s, dir), budget = 2048)
+        .orderBy(col("doc_id"))
+    },
+
     // Weighted mixture sampling: per-language keep rates through the
     // deterministic md5 bucket (en 50%, de 30%, es 20%, fr 10%, zh 100%)
     // — the mixture-composition step of a training-data pipeline. The

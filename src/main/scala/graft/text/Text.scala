@@ -422,6 +422,36 @@ object Text {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Sequence packing — the concat-and-split step between tokenization
+    * and training: the corpus's documents are conceptually concatenated
+    * in a deterministic total order (doc_id) and the token stream is
+    * cut every `budget` tokens, so token t of the stream belongs to
+    * training sequence ⌊t / budget⌋; documents may straddle a cut. Per
+    * document this is pure arithmetic on the EXCLUSIVE prefix sum of
+    * token counts: first_seq = ⌊excl/B⌋, offset within it = excl mod B,
+    * and the span count follows from the last token's sequence.
+    *
+    * Scale shape: ONE [[graft.ops.GlobalRank]] distributed weighted
+    * prefix sum (range-partitioned two-pass — never a partitionless
+    * window), then a narrow projection; all integer arithmetic, so the
+    * assignment is engine-independent and oracle-checkable. The doc
+    * payload never rides an exchange — only (id, n_tokens) does.
+    */
+  def packSequences(docs: org.apache.spark.sql.DataFrame, budget: Int,
+                    idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    require(budget >= 1)
+    val summed = graft.ops.GlobalRank.withGlobalPrefixSum(
+      docs.select(col(idCol), tokenCount(col("text")).cast("long").as("n_tokens")),
+      Seq(col(idCol)), weight = col("n_tokens"), out = "incl")
+    summed
+      .withColumn("excl", col("incl") - col("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        expr(s"excl div $budget").as("first_seq"),
+        (col("excl") % budget).as("offset_in_seq"),
+        (expr(s"(excl + n_tokens - 1) div $budget") -
+          expr(s"excl div $budget") + 1).as("n_seqs_spanned"))
+  }
+
   /** Balanced shard assignment — the training-export step that follows
     * packing: every document gets a deterministic shard in [0, nShards)
     * such that shard TOKEN totals come out even, not just row counts.

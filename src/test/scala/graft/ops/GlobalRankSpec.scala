@@ -92,4 +92,31 @@ class GlobalRankSpec extends SparkSpec {
     val first = out.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(again == first)
   }
+
+  test("packSequences ≡ sequential concat-and-split reference, any partitioning") {
+    val budget = 64
+    val docs = graft.source.Tables(spark, sfDir, "documents")
+    // sequential reference: walk docs in id order, carry the stream offset
+    val ref = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").length.toLong))
+      .sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, excl), (id, n)) => (id, n, excl + n) }
+      .drop(1) // (id, n, INCLUSIVE sum)
+      .map { case (id, n, incl) =>
+        val excl = incl - n
+        id -> (n, excl / budget, excl % budget,
+          (excl + n - 1) / budget - excl / budget + 1)
+      }.toMap
+    for (parts <- Seq(1, 7)) {
+      val got = graft.text.Text.packSequences(docs.repartition(parts), budget)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == ref, s"parts=$parts")
+    }
+    // invariants: offsets inside the budget; spans consistent
+    ref.values.foreach { case (n, _, off, span) =>
+      assert(off >= 0 && off < budget)
+      assert(span >= 1 && span <= n / budget + 2)
+    }
+  }
 }
