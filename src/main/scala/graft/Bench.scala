@@ -45,17 +45,23 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
       // round-stamped default so successive rounds never clobber each
-      // other's committed artifact. LEAKCHECK.json's counter holds the
-      // LAST COMPLETED round during a build session (the driver ticks it
-      // at round end), so the session in flight is round+1 — stamping the
-      // raw counter mislabeled a round-7 run as BENCH_local_r06_2.json.
+      // other's committed artifact. SPARK_GRAFT_BENCH_ROUND pins the
+      // label explicitly (ADVICE r8: an end-of-round bench invoked
+      // after the driver ticks the counter would stamp round+1 and
+      // mislabel the artifact, as r7's did); absent that, fall back to
+      // LEAKCHECK.json's counter + 1 — the counter holds the LAST
+      // COMPLETED round during a build session (the driver ticks it at
+      // round end), so the session in flight is round+1.
       // Never overwrite an existing record: suffix instead (a hardcoded
       // default once destroyed the previous round's committed artifact)
-      val round =
-        try """"round"\s*:\s*(\d+)""".r.findFirstMatchIn(new String(
-            Files.readAllBytes(Paths.get("LEAKCHECK.json")),
-            StandardCharsets.UTF_8)).map(_.group(1).toInt + 1)
-        catch { case _: Throwable => None }
+      val round = sys.env.get("SPARK_GRAFT_BENCH_ROUND")
+        .flatMap(v => scala.util.Try(v.toInt).toOption)
+        .orElse {
+          try """"round"\s*:\s*(\d+)""".r.findFirstMatchIn(new String(
+              Files.readAllBytes(Paths.get("LEAKCHECK.json")),
+              StandardCharsets.UTF_8)).map(_.group(1).toInt + 1)
+          catch { case _: Throwable => None }
+        }
       val base = round.fold("BENCH_local_latest")(n => f"BENCH_local_r$n%02d")
       (Iterator.single(s"$base.json") ++
         Iterator.from(2).map(i => s"${base}_$i.json"))

@@ -213,6 +213,67 @@ object TextExpressions {
   def wordNgrams(toks: Column, w: Int, emitShort: Boolean): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(toks), w, emitShort))
 
+  /** Deletion-neighborhood signature (FastSS / Mor–Fraenkel candidate
+    * generation for bounded edit distance): the set of 64-bit hashes of
+    * every string obtainable by deleting ≤ `d` code points, deduplicated.
+    * If ed(a, b) ≤ d then — taking an optimal alignment and deleting from
+    * each string its substituted/unaligned positions (≤ d per side) — a
+    * and b share a deletion variant, so an equality join on these hashes
+    * is a LOSSLESS candidate filter: candidates ⊇ true pairs, and the
+    * banded DP verifies (a hash collision or a ed∈(d, 2d] near-miss just
+    * adds a candidate, never drops one). This replaces the block² join
+    * volume of a fuzzy-match block with |block|·C(len, ≤d) variant rows —
+    * the right trade for SHORT match keys (names, titles: C(18,2)=153)
+    * at d ≤ 2; long-text near-dup belongs to the shingle/MinHash family.
+    * Hashes are FNV-1a over remaining code points — engine-internal only
+    * (candidates never surface; output is DP-verified), so no oracle
+    * replay obligation. Variants of one string that coincide (deleting
+    * either of two equal adjacent chars) dedupe here, before the explode.
+    */
+  case class DeletionNeighborhood(child: Expression, d: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(d >= 0 && d <= 3, "neighborhood generation is for small d")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "deletion_neighborhood"
+
+    override def nullSafeEval(v: Any): Any = {
+      val cps = v.asInstanceOf[UTF8String].toString.codePoints.toArray
+      val n = cps.length
+      val out = new java.util.TreeSet[java.lang.Long]()
+      val skip = new Array[Int](math.max(d, 1))
+      def hashSkipping(nSkip: Int): Long = {
+        var h = 0xcbf29ce484222325L
+        var i = 0; var k = 0
+        while (i < n) {
+          if (k < nSkip && skip(k) == i) k += 1
+          else h = (h ^ cps(i)) * 0x100000001b3L
+          i += 1
+        }
+        h
+      }
+      def rec(start: Int, k: Int, target: Int): Unit = {
+        if (k == target) { out.add(hashSkipping(target)); return }
+        var i = start
+        while (i <= n - (target - k)) {
+          skip(k) = i; rec(i + 1, k + 1, target); i += 1
+        }
+      }
+      var t = 0
+      val tMax = math.min(d, n)
+      while (t <= tMax) { rec(0, 0, t); t += 1 }
+      val arr = new Array[Any](out.size)
+      val it = out.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def deletionNeighborhood(s: Column, d: Int): Column =
+    ColumnBridge.column(DeletionNeighborhood(ColumnBridge.expression(s), d))
+
   /** Bounded edit distance, `levenshtein(l, r, maxDist)`-compatible
     * (distance if ≤ maxDist, else −1; code-point semantics, matching
     * both Spark and DuckDB), but engineered for the near-duplicate case

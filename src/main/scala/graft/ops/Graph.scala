@@ -222,6 +222,17 @@ object Graph {
     * each other (clique) and identical Jaccard against every third
     * document (same external adjacency).
     *
+    * PRECONDITIONS, and what is (not) validated: the vertex→group map
+    * must be total and functional over edge-carrying vertices — this IS
+    * validated up front (one IDs-only pass; missing or duplicate group
+    * rows throw instead of silently dropping edges). The twin PROPERTY
+    * itself (clique + identical external adjacency) is the caller's
+    * contract and is NOT validated — checking it requires rebuilding
+    * the neighborhood structure the contraction exists to avoid; a
+    * non-twin grouping yields wrong counts, not an error. Derive
+    * `groups` structurally (e.g. token-set fingerprints), never
+    * heuristically.
+    *
     * Under that property every triangle count is a closed form over the
     * CONTRACTED graph H (one node per group, one edge per adjacent group
     * pair, node weight s = group size). For a vertex in group g with
@@ -248,12 +259,24 @@ object Graph {
     val mapped = e
       .join(g.select(col("m_v").as("x"), col("m_g").as("gx")), "x")
       .join(g.select(col("m_v").as("y"), col("m_g").as("gy")), "y")
-    // members = vertices that actually carry edges (triangleStats emits
-    // exactly these); sizes s_g over them
-    val members = e.select(col("x").as("m_v"))
+    val verts = e.select(col("x").as("m_v"))
       .unionAll(e.select(col("y").as("m_v")))
       .distinct()
-      .join(g, "m_v")
+    // Precondition guard (ADVICE r8): the inner joins below silently
+    // DROP any edge endpoint absent from `groups`, and a vertex with
+    // two group rows would double-count — both make every dependent
+    // count wrong with no error. One cheap distributed pass over the
+    // (IDs-only) distinct endpoints validates the map is total and
+    // functional before any arithmetic runs.
+    val badMap = verts.join(g, Seq("m_v"), "left")
+      .groupBy(col("m_v")).agg(count(col("m_g")).as("k"))
+      .filter(col("k") =!= 1)
+    require(badMap.isEmpty,
+      "triangleStatsContracted: `groups` must map every edge-carrying " +
+        "vertex to exactly one group (missing or duplicate rows found)")
+    // members = vertices that actually carry edges (triangleStats emits
+    // exactly these); sizes s_g over them
+    val members = verts.join(g, "m_v")
     val sizes = members.groupBy(col("m_g")).agg(count(lit(1)).as("s"))
     // contracted undirected edge set (one row per adjacent group pair)
     val he = mapped.filter(col("gx") =!= col("gy"))

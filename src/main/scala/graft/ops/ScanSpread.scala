@@ -37,9 +37,21 @@ object ScanSpread {
   // registered kernel query calls spread() on the same fixture files,
   // and a ParquetFileReader.open per call per file is a driver-side
   // footer read that adds up (ADVICE r7). Keyed on size+mtime so a
-  // regenerated fixture re-reads its footer.
+  // regenerated fixture re-reads its footer. Only LOCAL files are
+  // cached (ADVICE r8: for a non-file: scheme java.io.File reports
+  // size 0 / mtime 0, which would pin the first footer read forever);
+  // remote schemes fall through to Hadoop FileStatus each call. The
+  // map is bounded: past MaxCacheEntries it resets rather than grow
+  // without limit across generated fixtures.
+  private val MaxCacheEntries = 1024
   private val rowGroupCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Int]()
+
+  /** A parquet URI as a local java.io.File, iff it IS local. */
+  private def localFile(uri: String): Option[java.io.File] =
+    if (uri.startsWith("file:")) Some(new java.io.File(uri.stripPrefix("file:")))
+    else if (!uri.contains(":")) Some(new java.io.File(uri))
+    else None
 
   def spread(s: SparkSession, df: DataFrame,
              floorBytes: Long = DefaultFloor): DataFrame = {
@@ -48,19 +60,27 @@ object ScanSpread {
     // parquet-specific and the footer open would throw on other formats
     val files = df.inputFiles.filter(_.endsWith(".parquet"))
     if (files.isEmpty) return df
+    def footerRowGroups(f: String): Int = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRowGroups.size finally r.close()
+    }
+    var bytes = 0L
     val rowGroups = files.map { f =>
-      val local = new java.io.File(f.stripPrefix("file:"))
-      rowGroupCache.computeIfAbsent(
-        (f, local.length, local.lastModified),
-        _ => {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRowGroups.size finally r.close()
-        })
+      localFile(f) match {
+        case Some(local) =>
+          bytes += local.length
+          if (rowGroupCache.size > MaxCacheEntries) rowGroupCache.clear()
+          rowGroupCache.computeIfAbsent(
+            (f, local.length, local.lastModified), _ => footerRowGroups(f))
+        case None =>
+          val st = new org.apache.hadoop.fs.Path(f)
+            .getFileSystem(conf).getFileStatus(new org.apache.hadoop.fs.Path(f))
+          bytes += st.getLen
+          footerRowGroups(f)
+      }
     }.sum
-    val bytes = files
-      .map(f => new java.io.File(f.stripPrefix("file:")).length).sum
     if (rowGroups * 2 < s.sessionState.conf.numShufflePartitions &&
         bytes > floorBytes)
       df.repartition(s.sessionState.conf.numShufflePartitions)

@@ -887,8 +887,8 @@ object CorpusQueries {
          SELECT doc_id, n AS n_tokens,
            CAST(excl // 2048 AS BIGINT) AS first_seq,
            CAST(excl % 2048 AS BIGINT) AS offset_in_seq,
-           CAST((excl + n - 1) // 2048 - excl // 2048 + 1 AS BIGINT)
-             AS n_seqs_spanned
+           CAST(GREATEST(1, (excl + n - 1) // 2048 - excl // 2048 + 1)
+             AS BIGINT) AS n_seqs_spanned
          FROM r ORDER BY doc_id""") { (s, dir) =>
       Text.packSequences(docsKernel(s, dir), budget = 2048)
         .orderBy(col("doc_id"))
@@ -1897,6 +1897,33 @@ object CorpusQueries {
         .select(col("component"), col("eigenvalue"), col("projected_variance"),
           col("explained_ratio"))
         .orderBy(col("component"))
+    },
+
+    // The PCA first pass's oracle-checkable face (VERDICT r8 #4): the
+    // same one-scan covariance accumulation, run over INTEGER-quantized
+    // coordinates (q = ⌊x·2^20⌋ — float→double exact, floor exact, so q
+    // is a pure function of the parquet float in any engine) with all
+    // sums in Long: order-invariant, hence hash-checkable, where the
+    // float covariance is partition-order ulp-dependent. Emits the raw
+    // counts (n, Σqᵢ, Σqⱼ, Σqᵢqⱼ) per upper-triangle entry — everything
+    // the covariance/mean needs, before the one inexact division. The
+    // oracle replays the quantization via UNNEST + self-join.
+    Q("emb_pca_cov",
+      """WITH u AS (SELECT vec_id, gs.i AS i,
+           CAST(floor(CAST(embedding[gs.i + 1] AS DOUBLE) * 1048576)
+             AS BIGINT) AS q
+           FROM embeddings, generate_series(0, 63) AS gs(i))
+         SELECT a.i AS i, b.i AS j,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(a.q) AS BIGINT) AS sum_i,
+           CAST(SUM(b.q) AS BIGINT) AS sum_j,
+           CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+         FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+         GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      graft.sim.Pca.covarianceCounts(Tables(s, dir, "embeddings"), dim = 64)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("n_vecs"), col("sum_i"), col("sum_j"), col("dot"))
+        .orderBy(col("i"), col("j"))
     },
 
     // IVF-PQ recall: the memory-compressed ANN path (8×4-bit codes per

@@ -55,6 +55,80 @@ object Pca {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }
 
+  /** Integer-quantized outer-product accumulator: the EXACT twin of
+    * [[OuterSum]]. Each coordinate quantizes to q = ⌊x · 2^scaleBits⌋
+    * (float→double is exact, floor is exact, so q is a pure function of
+    * the stored float — engine-independent), and all sums run in Long:
+    * associative, commutative, partition-order-invariant, and therefore
+    * fully oracle-checkable — the move that green-lit CMS/MG/GK.
+    * Buffer layout: [count, Σq_0..Σq_{d−1}, upper-triangle Σq_i·q_j].
+    * Overflow headroom: |x| < 1 ⇒ |q| < 2^scaleBits, so each product is
+    * < 2^(2·scaleBits) and 2^(63−2·scaleBits) rows fit before overflow
+    * (scaleBits = 20 ⇒ ~2^23 ≈ 8M vectors — far past any fixture; ANSI
+    * mode throws rather than wraps if ever exceeded).
+    */
+  class QuantOuterSum(dim: Int, scaleBits: Int)
+      extends Aggregator[Array[Float], Array[Long], Array[Long]] {
+    private val len = 1 + dim + dim * (dim + 1) / 2
+    private val scale = math.pow(2.0, scaleBits)
+    override def zero: Array[Long] = new Array[Long](len)
+    override def reduce(b: Array[Long], a: Array[Float]): Array[Long] = {
+      val q = new Array[Long](dim)
+      var i = 0
+      while (i < dim) { q(i) = math.floor(a(i).toDouble * scale).toLong; i += 1 }
+      b(0) += 1L
+      i = 0; var t = 1 + dim
+      while (i < dim) {
+        b(1 + i) += q(i)
+        var j = i
+        while (j < dim) { b(t) += q(i) * q(j); j += 1; t += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var t = 0
+      while (t < len) { x(t) += y(t); t += 1 }
+      x
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Exact covariance RAW COUNTS over integer-quantized coordinates — the
+    * oracle-checkable face of the PCA's first pass. One corpus scan
+    * through [[QuantOuterSum]] (map-side partial aggregation; one
+    * ~(d²/2)-long row per partition on the shuffle), then the single
+    * aggregate row — kilobytes, the same bounded-collect class as
+    * [[fit]] — unpacks into one output row per upper-triangle entry:
+    * (i, j, n_vecs, sum_i, sum_j, dot). Any engine reproduces these
+    * integers exactly from the parquet floats, which is what lets the
+    * driver's DuckDB hash-check the covariance pipeline end-to-end while
+    * the float eigen query stays rows-only (partition-order ulps).
+    */
+  def covarianceCounts(corpus: DataFrame, dim: Int, scaleBits: Int = 20,
+                       vecCol: String = "embedding"): DataFrame = {
+    val quant = udaf(new QuantOuterSum(dim, scaleBits))
+    val r = corpus.agg(quant(col(vecCol)).as("b")).head().getSeq[Long](0)
+    val n = r(0)
+    val rows = new scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Long, Long, Long)]
+    var i = 0; var t = 1 + dim
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        rows += ((i, j, n, r(1 + i), r(1 + j), r(t)))
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    val s = corpus.sparkSession
+    import s.implicits._
+    rows.toSeq.toDF("i", "j", "n_vecs", "sum_i", "sum_j", "dot")
+  }
+
   final case class PcaModel(mean: Array[Double], eigenvalues: Array[Double],
                             components: Array[Array[Double]]) {
     def dim: Int = mean.length

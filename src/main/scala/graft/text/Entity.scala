@@ -16,34 +16,50 @@ object Entity {
     * values are within `maxDist` Levenshtein edits. Each unordered pair
     * is emitted once (`a_id < b_id`) with its exact distance.
     *
-    * Scale shape:
-    *  - the self-join shuffles (id, string, block) only — callers pick
-    *    `strCol` as the match key, never a payload column;
-    *  - `abs(len(a) − len(b)) ≤ maxDist` prunes before the O(len·maxDist)
-    *    dynamic program runs — lossless, since edit distance is bounded
-    *    below by the length difference;
-    *  - the bounded-distance verify is the native
-    *    [[graft.functions.TextExpressions.EditDistanceWithin]] kernel:
-    *    common-affix strip + banded DP, `levenshtein(a, b, threshold)`
-    *    semantics at a fraction of its cost on the near-identical
-    *    strings a fuzzy-match block contains by construction;
-    *  - blocks above `hotBlockCap` rows go through the lossless
-    *    grid-salted self-join the dedup pipelines use ([[Dedup]]): a row
-    *    with group g replicates to cells (g,·)/(·,g), every pair meets in
-    *    exactly one cell, and the same candidate set spreads over G²
-    *    tasks instead of pinning an N² cell on one reduce task. Hot-block
-    *    detection map-side-combines to block sizes; the driver holds at
-    *    most 64 (block, n) rows — the bounded-collect class.
+    * Two candidate strategies, one verify (EntitySpec pins them to the
+    * same result set as a quadratic reference):
+    *
+    *  - `"neighborhood"` (default for maxDist ≤ 2 under `"auto"`):
+    *    FastSS-style deletion-variant equality join. Each record emits
+    *    the ≤ C(len, ≤d) hashes of its deletion variants
+    *    ([[graft.functions.TextExpressions.DeletionNeighborhood]]); a
+    *    pair within d edits MUST share a variant (delete the unaligned
+    *    positions of an optimal alignment from each side), so the
+    *    equality join on (block, variant-hash) is a lossless filter and
+    *    the DP verifies the deduplicated candidates. This removes the
+    *    block² verify volume entirely — the fixed-length TPC-H names
+    *    make the length filter vacuous, and the measured sf1 cost was
+    *    all DP invocations (VERDICT r8 #5). IDs-only on every exchange:
+    *    variants carry (id, block, hash); strings are re-joined only for
+    *    the ~|candidates| verify rows.
+    *  - `"block"`: the classic Fellegi–Sunter blocked self-join, for
+    *    maxDist > 2 (variant counts grow as C(len, d)) or long keys:
+    *    `abs(len(a) − len(b)) ≤ maxDist` prunes before the DP; blocks
+    *    above `hotBlockCap` rows go through the lossless grid-salted
+    *    self-join the dedup pipelines use ([[Dedup]]): a row with group
+    *    g replicates to cells (g,·)/(·,g), every pair meets in exactly
+    *    one cell, spreading the same candidate set over G² tasks.
+    *    Hot-block detection map-side-combines to sizes; the driver holds
+    *    at most 64 (block, n) rows — the bounded-collect class.
+    *
+    * The verify is always the native
+    * [[graft.functions.TextExpressions.EditDistanceWithin]] kernel:
+    * common-affix strip + banded DP, `levenshtein(a, b, threshold)`
+    * semantics at a fraction of its cost on near-identical strings.
     */
   def editDistancePairs(records: DataFrame, maxDist: Int,
                         idCol: String, strCol: String,
                         blockCols: Seq[String],
                         hotBlockCap: Int = 100000,
-                        probePartitions: Int = 0): DataFrame = {
+                        probePartitions: Int = 0,
+                        strategy: String = "auto"): DataFrame = {
     require(blockCols.nonEmpty, "blocking columns are the scale contract")
+    require(Set("auto", "neighborhood", "block")(strategy), strategy)
     val slim = records.select(
       (col(idCol).as("id") +: col(strCol).as("s") +:
         blockCols.map(c => col(c))): _*)
+    if (strategy == "neighborhood" || (strategy == "auto" && maxDist <= 2))
+      return neighborhoodPairs(slim, maxDist, blockCols, probePartitions)
     // When `records` is dimension-sized, the other side broadcasts and
     // the probe side's SCAN parallelism caps the whole pair generation —
     // a table under files.maxPartitionBytes is ONE task doing every DP.
@@ -85,6 +101,43 @@ object Entity {
       .withColumn("dist", graft.functions.TextExpressions
         .editDistanceWithin(col("a_s"), col("b_s"), maxDist))
       .filter(col("dist") >= 0) // bounded form yields −1 above threshold
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
+  /** Deletion-neighborhood candidate generation + DP verify (see
+    * [[editDistancePairs]]). `slim` is (id, s, blockCols…).
+    */
+  private def neighborhoodPairs(slim: DataFrame, maxDist: Int,
+                                blockCols: Seq[String],
+                                probePartitions: Int): DataFrame = {
+    // the variant explode inflates ~C(len, ≤d)× — spread the source
+    // first or a single-split table generates every variant in one task
+    val src = if (probePartitions > 0) slim.repartition(probePartitions) else slim
+    val variants = src.select(
+      (col("id") +: blockCols.map(col) :+
+        explode(graft.functions.TextExpressions
+          .deletionNeighborhood(col("s"), maxDist)).as("vh")): _*)
+    val va = variants.toDF(("a_id" +: blockCols :+ "vh"): _*)
+    val vb = variants.toDF(("b_id" +: blockCols :+ "vh"): _*)
+    // near pairs share MANY variants (every deletion avoiding their
+    // differing positions) — distinct before the verify so each pair
+    // pays one DP. IDs-only rows on this exchange. The SHUFFLE_HASH
+    // hint is load-bearing: the explode's ~C(len,≤d)× inflation is
+    // invisible to size estimation (stats come from the pre-explode
+    // scan), so Spark otherwise picks a BroadcastHashJoin and builds a
+    // single-threaded multi-hundred-MB HashedRelation on the driver —
+    // measured 17 s of the sf1 query's 23 s. A shuffled hash join
+    // builds per-partition maps in parallel.
+    val cands = va.hint("SHUFFLE_HASH").join(vb, blockCols :+ "vh")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cands
+      .join(slim.select(col("id").as("a_id"), col("s").as("a_s")), "a_id")
+      .join(slim.select(col("id").as("b_id"), col("s").as("b_s")), "b_id")
+      .filter(abs(length(col("a_s")) - length(col("b_s"))) <= maxDist)
+      .withColumn("dist", graft.functions.TextExpressions
+        .editDistanceWithin(col("a_s"), col("b_s"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 }

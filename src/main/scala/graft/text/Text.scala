@@ -448,7 +448,13 @@ object Text {
       .select(col(idCol), col("n_tokens"),
         expr(s"excl div $budget").as("first_seq"),
         (col("excl") % budget).as("offset_in_seq"),
-        (expr(s"(excl + n_tokens - 1) div $budget") -
+        // greatest(1, ·) pins the zero-token edge: for n_tokens = 0 the
+        // `(excl + n - 1) div B` operand can go negative at a budget
+        // boundary, where Spark's `div` truncates toward zero but SQL
+        // `//` floors (ADVICE r8) — a doc always spans ≥ 1 sequence, and
+        // the oracle applies the same GREATEST, so the equivalence no
+        // longer leans on the tokenizer never returning an empty array.
+        greatest(lit(1L), expr(s"(excl + n_tokens - 1) div $budget") -
           expr(s"excl div $budget") + 1).as("n_seqs_spanned"))
   }
 

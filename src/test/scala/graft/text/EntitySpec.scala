@@ -54,15 +54,40 @@ class EntitySpec extends SparkSpec {
     val df = (hot ++ cold).toDF("id", "name", "country", "seg")
     def run(cap: Int) = Entity.editDistancePairs(df, maxDist = 2,
         idCol = "id", strCol = "name", blockCols = Seq("country", "seg"),
-        hotBlockCap = cap)
+        hotBlockCap = cap, strategy = "block")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val plain = run(1000000) // nothing hot: plain block join
     val salted = run(10)     // hot path forced for the 120-row block
     assert(plain.nonEmpty)
     assert(salted == plain, "grid salting changed the result set")
-    // and both equal the quadratic reference
+    // and both equal the quadratic reference, as does the
+    // deletion-neighborhood candidate path (the default at maxDist ≤ 2)
     val rows = (hot ++ cold).map { case (id, n, c, s) => (id, n, c.hashCode * 31 + s) }
     assert(plain == quadraticReference(rows, maxDist = 2))
+    val nbhd = Entity.editDistancePairs(df, maxDist = 2,
+        idCol = "id", strCol = "name", blockCols = Seq("country", "seg"),
+        strategy = "neighborhood")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(nbhd == plain, "neighborhood candidates changed the result set")
+  }
+
+  test("neighborhood ≡ block strategy on adversarial short/empty/unicode strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(271828)
+    val alphabet = "ab0é" // tiny alphabet: forces ed∈(2,4] near-miss candidates
+    def randStr() = (0 until rnd.nextInt(7)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val rows = (0 until 300).map(i => (i.toLong, randStr(), i % 3)) ++
+      Seq((400L, "", 0), (401L, "", 0), (402L, "a", 0), (403L, "ab", 0))
+    val df = rows.toDF("id", "name", "blk")
+    for (d <- Seq(0, 1, 2)) {
+      def run(strategy: String) = Entity.editDistancePairs(df, maxDist = d,
+          idCol = "id", strCol = "name", blockCols = Seq("blk"),
+          strategy = strategy)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val block = run("block")
+      assert(run("neighborhood") == block, s"strategies diverge at maxDist=$d")
+      assert(block == quadraticReference(rows.map { case (i, s, b) => (i, s, b) }, d))
+    }
   }
 
   test("EditDistanceWithin kernel ≡ Spark's levenshtein(l, r, threshold) on random strings") {
