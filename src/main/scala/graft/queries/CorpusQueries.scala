@@ -988,6 +988,32 @@ object CorpusQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Bounded-output containment twin (VERDICT r8 #6): per contained
+    // doc, the top-3 containers by containment — the provenance
+    // question ("which document swallowed this one") with output n·k,
+    // so the measured cost is the containment MACHINERY, not the
+    // fixture's 10.8M-row output tax (the emb_dup_pairs_tight move).
+    // Engine consumes the ranking map-side through the bounded
+    // TopKByScore accumulator (ties → ascending b_id, a total order);
+    // oracle replays it as a window rank.
+    Q("doc_containment_topk",
+      """WITH d AS (SELECT doc_id, lang, source,
+           list_distinct(regexp_split_to_array(text, '\s+')) AS w FROM documents),
+         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           len(list_intersect(a.w, b.w)) / len(a.w) AS containment
+           FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id <> b.doc_id
+           WHERE len(list_intersect(a.w, b.w)) / len(a.w) >= 0.9),
+         r AS (SELECT a_id, b_id, containment,
+           CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+             ORDER BY containment DESC, b_id) AS INT) AS rnk FROM p)
+         SELECT a_id, b_id, containment, rnk FROM r
+         WHERE rnk <= 3 ORDER BY a_id, rnk""") { (s, dir) =>
+      Dedup.containmentTopK(Tables(s, dir, "documents"),
+          blockCols = Seq("lang", "source"), threshold = 0.9, k = 3)
+        .orderBy(col("a_id"), col("rnk"))
+    },
+
     // Exact word-set Jaccard near-dup pairs, blocked on (lang, source).
     Q("doc_jaccard_pairs",
       """WITH d AS (SELECT doc_id, lang, source,

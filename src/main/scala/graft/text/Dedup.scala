@@ -805,6 +805,35 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Per-document top-k containers: for each contained doc A, the k
+    * containers B with the highest containment |A∩B|/|A| ≥ threshold
+    * (ties broken by ascending b_id — total order, so the result is
+    * engine-replayable). The provenance question curation actually asks
+    * — "WHICH document swallowed this one" — with output bounded at
+    * n·k instead of the full pair relation (the degenerate
+    * small-vocabulary fixture emits 10.8M true pairs at sf1; any exact
+    * engine pays that output tax, this surface doesn't). Same candidate
+    * machinery as [[containmentPairs]]; the ranking is consumed
+    * map-side by the bounded
+    * [[graft.sim.Similarity.TopKByScore]] accumulator, so the one
+    * extra shuffle carries at most n·k (score, id) entries — never a
+    * window-rank stream of every qualifying pair.
+    */
+  def containmentTopK(docs: DataFrame, blockCols: Seq[String], threshold: Double,
+                      k: Int, textCol: String = "text", idCol: String = "doc_id",
+                      commonVocab: Int = 10000,
+                      hotBucketCap: Int = 100000): DataFrame = {
+    val topk = udaf(new graft.sim.Similarity.TopKByScore(k))
+    containmentPairs(docs, blockCols, threshold, textCol, idCol,
+        commonVocab, hotBucketCap)
+      .groupBy(col("a_id"))
+      .agg(topk(col("containment"), col("b_id")).as("top"))
+      .select(col("a_id"), posexplode(col("top")))
+      .select(col("a_id"), col("col._2").as("b_id"),
+        col("col._1").as("containment"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Candidate (a_id, b_id) generation for [[containmentPairs]] — exposed
     * for candidate-volume measurement (PairStats).
     */
