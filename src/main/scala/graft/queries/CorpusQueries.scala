@@ -225,6 +225,122 @@ object CorpusQueries {
     * to double and accumulate the dot product in index order (see the
     * `emb_norms` precedent), and ranking ties break on `n_id`.
     */
+  /** Shared md5-MinHash oracle (`doc_minhash_pairs_md5` /
+    * `doc_minhash_incremental_md5`): recompute md5 60-bit shingle
+    * hashes, formula permutations and literal band keys over the capped
+    * 2,000-doc slice, generate banded candidates under the optional
+    * extra predicate (the incremental row keeps pairs whose greater id
+    * is in the batch), and verify exact Jaccard.
+    */
+  private def minhashMd5Sql(candExtra: String): String = {
+    val h60 = (s: String) =>
+      s"""list_reduce(list_transform(range(15), j ->
+           CAST(strpos('0123456789abcdef',
+             substr(md5($s), j + 1, 1)) - 1 AS BIGINT)),
+           (x, y) -> x * 16 + y)"""
+    s"""WITH perms AS (
+         SELECT i, (1103515245 * (i + 1) + 12345) % 2147483646 + 1 AS a,
+                (69069 * (i + 1) + 362437) % 2147483647 AS b
+         FROM (SELECT unnest(range(64)) AS i)),
+       toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         FROM documents WHERE doc_id < 2000),
+       sh AS (SELECT DISTINCT doc_id,
+           ${h60("array_to_string(list_slice(t, i, i + 2), ' ')")} AS h
+         FROM (SELECT doc_id, t,
+           unnest(range(1, len(t) - 1)) AS i FROM toks)),
+       m AS (SELECT doc_id, i,
+           MIN((a * (h % 2147483647) + b) % 2147483647) AS v
+         FROM sh CROSS JOIN perms GROUP BY doc_id, i),
+       bk AS (SELECT doc_id, i // 4 AS band,
+           string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS key
+         FROM m GROUP BY doc_id, i // 4),
+       cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM bk x JOIN bk y
+           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+           $candExtra),
+       cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS ni
+         FROM cand c
+         JOIN sh sa ON sa.doc_id = c.a_id
+         JOIN sh sb ON sb.doc_id = c.b_id AND sb.h = sa.h
+         GROUP BY c.a_id, c.b_id)
+       SELECT i.a_id, i.b_id,
+         CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) AS jaccard
+       FROM inter i
+       JOIN cnt na ON na.doc_id = i.a_id
+       JOIN cnt nb ON nb.doc_id = i.b_id
+       WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.5
+       ORDER BY a_id, b_id"""
+  }
+
+  /** Oracle for both the exact kNN join and its full-probe IVF-graph
+    * twin (`emb_knn_join` / `emb_knn_graph_exact`): exhaustive IVF is
+    * exact search, so one brute-force SQL serves both rows.
+    */
+  private val knnJoinExactSql =
+    """WITH v AS (SELECT vec_id, embedding,
+       sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+       FROM embeddings),
+     s AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       list_sum(list_transform(range(len(q.embedding)),
+         i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(n.embedding[i+1] AS DOUBLE)))
+         / (q.norm * n.norm) AS cos
+       FROM v q JOIN v n ON n.vec_id <> q.vec_id)
+     SELECT q_id, n_id, cos, rnk FROM (
+       SELECT q_id, n_id, cos,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
+       FROM s) WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** Shared md5-plane LSH oracle (`ann_lsh_topk_md5` /
+    * `ann_lsh_multiprobe_md5`): recompute the integer plane matrix from
+    * md5, fold index-ordered float·int projections (exact in double),
+    * chunk the sign bits, and generate candidates under `candCond` —
+    * `q.ch = n.ch` for single-probe, XOR-is-zero-or-power-of-two for
+    * the Hamming-1 multi-probe set — then exact-cosine rerank.
+    */
+  private def lshMd5TopkSql(candCond: String): String = {
+    val h8 = """(list_reduce(list_transform(range(8), k ->
+         CAST(strpos('0123456789abcdef',
+           substr(md5(CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)),
+             k + 1, 1)) - 1 AS BIGINT)),
+         (x, y) -> x * 16 + y) % 17) - 8"""
+    s"""WITH pl AS (SELECT i, j, $h8 AS c
+         FROM range(16) t(i) CROSS JOIN range(64) u(j)),
+       prods AS (SELECT e.vec_id, p.i, p.j,
+           CAST(e.embedding[p.j + 1] AS DOUBLE) * p.c AS prod
+         FROM embeddings e CROSS JOIN pl p),
+       dots AS (SELECT vec_id, i,
+           list_reduce(list(prod ORDER BY j), (x, y) -> x + y) AS s
+         FROM prods GROUP BY vec_id, i),
+       sig AS (SELECT vec_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i)
+             ELSE 0 END) AS BIGINT) AS sig
+         FROM dots GROUP BY vec_id),
+       ck AS (SELECT vec_id, cn, (sig >> (cn * 8)) & 255 AS ch
+         FROM sig CROSS JOIN range(2) r(cn)),
+       cand AS (SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+         FROM ck q JOIN ck n ON q.cn = n.cn AND ($candCond)
+         WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id),
+       v AS (SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * x))) AS norm
+         FROM embeddings),
+       sc AS (SELECT c.q_id, c.n_id,
+           list_sum(list_transform(range(len(q.embedding)),
+             jj -> CAST(q.embedding[jj + 1] AS DOUBLE)
+               * CAST(n.embedding[jj + 1] AS DOUBLE)))
+             / (q.norm * n.norm) AS cos
+         FROM cand c
+         JOIN v q ON q.vec_id = c.q_id
+         JOIN v n ON n.vec_id = c.n_id)
+       SELECT q_id, n_id, cos, rnk FROM (
+         SELECT q_id, n_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, n_id) AS INT) AS rnk
+         FROM sc)
+       WHERE rnk <= 10 ORDER BY q_id, rnk"""
+  }
+
   private val annExactTopkSql =
     """WITH v AS (SELECT vec_id, embedding,
        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
@@ -1410,47 +1526,31 @@ object CorpusQueries {
     // the fused kernel by design, and a verification twin proves
     // equality just as well on a bounded slice as on the full corpus
     // (uncapped it was the suite's slowest sf1 query at 45 s).
-    Q("doc_minhash_pairs_md5", {
-      val h60 = (s: String) =>
-        s"""list_reduce(list_transform(range(15), j ->
-             CAST(strpos('0123456789abcdef',
-               substr(md5($s), j + 1, 1)) - 1 AS BIGINT)),
-             (x, y) -> x * 16 + y)"""
-      s"""WITH perms AS (
-           SELECT i, (1103515245 * (i + 1) + 12345) % 2147483646 + 1 AS a,
-                  (69069 * (i + 1) + 362437) % 2147483647 AS b
-           FROM (SELECT unnest(range(64)) AS i)),
-         toks AS (SELECT doc_id, string_split(text, ' ') AS t
-           FROM documents WHERE doc_id < 2000),
-         sh AS (SELECT DISTINCT doc_id,
-             ${h60("array_to_string(list_slice(t, i, i + 2), ' ')")} AS h
-           FROM (SELECT doc_id, t,
-             unnest(range(1, len(t) - 1)) AS i FROM toks)),
-         m AS (SELECT doc_id, i,
-             MIN((a * (h % 2147483647) + b) % 2147483647) AS v
-           FROM sh CROSS JOIN perms GROUP BY doc_id, i),
-         bk AS (SELECT doc_id, i // 4 AS band,
-             string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS key
-           FROM m GROUP BY doc_id, i // 4),
-         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           FROM bk x JOIN bk y
-             ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-         cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS ni
-           FROM cand c
-           JOIN sh sa ON sa.doc_id = c.a_id
-           JOIN sh sb ON sb.doc_id = c.b_id AND sb.h = sa.h
-           GROUP BY c.a_id, c.b_id)
-         SELECT i.a_id, i.b_id,
-           CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) AS jaccard
-         FROM inter i
-         JOIN cnt na ON na.doc_id = i.a_id
-         JOIN cnt nb ON nb.doc_id = i.b_id
-         WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.5
-         ORDER BY a_id, b_id"""
-    }) { (s, dir) =>
+    Q("doc_minhash_pairs_md5",
+      minhashMd5Sql(candExtra = "")) { (s, dir) =>
       Dedup.minhashPairsMd5(
           Tables(s, dir, "documents").filter(col("doc_id") < 2000),
+          threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // INCREMENTAL LSH dedup under the oracle — the day-over-day shape
+    // production MinHash dedup actually runs: the standing corpus
+    // (doc_id < 250, the doc_incremental_dedup split) keeps its banded
+    // bucket index; the new batch computes ITS signatures only, probes the
+    // standing index (old×new) and self-joins within itself (new×new) —
+    // old×old candidates, resolved by previous runs, are never
+    // regenerated. The oracle recomputes the full pair relation and
+    // keeps pairs whose greater id is in the batch — the identical set,
+    // since a pair with ≥ 1 batch member arises in old×new or new×new
+    // and bucket equality is symmetric. Same md5-replayable config and
+    // 2,000-doc cap as the twin above.
+    Q("doc_minhash_incremental_md5",
+      minhashMd5Sql(candExtra = "AND y.doc_id >= 250")) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") < 2000)
+      Dedup.minhashPairsMd5Incremental(
+          batch = docs.filter(col("doc_id") >= 250),
+          existing = docs.filter(col("doc_id") < 250),
           threshold = 0.5)
         .orderBy(col("a_id"), col("b_id"))
     },
@@ -1649,20 +1749,25 @@ object CorpusQueries {
     // data movement is n·k: the inner side broadcasts once, scored
     // pairs are consumed map-side by the bounded TopKByScore
     // accumulator, and the one shuffle carries k entries per vector.
-    Q("emb_knn_join",
-      """WITH v AS (SELECT vec_id, embedding,
-         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
-         FROM embeddings),
-       s AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-         list_sum(list_transform(range(len(q.embedding)),
-           i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(n.embedding[i+1] AS DOUBLE)))
-           / (q.norm * n.norm) AS cos
-         FROM v q JOIN v n ON n.vec_id <> q.vec_id)
-       SELECT q_id, n_id, cos, rnk FROM (
-         SELECT q_id, n_id, cos,
-           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rnk
-         FROM s) WHERE rnk <= 5 ORDER BY q_id, rnk""") { (s, dir) =>
+    Q("emb_knn_join", knnJoinExactSql) { (s, dir) =>
       Similarity.knnJoinExact(Tables(s, dir, "embeddings"), k = 5)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // The bucketed kNN graph at FULL probe (nProbe = nCentroids) —
+    // exhaustive IVF is exact (every pair is a candidate exactly once:
+    // n sits in one inverted list, q probes all of them), so the same
+    // brute-force SQL oracle applies while the plan exercises the WHOLE
+    // graph machinery: centroid assignment kernel, grid-salted
+    // cluster join, bounded TopKByScore consumption (the ann_ivf_topk
+    // move, applied to the graph case). The production partial-probe
+    // path stays rows-only (emb_knn_graph) with its measured recall
+    // curve; IvfSpec additionally pins knnGraph ≡ search(corpus,
+    // corpus) row-identically.
+    Q("emb_knn_graph_exact", knnJoinExactSql) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val model = ivfModel(s, dir, nCentroids = 16, dim = 64, iters = 1)
+      graft.sim.Ivf.knnGraph(emb, model, k = 5, nProbe = 16)
         .orderBy(col("q_id"), col("rnk"))
     },
 
@@ -1778,50 +1883,24 @@ object CorpusQueries {
     // engine runs the SAME fused LshSignBits kernel (it takes the plane
     // array), so this row oracle-checks the kernel arithmetic, the
     // bucket join, and the rerank end-to-end — recall curve included.
-    Q("ann_lsh_topk_md5", {
-      val h8 = """(list_reduce(list_transform(range(8), k ->
-           CAST(strpos('0123456789abcdef',
-             substr(md5(CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)),
-               k + 1, 1)) - 1 AS BIGINT)),
-           (x, y) -> x * 16 + y) % 17) - 8"""
-      s"""WITH pl AS (SELECT i, j, $h8 AS c
-           FROM range(16) t(i) CROSS JOIN range(64) u(j)),
-         prods AS (SELECT e.vec_id, p.i, p.j,
-             CAST(e.embedding[p.j + 1] AS DOUBLE) * p.c AS prod
-           FROM embeddings e CROSS JOIN pl p),
-         dots AS (SELECT vec_id, i,
-             list_reduce(list(prod ORDER BY j), (x, y) -> x + y) AS s
-           FROM prods GROUP BY vec_id, i),
-         sig AS (SELECT vec_id,
-             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i)
-               ELSE 0 END) AS BIGINT) AS sig
-           FROM dots GROUP BY vec_id),
-         ck AS (SELECT vec_id, cn, (sig >> (cn * 8)) & 255 AS ch
-           FROM sig CROSS JOIN range(2) r(cn)),
-         cand AS (SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
-           FROM ck q JOIN ck n ON q.cn = n.cn AND q.ch = n.ch
-           WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id),
-         v AS (SELECT vec_id, embedding,
-             sqrt(list_sum(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * x))) AS norm
-           FROM embeddings),
-         sc AS (SELECT c.q_id, c.n_id,
-             list_sum(list_transform(range(len(q.embedding)),
-               jj -> CAST(q.embedding[jj + 1] AS DOUBLE)
-                 * CAST(n.embedding[jj + 1] AS DOUBLE)))
-               / (q.norm * n.norm) AS cos
-           FROM cand c
-           JOIN v q ON q.vec_id = c.q_id
-           JOIN v n ON n.vec_id = c.n_id)
-         SELECT q_id, n_id, cos, rnk FROM (
-           SELECT q_id, n_id, cos,
-             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-               ORDER BY cos DESC, n_id) AS INT) AS rnk
-           FROM sc)
-         WHERE rnk <= 10 ORDER BY q_id, rnk"""
-    }) { (s, dir) =>
+    Q("ann_lsh_topk_md5", lshMd5TopkSql("q.ch = n.ch")) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshTopKMd5(emb, emb.filter(col("vec_id") < 20), k = 10)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // The MULTI-PROBE path under the oracle (completing the md5-twin
+    // family: the production ann_lsh_multiprobe below stays rows-only
+    // by LSH-randomness shape, but the probe-expansion machinery itself
+    // — query chunks probing their Hamming-1 neighbor buckets — is now
+    // hash-checked end-to-end). Same md5 plane family, signature
+    // kernel, chunk index and exact rerank as ann_lsh_topk_md5; the
+    // oracle's candidate join admits chunk pairs whose XOR is zero or
+    // a single bit — exactly the engine's probe set {ch} ∪ {ch^2^b}.
+    Q("ann_lsh_multiprobe_md5", lshMd5TopkSql(
+      "(xor(q.ch, n.ch) & (xor(q.ch, n.ch) - 1)) = 0")) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshTopKMultiProbeMd5(emb, emb.filter(col("vec_id") < 20), k = 10)
         .orderBy(col("q_id"), col("rnk"))
     },
 

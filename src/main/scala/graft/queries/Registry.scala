@@ -9,19 +9,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The remaining oracle-less queries are engine-side BY DESIGN, each with a
   * spec that verifies the property the oracle can't:
-  *  - `ann_lsh_topk` — recall < 1 by construction (chunked sign-bit LSH
-  *    over seeded Gaussian planes); SimilaritySpec measures recall
-  *    against the exact result. The SAME pipeline in its
-  *    oracle-replayable config (`ann_lsh_topk_md5`: md5-derived integer
-  *    planes through the same fused kernel, buckets, and rerank) IS
-  *    hash-checked end-to-end, as are the exact ANN surfaces
+  *  - `ann_lsh_topk` / `ann_lsh_multiprobe` — recall < 1 by construction
+  *    (chunked sign-bit LSH over seeded Gaussian planes); SimilaritySpec
+  *    measures recall against the exact result. The SAME pipelines in
+  *    their oracle-replayable configs (`ann_lsh_topk_md5` /
+  *    `ann_lsh_multiprobe_md5`: md5-derived integer planes through the
+  *    same fused kernel, chunk index, Hamming-1 probe expansion and
+  *    rerank) ARE hash-checked end-to-end, as are the exact ANN surfaces
   *    (`ann_brute_topk`, full-probe `ann_ivf_topk`).
   *  - `doc_minhash_pairs` — MinHash permutations are engine-side constants
   *    (seeded RNG + xxhash64 band folding); DedupSpec checks candidates
   *    against exact shingle Jaccard. The SAME pipeline in its
   *    oracle-replayable config (`doc_minhash_pairs_md5`: md5 shingle
   *    hashes, formula permutations, literal band keys) IS hash-checked
-  *    end-to-end, as are the exact pair surfaces (`doc_jaccard_pairs`,
+  *    end-to-end — as is its INCREMENTAL day-over-day shape
+  *    (`doc_minhash_incremental_md5`: batch probes the standing band
+  *    index + intra-batch self-join, old×old never regenerated) — and
+  *    so are the exact pair surfaces (`doc_jaccard_pairs`,
   *    `emb_dup_pairs`).
   *  - `doc_simhash_pairs` — weighted-token SimHash is engine-side
   *    (xxhash64 token hashes); DedupSpec pins signatures and verifies
@@ -68,7 +72,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `emb_knn_graph` — same META shape for the bucketed kNN graph:
   *    recall@5 of `Ivf.knnGraph` per probe depth against the
   *    oracle-green exact join (`emb_knn_join`); IvfSpec additionally
-  *    pins knnGraph row-identical to `Ivf.search(corpus, corpus)`.
+  *    pins knnGraph row-identical to `Ivf.search(corpus, corpus)`, and
+  *    the FULL-PROBE graph (exhaustive IVF = exact) is itself
+  *    hash-checked under the brute-force oracle (`emb_knn_graph_exact`),
+  *    so the graph machinery — assignment kernel, grid-salted cluster
+  *    join, bounded top-k — sits under the driver gate.
   *  - `ann_pq_recall` — same META shape for the IVF-PQ compressed path:
   *    ADC scores are approximate by construction (quantization error), so
   *    the query measures recall against the oracle-exact brute-force

@@ -328,6 +328,35 @@ object Similarity {
     exactRerankTopK(cand, corpus, queries, k, idCol, vecCol)
   }
 
+  /** [[lshTopKMultiProbe]] with the md5-derived plane family — the
+    * oracle-checked twin of the MULTI-PROBE path (the `lshTopKMd5`
+    * move): same fused signature kernel, same chunk index, same
+    * query-side Hamming-1 probe expansion, same IDs-only candidates and
+    * exact rerank; only the plane constants change to ones a SQL oracle
+    * can recompute. The oracle's candidate join admits chunk pairs
+    * whose XOR is zero or a power of two — exactly the probe set.
+    */
+  def lshTopKMultiProbeMd5(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                           nPlanes: Int = 16, chunkBits: Int = 8, dim: Int = 64,
+                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nChunks = nPlanes / chunkBits
+    val pl = lshPlanesMd5(nPlanes, dim)
+    def chunked(df: DataFrame, role: String): DataFrame =
+      chunkBuckets(
+        df.select(col(idCol).as(s"${role}_id"),
+          VectorExpressions.lshSignBits(col(vecCol), pl, nPlanes, dim).as("sig")),
+        "sig", nChunks, chunkBits, Seq(s"${role}_id"))
+    val probeSet = array((Seq(col("ch")) ++
+      (0 until chunkBits).map(b => col("ch").bitwiseXOR(lit(1L << b)))): _*)
+    val probes = chunked(queries, "q")
+      .select(col("q_id"), col("chunk"), explode(probeSet).as("ch"))
+    val cand = chunked(corpus, "n")
+      .join(probes, Seq("chunk", "ch"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+    exactRerankTopK(cand, corpus, queries, k, idCol, vecCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-bucketed
     * (the embedding flavor of Dedup: same shape as minhashPairs).
     */

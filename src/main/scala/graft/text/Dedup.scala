@@ -267,15 +267,25 @@ object Dedup {
                       numHashes: Int = 64, bands: Int = 16, shingleW: Int = 3,
                       textCol: String = "text", idCol: String = "doc_id",
                       hotBucketCap: Int = 100000): DataFrame = {
+    val sigs = md5ShingleSigs(docs, numHashes, bands, shingleW, textCol, idCol)
+    val cand = bucketSelfJoin(md5BandBuckets(sigs, numHashes, bands), hotBucketCap)
+      .dropDuplicates("a_id", "b_id")
+    jaccardVerify(cand, sigs, threshold)
+  }
+
+  /** (id, sh, sig) for the md5-replayable MinHash config: 3-word shingles
+    * on the single-space tokenization (the fixture's separator; the
+    * oracle splits identically), md5-hashed to 60 bits, through the
+    * fused minhash kernel with formula-derived permutation constants.
+    */
+  private def md5ShingleSigs(docs: DataFrame, numHashes: Int, bands: Int,
+                             shingleW: Int, textCol: String, idCol: String): DataFrame = {
     require(numHashes % bands == 0)
-    val rows = numHashes / bands
     val p = MinhashPrime
     val as = Array.tabulate(numHashes)(i => (1103515245L * (i + 1) + 12345L) % (p - 1) + 1)
     val bs = Array.tabulate(numHashes)(i => (69069L * (i + 1) + 362437L) % p)
     val docsIn = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
       graft.ops.ScanSpread.KernelFloor)
-    // 3-word shingles on the single-space tokenization (the fixture's
-    // separator; the oracle splits identically), md5-hashed to 60 bits.
     val toks = split(col(textCol), " ")
     val shingleHashes = array_distinct(
       when(size(toks) >= shingleW,
@@ -283,18 +293,27 @@ object Dedup {
           i => conv(substring(md5(concat_ws(" ",
             slice(toks, i, lit(shingleW)))), 1, 15), 16, 10).cast("long")))
       .otherwise(array().cast("array<long>")))
-    val sigs = docsIn
+    docsIn
       .select(col(idCol).as("id"), shingleHashes.as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), col("sh"),
         VectorExpressions.minhashSig(col("sh"), as, bs, p).as("sig"))
-    val buckets = sigs.select(col("id"),
+  }
+
+  /** Banded (id, bh) bucket rows over md5-config signatures — literal
+    * band-tuple keys, so the oracle reconstructs them verbatim. */
+  private def md5BandBuckets(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat(b.cast("string"), lit(":"),
           array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
             v => v.cast("string")), ",")))).as("bh"))
-    val cand = bucketSelfJoin(buckets, hotBucketCap)
-      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Exact shingle-Jaccard verify of an IDs-only candidate set. */
+  private def jaccardVerify(cand: DataFrame, sigs: DataFrame,
+                            threshold: Double): DataFrame = {
     def side(role: String): DataFrame = sigs
       .select(col("id").as(s"${role}_id"), col("sh").as(s"${role}_sh"),
         size(col("sh")).as(s"${role}_n"))
@@ -305,6 +324,50 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         (col("inter") / (col("a_n") + col("b_n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** INCREMENTAL MinHash+LSH near-dup detection — how production LSH
+    * dedup actually runs day over day: the standing corpus keeps its
+    * banded bucket index; a new batch computes signatures for ITS
+    * documents only, probes the standing index (old×new bucket join),
+    * and self-joins within itself (new×new) — the old×old candidate
+    * volume, already resolved by previous runs, is never regenerated.
+    * Emits every near-dup pair involving ≥ 1 batch document, canonical
+    * (a_id < b_id), verified by exact shingle Jaccard.
+    *
+    * Same md5-replayable config as [[minhashPairsMd5]], so the whole
+    * incremental shape — index probe, intra-batch join, verify — sits
+    * under the DuckDB oracle (which recomputes the full pair relation
+    * and keeps the pairs whose greater id is in the batch: identical
+    * set, since a pair with ≥ 1 batch member arises in old×new or
+    * new×new, and bucket equality is symmetric).
+    *
+    * Scale shape: the probe join touches the batch's bucket rows against
+    * the standing index — with a date-partitioned or bucketed index
+    * table, that is an index lookup, not a corpus scan; hot standing
+    * buckets fall under the same grid treatment via `hotBucketCap`
+    * (here: the probe side replicates, bounded by the batch size).
+    */
+  def minhashPairsMd5Incremental(batch: DataFrame, existing: DataFrame,
+                                 threshold: Double = 0.5,
+                                 numHashes: Int = 64, bands: Int = 16,
+                                 shingleW: Int = 3,
+                                 textCol: String = "text", idCol: String = "doc_id",
+                                 hotBucketCap: Int = 100000): DataFrame = {
+    val sigsOld = md5ShingleSigs(existing, numHashes, bands, shingleW, textCol, idCol)
+    val sigsNew = md5ShingleSigs(batch, numHashes, bands, shingleW, textCol, idCol)
+    val oldB = md5BandBuckets(sigsOld, numHashes, bands)
+    val newB = md5BandBuckets(sigsNew, numHashes, bands)
+    // corpus-proportional exploded index: never broadcastable (the
+    // bucketSelfJoin rationale — explode inflation is invisible to stats)
+    val cross = oldB.toDF("o_id", "bh").hint("SHUFFLE_HASH")
+      .join(newB.toDF("n_id", "bh"), "bh")
+      .filter(col("o_id") =!= col("n_id"))
+      .select(least(col("o_id"), col("n_id")).as("a_id"),
+        greatest(col("o_id"), col("n_id")).as("b_id"))
+    val fresh = bucketSelfJoin(newB, hotBucketCap)
+    val cand = cross.unionByName(fresh).dropDuplicates("a_id", "b_id")
+    jaccardVerify(cand, sigsOld.unionByName(sigsNew), threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens: per-token xxhash64, each bit

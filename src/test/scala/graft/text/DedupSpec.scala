@@ -61,6 +61,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashPairsMd5Incremental ≡ full run restricted to pairs touching the batch") {
+    // the day-over-day contract: probing the standing index + the
+    // intra-batch self-join yields exactly the full pair relation's
+    // rows with ≥ 1 batch member — never an old×old pair, never a miss
+    val all = docs((1L, base), (2L, nearDup), (3L, other), (4L, base),
+      (5L, nearDup), (6L, base))
+    val split = 4L // existing: 1-3, batch: 4-6
+    val inc = Dedup.minhashPairsMd5Incremental(
+        batch = all.filter(org.apache.spark.sql.functions.col("doc_id") >= split),
+        existing = all.filter(org.apache.spark.sql.functions.col("doc_id") < split),
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashPairsMd5(all, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = full.filter { case (a, b, _) => a >= split || b >= split }
+    assert(inc == want, s"inc=$inc want=$want")
+    assert(want.nonEmpty, "degenerate fixture: no pair crosses the split")
+    assert(inc.forall { case (a, b, _) => a < b }, "canonical order violated")
+  }
+
   test("simhashPairsMd5: identical docs at hamming 0, unrelated docs out") {
     val d = docs((1L, base), (2L, nearDup), (3L, other), (4L, base))
     val out = Dedup.simhashPairsMd5(d, maxHamming = 3)
