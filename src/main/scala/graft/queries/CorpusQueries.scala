@@ -275,12 +275,15 @@ object CorpusQueries {
 
   /** Oracle for both the exact kNN join and its full-probe IVF-graph
     * twin (`emb_knn_join` / `emb_knn_graph_exact`): exhaustive IVF is
-    * exact search, so one brute-force SQL serves both rows.
+    * exact search, so one brute-force SQL serves both rows. `where`
+    * bounds the corpus slice for the verification twin (the md5-twin
+    * cap rationale: equality is proven just as well on a fixed slice,
+    * and an uncapped full-probe graph is deliberately the n² workload).
     */
-  private val knnJoinExactSql =
-    """WITH v AS (SELECT vec_id, embedding,
+  private def knnJoinExactSql(where: String = ""): String =
+    s"""WITH v AS (SELECT vec_id, embedding,
        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
-       FROM embeddings),
+       FROM embeddings $where),
      s AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
        list_sum(list_transform(range(len(q.embedding)),
          i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(n.embedding[i+1] AS DOUBLE)))
@@ -1749,7 +1752,7 @@ object CorpusQueries {
     // data movement is n·k: the inner side broadcasts once, scored
     // pairs are consumed map-side by the bounded TopKByScore
     // accumulator, and the one shuffle carries k entries per vector.
-    Q("emb_knn_join", knnJoinExactSql) { (s, dir) =>
+    Q("emb_knn_join", knnJoinExactSql()) { (s, dir) =>
       Similarity.knnJoinExact(Tables(s, dir, "embeddings"), k = 5)
         .orderBy(col("q_id"), col("rnk"))
     },
@@ -1764,8 +1767,13 @@ object CorpusQueries {
     // path stays rows-only (emb_knn_graph) with its measured recall
     // curve; IvfSpec additionally pins knnGraph ≡ search(corpus,
     // corpus) row-identically.
-    Q("emb_knn_graph_exact", knnJoinExactSql) { (s, dir) =>
-      val emb = Tables(s, dir, "embeddings")
+    // CAPPED to a fixed 2,000-vector slice on BOTH sides (the md5-twin
+    // rationale): exhaustive probe is deliberately the n^2 workload the
+    // partial-probe graph exists to avoid, and the equality proof is as
+    // strong on a bounded slice; the production-scale graph cost is
+    // measured by emb_knn_graph's recall sweep.
+    Q("emb_knn_graph_exact", knnJoinExactSql("WHERE vec_id < 2000")) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings").filter(col("vec_id") < 2000)
       val model = ivfModel(s, dir, nCentroids = 16, dim = 64, iters = 1)
       graft.sim.Ivf.knnGraph(emb, model, k = 5, nProbe = 16)
         .orderBy(col("q_id"), col("rnk"))
