@@ -71,6 +71,21 @@ object Main {
         (df, table) => captured.merge(table, df.count(), (a, b) => a + b)
       }
 
+    // Serving façade (the reference's dashboard/app.py is 0 bytes; this
+    // is the read path its README claims — graft.serve.Dashboard):
+    // opt-in via GRAFT_DASHBOARD_PORT, serves the live KV store and, when
+    // Postgres is configured, the K1-K4 tables under an allowlist.
+    val dashboard = sys.env.get("GRAFT_DASHBOARD_PORT").map { p =>
+      val jdbcRead =
+        if (sys.env.contains("POSTGRES_HOST"))
+          Some((JdbcSink.JdbcConfig(cfg.jdbcUrl, cfg.postgresUser, cfg.postgresPassword),
+            graft.runtime.ClickstreamProcessor.tableKeys.keySet ++ Set("purchase_stats")))
+        else None
+      val d = new graft.serve.Dashboard(kv, jdbcRead, p.toInt)
+      println(s"[graft] dashboard serving on http://127.0.0.1:${d.boundPort}")
+      d
+    }
+
     sys.env.get("GRAFT_SOURCE") match {
       case Some("kafka") =>
         ClickstreamProcessor.start(runner,
@@ -151,6 +166,7 @@ object Main {
           case _ => ()
         }
     }
+    dashboard.foreach(_.close())
     spark.stop()
   }
 }
