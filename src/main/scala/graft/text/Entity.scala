@@ -19,7 +19,8 @@ object Entity {
     * Two candidate strategies, one verify (EntitySpec pins them to the
     * same result set as a quadratic reference):
     *
-    *  - `"neighborhood"` (default for maxDist ≤ 2 under `"auto"`):
+    *  - `"neighborhood"` (chosen by the cost probe under `"auto"` when
+    *    maxDist ≤ 2 and the block-pair volume Σn² is large):
     *    FastSS-style deletion-variant equality join. Each record emits
     *    the ≤ C(len, ≤d) hashes of its deletion variants
     *    ([[graft.functions.TextExpressions.DeletionNeighborhood]]); a
@@ -58,7 +59,28 @@ object Entity {
     val slim = records.select(
       (col(idCol).as("id") +: col(strCol).as("s") +:
         blockCols.map(c => col(c))): _*)
-    if (strategy == "neighborhood" || (strategy == "auto" && maxDist <= 2))
+    // "auto" is COST-BASED, not a flat rule: the block join's work is
+    // Σ_b n_b² DP verifies while the neighborhood path pays ~C(len,≤d)
+    // variant rows per record plus candidate joins — a crossover, not a
+    // dominance (measured on the customer fixture: at Σn² ≈ 9M the
+    // block join wins 0.8 s vs 2.5 s; at Σn² ≈ 450M the neighborhood
+    // wins 7.0 s vs 24.7 s). One bounded IDs-only aggregate (the same
+    // map-side-combined block-size scan the hot-block detector runs)
+    // prices both before any pair work starts. Explicit strategies skip
+    // the probe job.
+    val useNeighborhood = strategy match {
+      case "neighborhood" => true
+      case "block" => false
+      case _ =>
+        maxDist <= 2 && {
+          val row = slim.groupBy(blockCols.map(col): _*)
+            .agg(count(lit(1)).as("n"))
+            .agg(sum(col("n") * col("n"))).head()
+          val pairVolume = if (row.isNullAt(0)) 0L else row.getLong(0)
+          pairVolume > 100L * 1000 * 1000
+        }
+    }
+    if (useNeighborhood)
       return neighborhoodPairs(slim, maxDist, blockCols, probePartitions)
     // When `records` is dimension-sized, the other side broadcasts and
     // the probe side's SCAN parallelism caps the whole pair generation —
