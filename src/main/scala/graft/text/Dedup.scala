@@ -853,16 +853,51 @@ object Dedup {
         array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
       .withColumn("nw", size(col("w")))
     val cand = containmentCandidates(d, blockCols, threshold, commonVocab, hotBucketCap)
-    // Shuffle-join the corpus-sized payload back by id — see the same
-    // treatment in prefixJaccardPairs (a byte-estimate-driven broadcast
-    // of the token arrays measured 4.8 GiB at sf1).
-    val aSide = d.select(col("id").as("a_id"), col("w").as("a_w"), col("nw").as("a_nw"))
-      .hint("SHUFFLE_HASH")
-    val bSide = d.select(col("id").as("b_id"), col("w").as("b_w"), col("nw").as("b_nw"))
-      .hint("SHUFFLE_HASH")
-    cand.join(aSide, "a_id").join(bSide, "b_id")
-      .withColumn("inter",
-        HashExpressions.sortedIntersectSize(col("a_w"), col("b_w")))
+    // BOUNDED-DICTIONARY FAST PATH (the Roaring-bitmap idea at its
+    // degenerate best): when the whole corpus speaks ≤ 64 distinct
+    // tokens — tag sets, category sets, tiny controlled vocabularies —
+    // a document's token SET is one Long (bit r = vocab rank r
+    // present), set intersection is `bit_count(a & b)`, and the verify
+    // join-back ships 8 bytes per side instead of the full token
+    // arrays (measured: the string-array verify moves ~10 GB for the
+    // sf1 fixture's 16M candidates; same values either way, since the
+    // rank map is a bijection and |A∩B| is bijection-invariant — the
+    // oracle needs no change). Gate: one map-side-combined
+    // countDistinct over exploded tokens (cheap: tokens collapse to
+    // vocabulary size per partition), then a ≤64-row collect — the
+    // bounded-collect class. Realistic text corpora (Zipf twin: 50k
+    // vocab) take the general sorted-merge path below.
+    val nVocab = d.select(explode(col("w")).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    val verified = if (nVocab <= 64) {
+      val vocab = d.select(explode(col("w")).as("t")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val mapLit = vocab.zipWithIndex
+        .map { case (t, i) => s"'${t.replace("'", "''")}', $i" }
+        .mkString("map(", ", ", ")")
+      val mask = expr(s"aggregate(transform(w, t -> " +
+        s"shiftleft(CAST(1 AS BIGINT), element_at($mapLit, t))), " +
+        "CAST(0 AS BIGINT), (acc, b) -> acc | b)")
+      val dm = d.withColumn("m", mask)
+      val aSide = dm.select(col("id").as("a_id"), col("m").as("a_m"),
+        col("nw").as("a_nw")).hint("SHUFFLE_HASH")
+      val bSide = dm.select(col("id").as("b_id"), col("m").as("b_m"))
+        .hint("SHUFFLE_HASH")
+      cand.join(aSide, "a_id").join(bSide, "b_id")
+        .withColumn("inter", expr("bit_count(a_m & b_m)"))
+    } else {
+      // Shuffle-join the corpus-sized payload back by id — see the same
+      // treatment in prefixJaccardPairs (a byte-estimate-driven broadcast
+      // of the token arrays measured 4.8 GiB at sf1).
+      val aSide = d.select(col("id").as("a_id"), col("w").as("a_w"), col("nw").as("a_nw"))
+        .hint("SHUFFLE_HASH")
+      val bSide = d.select(col("id").as("b_id"), col("w").as("b_w"), col("nw").as("b_nw"))
+        .hint("SHUFFLE_HASH")
+      cand.join(aSide, "a_id").join(bSide, "b_id")
+        .withColumn("inter",
+          HashExpressions.sortedIntersectSize(col("a_w"), col("b_w")))
+    }
+    verified
       .select(col("a_id"), col("b_id"),
         (col("inter") / col("a_nw")).as("containment"))
       .filter(col("containment") >= threshold)

@@ -115,6 +115,42 @@ class EntitySpec extends SparkSpec {
     }
   }
 
+  test("DeletionNeighborhood kernel ≡ brute-force variant enumeration (property)") {
+    import spark.implicits._
+    // independent JVM-side reference: enumerate ≤d-deletion variants as
+    // STRINGS, hash with the kernel's FNV-1a over code points, dedupe
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.codePoints().toArray.foreach(c => h = (h ^ c) * 0x100000001b3L)
+      h
+    }
+    // deletions are CODE-POINT-wise (the kernel never splits a
+    // surrogate pair), so the reference enumerates code-point vectors
+    def variants(s: String, d: Int): Set[Long] = {
+      def del(cur: Vector[Int], left: Int): Set[Vector[Int]] =
+        if (left == 0) Set(cur)
+        else cur.indices.flatMap(i =>
+          del(cur.patch(i, Nil, 1), left - 1)).toSet + cur
+      del(s.codePoints().toArray.toVector, d)
+        .map(v => fnv(new String(v.toArray, 0, v.length)))
+    }
+    val rnd = new scala.util.Random(97)
+    val alphabet = "abcé𝒳" // includes a surrogate-pair code point
+    val strs = (0 until 120).map(_ =>
+      (0 until rnd.nextInt(9)).map(_ => alphabet(rnd.nextInt(4)).toString)
+        .mkString + (if (rnd.nextBoolean()) "𝒳" else "")) :+ "" :+ "𝒳𝒳"
+    for (d <- Seq(0, 1, 2)) {
+      val got = strs.toDF("s")
+        .select(col("s"), graft.functions.TextExpressions
+          .deletionNeighborhood(col("s"), d).as("v"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      strs.distinct.foreach { s =>
+        assert(got(s).toSet == variants(s, d), s"d=$d s='$s'")
+        assert(got(s).distinct.size == got(s).size, s"dupes emitted for '$s'")
+      }
+    }
+  }
+
   test("pairs respect block boundaries even for identical strings") {
     import spark.implicits._
     val df = Seq((1L, "same name", 1), (2L, "same name", 2))
