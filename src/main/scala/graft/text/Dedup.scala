@@ -862,16 +862,15 @@ object Dedup {
     // arrays (measured: the string-array verify moves ~10 GB for the
     // sf1 fixture's 16M candidates; same values either way, since the
     // rank map is a bijection and |A∩B| is bijection-invariant — the
-    // oracle needs no change). Gate: one map-side-combined
-    // countDistinct over exploded tokens (cheap: tokens collapse to
-    // vocabulary size per partition), then a ≤64-row collect — the
-    // bounded-collect class. Realistic text corpora (Zipf twin: 50k
-    // vocab) take the general sorted-merge path below.
-    val nVocab = d.select(explode(col("w")).as("t"))
-      .agg(countDistinct(col("t"))).head().getLong(0)
-    val verified = if (nVocab <= 64) {
-      val vocab = d.select(explode(col("w")).as("t")).distinct()
-        .collect().map(_.getString(0)).sorted
+    // oracle needs no change). Gate: ONE bounded job — distinct tokens
+    // capped at 65 rows (map-side partial dedup collapses each
+    // partition to vocabulary size first); 65 rows back means the
+    // vocabulary is too big and the general path runs. The
+    // bounded-collect class either way.
+    val vocabProbe = d.select(explode(col("w")).as("t")).distinct()
+      .limit(65).collect().map(_.getString(0))
+    val verified = if (vocabProbe.length <= 64) {
+      val vocab = vocabProbe.sorted
       val mapLit = vocab.zipWithIndex
         .map { case (t, i) => s"'${t.replace("'", "''")}', $i" }
         .mkString("map(", ", ", ")")
