@@ -41,15 +41,24 @@ object ScanSpread {
   // cached (ADVICE r8: for a non-file: scheme java.io.File reports
   // size 0 / mtime 0, which would pin the first footer read forever);
   // remote schemes fall through to Hadoop FileStatus each call. The
-  // map is bounded: past MaxCacheEntries it resets rather than grow
-  // without limit across generated fixtures.
+  // map is bounded: at MaxCacheEntries new keys are computed but not
+  // inserted (ADVICE r9: the previous clear() dropped every live entry
+  // at once — a thundering re-read — and raced concurrent readers).
   private val MaxCacheEntries = 1024
-  private val rowGroupCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Int]()
+  private val rowGroupCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), java.lang.Integer]()
 
-  /** A parquet URI as a local java.io.File, iff it IS local. */
+  /** A parquet URI as a local java.io.File, iff it IS local. Resolved
+    * through java.net.URI so percent-encoded paths (e.g. %20) decode to
+    * the real file (ADVICE r9: the raw-string form made File report
+    * size 0 / mtime 0 for such paths, pinning the first footer read
+    * forever — the same stale-cache class the r8 fix addressed for
+    * remote schemes). Unparseable file: URIs fall back to non-cached.
+    */
   private def localFile(uri: String): Option[java.io.File] =
-    if (uri.startsWith("file:")) Some(new java.io.File(uri.stripPrefix("file:")))
+    if (uri.startsWith("file:"))
+      try Some(new java.io.File(java.net.URI.create(uri)))
+      catch { case _: IllegalArgumentException => None }
     else if (!uri.contains(":")) Some(new java.io.File(uri))
     else None
 
@@ -71,9 +80,15 @@ object ScanSpread {
       localFile(f) match {
         case Some(local) =>
           bytes += local.length
-          if (rowGroupCache.size > MaxCacheEntries) rowGroupCache.clear()
-          rowGroupCache.computeIfAbsent(
-            (f, local.length, local.lastModified), _ => footerRowGroups(f))
+          val key = (f, local.length, local.lastModified)
+          val hit = rowGroupCache.get(key)
+          if (hit != null) hit.intValue
+          else {
+            val v = footerRowGroups(f)
+            if (rowGroupCache.size < MaxCacheEntries)
+              rowGroupCache.put(key, Int.box(v))
+            v
+          }
         case None =>
           val st = new org.apache.hadoop.fs.Path(f)
             .getFileSystem(conf).getFileStatus(new org.apache.hadoop.fs.Path(f))

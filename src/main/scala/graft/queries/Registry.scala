@@ -40,7 +40,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    reuse); the exact intersection rides in the same output row, and
   *    SketchesSpec bounds the estimate error against planted overlaps.
   *  - `ev_sketch_rollup` — Datasketches HLL estimates are engine-side
-  *    (like `ev_hll_users`); the exact weekly count rides in-row, and
+  *    (like `ev_hll_users`); the exact weekly count rides in-row AND is
+  *    oracle-checked as its own row (`ev_sketch_rollup_exact`: the
+  *    daily→weekly n_rows rollup plus the exact weekly distinct under
+  *    the DuckDB oracle), and
   *    SketchesSpec pins the sketch-table algebra itself: merged daily
   *    sketches estimate EXACTLY like a direct whole-range sketch when
   *    each group's rows land in one sketch (the partitioned-table

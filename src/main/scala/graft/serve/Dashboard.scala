@@ -44,12 +44,23 @@ import graft.sink.{JdbcSink, KeyValueSink}
   */
 final class Dashboard(kv: KeyValueSink,
                       jdbc: Option[(JdbcSink.JdbcConfig, Set[String])],
-                      port: Int = 0) extends AutoCloseable {
+                      port: Int = 0,
+                      bindAddress: java.net.InetAddress =
+                        java.net.InetAddress.getLoopbackAddress)
+    extends AutoCloseable {
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // Loopback by default: this façade is unauthenticated, so binding the
+  // wildcard address would expose KV and Postgres reads on every
+  // interface. Deployments that front it with real auth/a reverse proxy
+  // pass an explicit bindAddress.
+  private val server =
+    HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
 
   /** Bound port (useful when constructed with port = 0 for tests). */
   def boundPort: Int = server.getAddress.getPort
+
+  /** Full bound address (spec-checked to be loopback by default). */
+  def serverAddress: InetSocketAddress = server.getAddress
 
   private def jsonStr(s: String): String = {
     val b = new StringBuilder("\"")
@@ -131,9 +142,12 @@ final class Dashboard(kv: KeyValueSink,
   jdbc.foreach { case (cfg, allowedTables) =>
     handle("/sql") { ex =>
       val table = param(ex, "table")
-      val limit = math.min(1000,
+      // Clamp to [1, 1000]: limit=0 would reach setMaxRows(0), which in
+      // JDBC means UNLIMITED (defeating the hard cap), and a negative
+      // value would throw and surface as a 500 instead of a clamp.
+      val limit = math.max(1, math.min(1000,
         param(ex, "limit").flatMap(s => scala.util.Try(s.toInt).toOption)
-          .getOrElse(100))
+          .getOrElse(100)))
       table match {
         case Some(t) if allowedTables(t) =>
           val conn = java.sql.DriverManager.getConnection(

@@ -235,6 +235,49 @@ object Dedup {
     joined.filter(col("a_id") < col("b_id")).select("a_id", "b_id")
   }
 
+  /** Two-sided analogue of [[bucketSelfJoin]] for the incremental probe
+    * (standing index × batch): canonical candidate pairs from rows
+    * sharing a bucket across the two sides. A hot bucket — combined
+    * occupancy above `hotBucketCap` — concentrates every probe match on
+    * one reduce task (ADVICE r9: the plain join had no treatment while
+    * the docstring claimed it did). Treatment salts the STANDING side
+    * (the one that grows without bound day over day) into `grid` cells
+    * by id-hash and replicates the batch side across the grid, so a hot
+    * bucket's o×n work spreads over `grid` tasks at the cost of
+    * replicating only batch rows. Hot detection is one bounded
+    * aggregate-collect over combined bucket counts (≤ 64 driver rows),
+    * the same class as the self-join's.
+    */
+  private[text] def bucketProbeJoin(oldB: DataFrame, newB: DataFrame,
+                                    hotBucketCap: Int): DataFrame = {
+    // corpus-proportional exploded index: never broadcastable (the
+    // bucketSelfJoin rationale — explode inflation is invisible to stats)
+    val o = oldB.toDF("o_id", "bh").hint("SHUFFLE_HASH")
+    val n = newB.toDF("n_id", "bh")
+    val hotRows = oldB.toDF("o_id", "bh").select(col("bh"))
+      .unionAll(newB.toDF("n_id", "bh").select(col("bh")))
+      .groupBy(col("bh"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > hotBucketCap)
+      .orderBy(col("cnt").desc, col("bh")).limit(64).collect()
+    val joined =
+      if (hotRows.isEmpty) o.join(n, Seq("bh"))
+      else {
+        val hot: Seq[Any] = hotRows.map(_.get(0)).toSeq
+        val maxN = hotRows.map(_.getLong(1)).max
+        val grid = math.min(32L, (maxN + hotBucketCap - 1) / hotBucketCap).toInt
+        val cold = o.filter(!col("bh").isin(hot: _*))
+          .join(n.filter(!col("bh").isin(hot: _*)), Seq("bh"))
+        val oHot = o.filter(col("bh").isin(hot: _*))
+          .withColumn("g", pmod(xxhash64(col("o_id")), lit(grid.toLong)))
+        val nHot = n.filter(col("bh").isin(hot: _*))
+          .withColumn("g", explode(sequence(lit(0L), lit(grid - 1L))))
+        cold.unionByName(oHot.join(nHot, Seq("bh", "g")).drop("g"))
+      }
+    joined.filter(col("o_id") =!= col("n_id"))
+      .select(least(col("o_id"), col("n_id")).as("a_id"),
+        greatest(col("o_id"), col("n_id")).as("b_id"))
+  }
+
   /** The ORACLE-REPLAYABLE MinHash+LSH config: identical pipeline shape
     * to [[minhashPairs]] (signature → banded buckets → grid-salted
     * bucket self-join → exact-Jaccard verify), but every engine-side
@@ -344,9 +387,12 @@ object Dedup {
     *
     * Scale shape: the probe join touches the batch's bucket rows against
     * the standing index — with a date-partitioned or bucketed index
-    * table, that is an index lookup, not a corpus scan; hot standing
-    * buckets fall under the same grid treatment via `hotBucketCap`
-    * (here: the probe side replicates, bounded by the batch size).
+    * table, that is an index lookup, not a corpus scan. Hot buckets get
+    * the two-sided grid treatment in [[bucketProbeJoin]]: the standing
+    * side is salted into grid cells and the (small) batch side
+    * replicates across them, so a hot standing bucket never pins all
+    * its probe matches on one reduce task; the intra-batch self-join
+    * keeps [[bucketSelfJoin]]'s symmetric grid.
     */
   def minhashPairsMd5Incremental(batch: DataFrame, existing: DataFrame,
                                  threshold: Double = 0.5,
@@ -358,13 +404,7 @@ object Dedup {
     val sigsNew = md5ShingleSigs(batch, numHashes, bands, shingleW, textCol, idCol)
     val oldB = md5BandBuckets(sigsOld, numHashes, bands)
     val newB = md5BandBuckets(sigsNew, numHashes, bands)
-    // corpus-proportional exploded index: never broadcastable (the
-    // bucketSelfJoin rationale — explode inflation is invisible to stats)
-    val cross = oldB.toDF("o_id", "bh").hint("SHUFFLE_HASH")
-      .join(newB.toDF("n_id", "bh"), "bh")
-      .filter(col("o_id") =!= col("n_id"))
-      .select(least(col("o_id"), col("n_id")).as("a_id"),
-        greatest(col("o_id"), col("n_id")).as("b_id"))
+    val cross = bucketProbeJoin(oldB, newB, hotBucketCap)
     val fresh = bucketSelfJoin(newB, hotBucketCap)
     val cand = cross.unionByName(fresh).dropDuplicates("a_id", "b_id")
     jaccardVerify(cand, sigsOld.unionByName(sigsNew), threshold)

@@ -67,6 +67,24 @@ class DashboardSpec extends AnyFunSuite {
       // allowlist: a table name from the URL never reaches SQL
       assert(get(dash.boundPort, "/sql?table=SYS.SYSTABLES")._1 == 404)
       assert(get(dash.boundPort, "/sql")._1 == 400)
+      // limit is clamped to [1, 1000]: 0 must NOT mean JDBC-unlimited,
+      // negative/garbage must not 500 — all serve exactly like limit=1
+      // (floor) or the default (garbage).
+      for (lim <- Seq("0", "-5")) {
+        val (c, b) = get(dash.boundPort, s"/sql?table=page_views&limit=$lim")
+        assert(c == 200, s"limit=$lim: $b")
+        assert("\\{\"page\":".r.findAllIn(b).size == 1, s"limit=$lim: $b")
+      }
+      val (cg, bg) = get(dash.boundPort, "/sql?table=page_views&limit=banana")
+      assert(cg == 200 && "\\{\"page\":".r.findAllIn(bg).size == 5, bg)
     } finally dash.close()
+  }
+
+  test("server binds loopback only") {
+    val dash = new Dashboard(new InMemoryKV, jdbc = None)
+    try
+      assert(dash.serverAddress.getAddress.isLoopbackAddress,
+        s"bound ${dash.serverAddress}")
+    finally dash.close()
   }
 }

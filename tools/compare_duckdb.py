@@ -8,8 +8,19 @@ oracle statement in DuckDB against the parquet tables in <sfDir>, and
 compares rows/schema/value-hash against the engine's dumped parquet in
 <verifyOutDir>/<name>/. Mirrors the driver's compare: columns sorted by
 name, rows sorted by all columns, md5 over the csv-ish rendering.
+
+TYPE-AWARE since round 10: the oracle side is fetched via Arrow (not
+fetchall), and cell rendering distinguishes Decimal from int from float.
+DuckDB types COALESCE(SUM(bigint),0) as HUGEINT, which exports over
+Arrow as decimal128(38,0); cursor.fetchall() collapses that to Python
+int, which let three rounds of local "green" mask a driver hash-red on
+ev_ingest_quarantine (VERDICT r9 "What's wrong" #1-2). Rendering
+Decimal('42') differently from 42 makes any engine-int64 vs
+oracle-decimal divergence fail HERE first. tools/oracle_type_lint.py is
+the companion registry-wide guard.
 """
 import sys, json, glob, hashlib
+from decimal import Decimal
 
 import duckdb
 import pyarrow.parquet as pq
@@ -21,6 +32,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm_cell(v):
     if v is None:
         return "NULL"
+    if isinstance(v, Decimal):
+        # Deliberately distinct from the int rendering: a decimal128
+        # oracle column vs an int64 engine column must hash-diverge even
+        # when the values are numerically identical (the driver's hash
+        # is type-sensitive; ours must be at least as strict).
+        return f"decimal:{v}"
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, bytes):
@@ -61,9 +78,11 @@ def main():
         s_rows = [tuple(spark_tbl.column(c)[i].as_py() for c in s_cols)
                   for i in range(spark_tbl.num_rows)]
         try:
-            cur = con.execute(sql)
-            o_cols = [d[0] for d in cur.description]
-            o_rows = cur.fetchall()
+            oracle_tbl = con.execute(sql).arrow()
+            o_cols = list(oracle_tbl.column_names)
+            o_rows = [tuple(oracle_tbl.column(c)[i].as_py() for c in o_cols)
+                      for i in range(oracle_tbl.num_rows)]
+            o_types = {f.name: str(f.type) for f in oracle_tbl.schema}
         except Exception as e:
             results[name] = {"err": f"oracle error: {e}"}
             fails.append(name)
@@ -74,6 +93,9 @@ def main():
             "hash_match": table_hash(s_cols, s_rows) == table_hash(o_cols, o_rows),
             "spark_rows": len(s_rows), "oracle_rows": len(o_rows),
         }
+        decimal_cols = [c for c, t in o_types.items() if t.startswith("decimal")]
+        if decimal_cols:
+            r["oracle_decimal_cols"] = decimal_cols
         results[name] = r
         if not (r["rows_match"] and r["schema_match"] and r["hash_match"]):
             fails.append(name)
