@@ -93,8 +93,12 @@ object Similarity {
       extends org.apache.spark.sql.expressions.Aggregator[
         (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
     require(k >= 1)
+    // distinct first: identical (score, id) observations are idempotent,
+    // so callers may feed pre-dedup streams (containmentTopK's
+    // exact-mask path emits a pair once per surviving shared token) and
+    // duplicates can never occupy two of the k slots
     private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      s.sortBy { case (score, id) => (-score, id) }.take(k)
+      s.distinct.sortBy { case (score, id) => (-score, id) }.take(k)
     override def zero: Seq[(Double, Long)] = Seq.empty
     override def reduce(b: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
       if (b.size == k && {

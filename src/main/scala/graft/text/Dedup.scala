@@ -885,6 +885,42 @@ object Dedup {
                        textCol: String = "text", idCol: String = "doc_id",
                        commonVocab: Int = 10000,
                        hotBucketCap: Int = 100000): DataFrame = {
+    val (scored, exact) = containmentScored(docs, blockCols, threshold,
+      textCol, idCol, commonVocab, hotBucketCap)
+    // the exact-mask path emits pre-dedup scored candidates (a pair
+    // surfaces once per surviving shared token); the pair RELATION
+    // dedups here — containment is functionally dependent on the pair,
+    // so any surviving row carries the right score
+    if (exact) scored.dropDuplicates("a_id", "b_id") else scored
+  }
+
+  /** Shared scoring core of [[containmentPairs]] / [[containmentTopK]]:
+    * (scored frame `(a_id, b_id, containment)` already
+    * threshold-filtered, exact-mask flag).
+    *
+    * BOUNDED-DICTIONARY FAST PATH (the Roaring-bitmap idea at its
+    * degenerate best): when the whole corpus speaks ≤ 64 distinct
+    * tokens — tag sets, category sets, tiny controlled vocabularies —
+    * a document's token SET is one Long (bit r = vocab rank r present)
+    * and set intersection is `bit_count(a & b)`. Since round 10 the
+    * exact mask rides the CANDIDATE JOIN ITSELF as the 8-byte
+    * signature (replacing the lossy 64-bit bloom, which it subsumes:
+    * with ≤ 64 ranks the "bloom" is collision-free), so containment is
+    * computable directly on the join output and BOTH verify join-backs
+    * disappear — the old shape shipped the 16M-row sf1 candidate
+    * stream through a dedup shuffle plus two SHUFFLE_HASH joins just
+    * to reach the masks it already carried. Values are unchanged: the
+    * rank map is a bijection and |A∩B| is bijection-invariant, so the
+    * oracle needs no change. Gate: ONE bounded job — distinct tokens
+    * capped at 65 rows (map-side partial dedup collapses each
+    * partition to vocabulary size first); 65 rows back means the
+    * vocabulary is too big and the general path runs. The
+    * bounded-collect class either way.
+    */
+  private[text] def containmentScored(docs: DataFrame, blockCols: Seq[String],
+                                      threshold: Double, textCol: String,
+                                      idCol: String, commonVocab: Int,
+                                      hotBucketCap: Int): (DataFrame, Boolean) = {
     // same kernel-floor scan spread as prefixJaccardPairs (37 → 25 s at sf1)
     val din = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
       graft.ops.ScanSpread.KernelFloor)
@@ -892,24 +928,9 @@ object Dedup {
       (col(idCol).as("id") +: blockCols.map(col)) :+
         array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
       .withColumn("nw", size(col("w")))
-    val cand = containmentCandidates(d, blockCols, threshold, commonVocab, hotBucketCap)
-    // BOUNDED-DICTIONARY FAST PATH (the Roaring-bitmap idea at its
-    // degenerate best): when the whole corpus speaks ≤ 64 distinct
-    // tokens — tag sets, category sets, tiny controlled vocabularies —
-    // a document's token SET is one Long (bit r = vocab rank r
-    // present), set intersection is `bit_count(a & b)`, and the verify
-    // join-back ships 8 bytes per side instead of the full token
-    // arrays (measured: the string-array verify moves ~10 GB for the
-    // sf1 fixture's 16M candidates; same values either way, since the
-    // rank map is a bijection and |A∩B| is bijection-invariant — the
-    // oracle needs no change). Gate: ONE bounded job — distinct tokens
-    // capped at 65 rows (map-side partial dedup collapses each
-    // partition to vocabulary size first); 65 rows back means the
-    // vocabulary is too big and the general path runs. The
-    // bounded-collect class either way.
     val vocabProbe = d.select(explode(col("w")).as("t")).distinct()
       .limit(65).collect().map(_.getString(0))
-    val verified = if (vocabProbe.length <= 64) {
+    if (vocabProbe.length <= 64) {
       val vocab = vocabProbe.sorted
       val mapLit = vocab.zipWithIndex
         .map { case (t, i) => s"'${t.replace("'", "''")}', $i" }
@@ -917,14 +938,13 @@ object Dedup {
       val mask = expr(s"aggregate(transform(w, t -> " +
         s"shiftleft(CAST(1 AS BIGINT), element_at($mapLit, t))), " +
         "CAST(0 AS BIGINT), (acc, b) -> acc | b)")
-      val dm = d.withColumn("m", mask)
-      val aSide = dm.select(col("id").as("a_id"), col("m").as("a_m"),
-        col("nw").as("a_nw")).hint("SHUFFLE_HASH")
-      val bSide = dm.select(col("id").as("b_id"), col("m").as("b_m"))
-        .hint("SHUFFLE_HASH")
-      cand.join(aSide, "a_id").join(bSide, "b_id")
-        .withColumn("inter", expr("bit_count(a_m & b_m)"))
+      val scored = containmentCandidates(d, blockCols, threshold,
+          commonVocab, hotBucketCap, exactMask = Some(mask))
+        .filter(col("containment") >= threshold)
+      (scored, true)
     } else {
+      val cand = containmentCandidates(d, blockCols, threshold,
+        commonVocab, hotBucketCap)
       // Shuffle-join the corpus-sized payload back by id — see the same
       // treatment in prefixJaccardPairs (a byte-estimate-driven broadcast
       // of the token arrays measured 4.8 GiB at sf1).
@@ -932,14 +952,14 @@ object Dedup {
         .hint("SHUFFLE_HASH")
       val bSide = d.select(col("id").as("b_id"), col("w").as("b_w"), col("nw").as("b_nw"))
         .hint("SHUFFLE_HASH")
-      cand.join(aSide, "a_id").join(bSide, "b_id")
+      val scored = cand.join(aSide, "a_id").join(bSide, "b_id")
         .withColumn("inter",
           HashExpressions.sortedIntersectSize(col("a_w"), col("b_w")))
+        .select(col("a_id"), col("b_id"),
+          (col("inter") / col("a_nw")).as("containment"))
+        .filter(col("containment") >= threshold)
+      (scored, false)
     }
-    verified
-      .select(col("a_id"), col("b_id"),
-        (col("inter") / col("a_nw")).as("containment"))
-      .filter(col("containment") >= threshold)
   }
 
   /** Per-document top-k containers: for each contained doc A, the k
@@ -961,8 +981,15 @@ object Dedup {
                       commonVocab: Int = 10000,
                       hotBucketCap: Int = 100000): DataFrame = {
     val topk = udaf(new graft.sim.Similarity.TopKByScore(k))
-    containmentPairs(docs, blockCols, threshold, textCol, idCol,
-        commonVocab, hotBucketCap)
+    // On the exact-mask path the scored stream is PRE-dedup (a pair
+    // recurs once per surviving shared token, always with the same
+    // score) and flows straight into the accumulator — TopKByScore
+    // dedups identical (score, id) entries, so skipping the global
+    // pair-dedup shuffle is lossless and the per-a_id ranking is the
+    // only wide stage after the candidate join.
+    val (scored, _) = containmentScored(docs, blockCols, threshold,
+      textCol, idCol, commonVocab, hotBucketCap)
+    scored
       .groupBy(col("a_id"))
       .agg(topk(col("containment"), col("b_id")).as("top"))
       .select(col("a_id"), posexplode(col("top")))
@@ -972,11 +999,18 @@ object Dedup {
   }
 
   /** Candidate (a_id, b_id) generation for [[containmentPairs]] — exposed
-    * for candidate-volume measurement (PairStats).
+    * for candidate-volume measurement (PairStats). With `exactMask`
+    * (the ≤64-token bounded-dictionary regime) the signature carried on
+    * every index row IS the exact vocab-rank bitset, the bloom witness
+    * bound becomes the exact threshold test, and the output is the
+    * SCORED pre-dedup stream `(a_id, b_id, containment)` — no verify
+    * join-back needed. Without it: the distinct `(a_id, b_id)` pair
+    * set, as before.
     */
   private[text] def containmentCandidates(d: DataFrame, blockCols: Seq[String],
                                           threshold: Double, commonVocab: Int,
-                                          hotBucketCap: Int): DataFrame = {
+                                          hotBucketCap: Int,
+                                          exactMask: Option[Column] = None): DataFrame = {
     val ranks = tokenRanks(d, commonVocab)
     // 64-bit token BLOOM per document, carried on every index row (8
     // bytes): a bit set in a_sig & ~b_sig witnesses ≥1 distinct A-token
@@ -988,8 +1022,10 @@ object Dedup {
     // the pair-dedup shuffle and the payload verify: the single shared
     // prefix token is weak evidence at high thresholds, which is where
     // the measured 354-candidates-per-result Zipf blowup came from.
-    val dS = d.withColumn("sig", expr(
-      "aggregate(w, 0L, (acc, t) -> acc | shiftleft(1L, cast(pmod(xxhash64(t), 64) as int)))"))
+    // Under `exactMask` the same 8 bytes are collision-FREE (bit ↔ vocab
+    // rank), so the witness count is the exact missing-token count.
+    val dS = d.withColumn("sig", exactMask.getOrElse(expr(
+      "aggregate(w, 0L, (acc, t) -> acc | shiftleft(1L, cast(pmod(xxhash64(t), 64) as int)))")))
     val aPref = dS.select((col("id") +: blockCols.map(col)) :+ col("nw") :+ col("sig") :+
       posexplode(HashExpressions.prefixTokens(col("w"), ranks, threshold)): _*)
       .withColumnRenamed("col", "token")
@@ -1052,15 +1088,23 @@ object Dedup {
       }
     val eps = 1e-9
     val alpha = ceil(lit(threshold) * col("a_nw") - eps)
-    joined
+    val filtered = joined
       .filter(col("a_id") =!= col("b_id"))
       .filter(col("b_nw") >= alpha)
       .filter(lit(1) + least(col("a_nw") - col("a_pos") - 1,
         col("b_nw") - col("b_pos") - 1) >= alpha)
       // bloom witness bound (see dS): missing-token witnesses ≤ |A| − α
+      // (exact under exactMask: ⟺ |A∩B| ≥ α ⟺ containment ≥ t)
       .filter(bit_count(col("a_sig").bitwiseAND(bitwise_not(col("b_sig")))) <=
         col("a_nw") - alpha)
-      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    exactMask match {
+      case Some(_) =>
+        filtered.select(col("a_id"), col("b_id"),
+          (bit_count(col("a_sig").bitwiseAND(col("b_sig"))) / col("a_nw"))
+            .as("containment"))
+      case None =>
+        filtered.select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    }
   }
 
   /** Exact containment within a blocking key — the quadratic verification

@@ -96,15 +96,22 @@ class SimilaritySpec extends SparkSpec {
 
   test("TopKByScore: bounded buffer, deterministic ties, merge associativity") {
     val agg = new Similarity.TopKByScore(3)
+    // (0.9, 2L) is observed TWICE: identical (score, id) observations
+    // are idempotent — a duplicate is the same neighbor seen again and
+    // must never occupy two of the k slots (containmentTopK feeds the
+    // pre-dedup exact-mask candidate stream on this contract)
     val xs = Seq((0.5, 7L), (0.9, 2L), (0.5, 1L), (0.9, 9L), (0.1, 4L), (0.9, 2L))
     val whole = xs.foldLeft(agg.zero)(agg.reduce)
-    assert(whole == Seq((0.9, 2L), (0.9, 2L), (0.9, 9L)))
+    assert(whole == Seq((0.9, 2L), (0.9, 9L), (0.5, 1L)))
     // any split point merges to the same top-k
     for (cut <- 0 to xs.size) {
       val (l, r) = xs.splitAt(cut)
       val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
       assert(m == whole, s"cut=$cut")
     }
+    // saturation + late duplicate of the k-th entry: still idempotent
+    val sat = (xs ++ Seq((0.5, 1L), (0.5, 1L))).foldLeft(agg.zero)(agg.reduce)
+    assert(sat == whole)
   }
 
   test("lshTopK achieves useful recall against brute force") {
