@@ -1983,6 +1983,94 @@ object CorpusQueries {
         .orderBy(col("n_probe"))
     },
 
+    // Incremental IVF index MAINTENANCE under the oracle: a "day-2"
+    // batch of new vectors (every 17th id — deterministic and
+    // scale-proportional) is assigned to a STANDING cell structure
+    // without retraining (Ivf.assign: one fused nearest-centroid scan,
+    // no shuffle — the pattern trainOrLoad + bucketed appends run at
+    // warehouse scale). To make the assignment itself hash-checkable,
+    // the standing centroids are the first 16 corpus vectors (a
+    // SQL-derivable stand-in for the persisted k-means model, which is
+    // engine-side — the md5-twin idiom applied to IVF): the oracle
+    // replays the kernel's exact arithmetic — ||c||² accumulated in
+    // index order, minus 2·(v·c) accumulated in index order, ties to
+    // the lower cell — so engine and DuckDB agree bit-for-bit on every
+    // cell assignment (the emb_norms double-determinism precedent).
+    Q("ann_ivf_incremental_assign",
+      """WITH c AS (SELECT vec_id AS cluster, embedding,
+             list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) AS n2
+           FROM embeddings WHERE vec_id < 16),
+         b AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id >= 16 AND vec_id % 17 = 3),
+         s AS (SELECT b.vec_id, c.cluster,
+             c.n2 - 2.0 * list_sum(list_transform(range(len(b.embedding)),
+               i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)))
+               AS score
+           FROM b CROSS JOIN c)
+         SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+           SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cluster) AS rn
+           FROM s) WHERE rn = 1 ORDER BY vec_id""") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val model = graft.sim.Ivf.IvfModel(cents)
+      graft.sim.Ivf.assign(
+          emb.filter(col("vec_id") >= 16 && col("vec_id") % 17 === 3), model)
+        .orderBy(col("vec_id"))
+    },
+
+    // PQ ENCODE under the oracle — the compression half of IVF-PQ made
+    // hash-checkable by the same seed-vector idiom as
+    // ann_ivf_incremental_assign: codebooks are the per-sub-space slices
+    // of the first 16 corpus vectors (a SQL-derivable stand-in for the
+    // engine-side k-means codebooks), and every 11th vector is encoded
+    // to its m=4 nearest-codeword indexes through the SAME fused
+    // nearestCentroids kernel the production path uses. The oracle
+    // replays ||cw||² − 2·(v·cw) per sub-space in index order, ties to
+    // the lower code — bit-identical doubles, so every emitted code is
+    // hash-checked. (The ADC scoring stage stays under ann_pq_recall /
+    // PqSpec: its per-candidate Σⱼ pdot is a float SUM whose
+    // accumulation order no SQL engine contracts.) Output is the
+    // exploded relational form (n_id, sub, code) — the shape a code
+    // table is stored in.
+    Q("ann_pq_encode_seeded",
+      """WITH subs AS (SELECT unnest(range(4)) AS sub),
+         cw AS (SELECT s.sub, c.vec_id AS code,
+             list_slice(c.embedding, s.sub * 16 + 1, s.sub * 16 + 16) AS cv
+           FROM embeddings c CROSS JOIN subs s WHERE c.vec_id < 16),
+         cn AS (SELECT sub, code, cv,
+             list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * x)) AS n2
+           FROM cw),
+         b AS (SELECT e.vec_id AS n_id, s.sub,
+             list_slice(e.embedding, s.sub * 16 + 1, s.sub * 16 + 16) AS bv
+           FROM embeddings e CROSS JOIN subs s
+           WHERE e.vec_id >= 16 AND e.vec_id % 11 = 7),
+         sc AS (SELECT b.n_id, b.sub, cn.code,
+             cn.n2 - 2.0 * list_sum(list_transform(range(16),
+               i -> CAST(bv[i+1] AS DOUBLE) * CAST(cv[i+1] AS DOUBLE))) AS score
+           FROM b JOIN cn ON b.sub = cn.sub)
+         SELECT n_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code FROM (
+           SELECT n_id, sub, code, ROW_NUMBER() OVER (PARTITION BY n_id, sub
+             ORDER BY score, code) AS rn
+           FROM sc) WHERE rn = 1 ORDER BY n_id, sub""") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val subDim = 16
+      val cbs = Array.tabulate(4)(j =>
+        seeds.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+      val model = graft.sim.Pq.PqModel(subDim, cbs)
+      graft.sim.Pq.encode(
+          emb.filter(col("vec_id") >= 16 && col("vec_id") % 11 === 7), model)
+        .select(col("n_id"), posexplode(col("codes")))
+        .select(col("n_id"), col("pos").cast("int").as("sub"),
+          col("col").cast("int").as("code"))
+        .orderBy(col("n_id"), col("sub"))
+    },
+
     // Distributed PCA (the dimensionality-reduction step semantic-dedup
     // runs before clustering): one corpus pass accumulates count/Σx/Σxxᵀ
     // through typed Aggregators (driver only holds the 64×64 covariance),

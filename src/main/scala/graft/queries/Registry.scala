@@ -65,7 +65,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    exact-percentile surface (quantity_quantiles).
   *  - `ann_ivf_recall` — a META query (recall@10 of partial-probe IVF vs
   *    the oracle-green exact result, per nProbe); the exact surfaces it
-  *    measures against ARE oracle-checked, and IvfSpec gates the curve.
+  *    measures against ARE oracle-checked, IvfSpec gates the curve, and
+  *    the index-MAINTENANCE half (cell assignment of a new batch to
+  *    standing centroids) is itself hash-checked under seed-vector
+  *    centroids (`ann_ivf_incremental_assign` — the kernel's exact
+  *    ||c||²−2v·c arithmetic replayed in index order).
   *  - `emb_pca_explained` — float covariance sums are partition-order
   *    dependent, so eigenvalues differ in the last ulps across
   *    partitionings; PcaSpec pins the covariance against an exact
@@ -84,7 +88,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    ADC scores are approximate by construction (quantization error), so
   *    the query measures recall against the oracle-exact brute-force
   *    result; PqSpec pins the ADC arithmetic itself against an
-  *    independent driver-side reference.
+  *    independent driver-side reference, and the ENCODE stage (per
+  *    sub-space nearest codeword through the same fused kernel) is
+  *    hash-checked under seed-vector codebooks (`ann_pq_encode_seeded`).
+  *    Only the ADC Σⱼ-pdot group sum stays spec-land: float SUM
+  *    accumulation order is contracted by no SQL engine.
   *
   * Determinism contract (so the DuckDB hash-compare is meaningful):
   *  - every result is fully ordered by its key columns, in both engines;

@@ -140,6 +140,23 @@ object Ivf {
       }
     })
 
+  /** Incremental index maintenance: assign a BATCH of new vectors to the
+    * STANDING cell structure — the day-2 shape of a 100 TB vector store
+    * ([[trainOrLoad]] persists the centroids once; each arriving batch
+    * runs one fused assignment scan and appends `(id, cluster)` rows to
+    * the inverted lists, never retraining or touching the standing
+    * corpus). One narrow projection per batch row through the native
+    * [[VectorExpressions.nearestCentroids]] kernel (||v−c||² expansion,
+    * ties to the lower cell index); no shuffle at all — the output
+    * inherits the scan's partitioning, and a writer would bucket it by
+    * `cluster`.
+    */
+  def assign(batch: DataFrame, model: IvfModel,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    batch.select(col(idCol),
+      element_at(VectorExpressions.nearestCentroids(
+        col(vecCol), model.flat, model.k, model.dim, 1), 1).as("cluster"))
+
   /** ANN search through the inverted lists. */
   def search(corpus: DataFrame, queries: DataFrame, model: IvfModel,
              k: Int = 10, nProbe: Int = 4,

@@ -29,7 +29,10 @@ import graft.functions.VectorExpressions
   * Scores are approximate by construction (quantization error), so the
   * registered surface is a recall query against the oracle-exact
   * brute-force result, mirroring `ann_ivf_recall`; PqSpec pins the ADC
-  * arithmetic against an independent driver-side reference.
+  * arithmetic against an independent driver-side reference, and the
+  * encode stage is additionally hash-checked end-to-end under
+  * seed-vector codebooks (`ann_pq_encode_seeded` — the DuckDB oracle
+  * replays the kernel's sub-space argmin bit-for-bit).
   */
 object Pq {
 

@@ -22,6 +22,28 @@ class IvfSpec extends SparkSpec {
     assert(sizes.sum == emb.count())
   }
 
+  test("assign: every batch vector lands on its true nearest centroid") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val model = Ivf.train(emb, nCentroids = 8, dim = 64, iters = 1)
+    val batch = emb.filter(col("vec_id") % 13 === 5)
+    val got = Ivf.assign(batch, model).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.nonEmpty)
+    // naive argmin over FULL ||v−c||² (the kernel drops the ||v||² term,
+    // constant per row) with ties to the lower index
+    val vecs = batch.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    vecs.foreach { case (id, v) =>
+      val dists = model.centroids.map { c =>
+        var s = 0.0; var j = 0
+        while (j < c.length) { val d = v(j) - c(j); s += d * d; j += 1 }
+        s
+      }
+      val want = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      assert(got(id) == want, s"vec $id: got ${got(id)}, want $want")
+    }
+  }
+
   test("save→load→search is row-identical to train→search") {
     val emb = Tables(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 15)
