@@ -1133,6 +1133,34 @@ object CorpusQueries {
         .orderBy(col("a_id"), col("rnk"))
     },
 
+    // INCREMENTAL containment — the day-over-day probe shape under the
+    // oracle (the doc_minhash_incremental_md5 idiom for the asymmetric
+    // join): every 11th document arrives as the new batch; the engine
+    // probes batch prefixes against the (standing ∪ batch) token index
+    // and standing prefixes against the batch index — old×old pairs,
+    // already resolved by previous runs, are never regenerated. The
+    // oracle recomputes the full directed pair relation and keeps
+    // pairs with ≥ 1 batch member: an identical set, since such a pair
+    // has its contained side in the batch (relation 1) or its
+    // container in the batch (relation 2).
+    Q("doc_containment_incremental",
+      """WITH d AS (SELECT doc_id, lang, source,
+           list_distinct(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           len(list_intersect(a.w, b.w)) / len(a.w) AS containment
+         FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+           AND a.doc_id <> b.doc_id
+         WHERE (a.doc_id % 11 = 0 OR b.doc_id % 11 = 0)
+           AND len(list_intersect(a.w, b.w)) / len(a.w) >= 0.9
+         ORDER BY a_id, b_id""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.containmentPairsIncremental(
+          docs.filter(col("doc_id") % 11 === 0),
+          docs.filter(col("doc_id") % 11 =!= 0),
+          blockCols = Seq("lang", "source"), threshold = 0.9)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Exact word-set Jaccard near-dup pairs, blocked on (lang, source).
     Q("doc_jaccard_pairs",
       """WITH d AS (SELECT doc_id, lang, source,

@@ -998,6 +998,79 @@ object Dedup {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** INCREMENTAL directed containment — the day-over-day shape of
+    * [[containmentPairs]] (the `minhashPairsMd5Incremental` idiom
+    * applied to the asymmetric join): emit every containment pair
+    * involving ≥ 1 batch document without ever regenerating the
+    * old×old candidate volume previous runs already resolved. Two
+    * disjoint probe relations through the two-sided candidate core:
+    *
+    *  1. batch prefixes × (standing ∪ batch) full index — pairs whose
+    *     CONTAINED side is new (containers anywhere, including the
+    *     batch itself, so new×new needs no third relation);
+    *  2. standing prefixes × batch full index — pairs whose contained
+    *     side is old and whose CONTAINER arrived in the batch.
+    *
+    * The relations are disjoint on `a_id` (batch vs standing), so the
+    * union needs no cross-relation dedup — only the usual per-pair
+    * one. Token ranks and the bounded-vocabulary gate are computed
+    * over the UNION (one shared canonical order — the prefix lemma's
+    * requirement; a standing rank table works at scale, since any
+    * consistent order is lossless). At warehouse scale relation 1 is
+    * an index lookup against the persisted token index and relation 2
+    * touches |standing prefixes| × |batch| buckets — both
+    * batch-proportional, never corpus².
+    */
+  def containmentPairsIncremental(batch: DataFrame, existing: DataFrame,
+                                  blockCols: Seq[String], threshold: Double,
+                                  textCol: String = "text", idCol: String = "doc_id",
+                                  commonVocab: Int = 10000,
+                                  hotBucketCap: Int = 100000): DataFrame = {
+    def prep(df: DataFrame): DataFrame = {
+      val din = graft.ops.ScanSpread.spread(df.sparkSession, df,
+        graft.ops.ScanSpread.KernelFloor)
+      din.select(
+        (col(idCol).as("id") +: blockCols.map(col)) :+
+          array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
+        .withColumn("nw", size(col("w")))
+    }
+    val dNew = prep(batch)
+    val dOld = prep(existing)
+    val dAll = dNew.unionByName(dOld)
+    val ranks = tokenRanks(dAll, commonVocab)
+    val vocabProbe = dAll.select(explode(col("w")).as("t")).distinct()
+      .limit(65).collect().map(_.getString(0))
+    if (vocabProbe.length <= 64) {
+      val vocab = vocabProbe.sorted
+      val mapLit = vocab.zipWithIndex
+        .map { case (t, i) => s"'${t.replace("'", "''")}', $i" }
+        .mkString("map(", ", ", ")")
+      val mask = Some(expr(s"aggregate(transform(w, t -> " +
+        s"shiftleft(CAST(1 AS BIGINT), element_at($mapLit, t))), " +
+        "CAST(0 AS BIGINT), (acc, b) -> acc | b)"))
+      containmentCandidatesAB(dNew, dAll, ranks, blockCols, threshold,
+          hotBucketCap, mask)
+        .unionByName(containmentCandidatesAB(dOld, dNew, ranks, blockCols,
+          threshold, hotBucketCap, mask))
+        .filter(col("containment") >= threshold)
+        .dropDuplicates("a_id", "b_id")
+    } else {
+      val cand = containmentCandidatesAB(dNew, dAll, ranks, blockCols,
+          threshold, hotBucketCap, None)
+        .unionByName(containmentCandidatesAB(dOld, dNew, ranks, blockCols,
+          threshold, hotBucketCap, None))
+      val aSide = dAll.select(col("id").as("a_id"), col("w").as("a_w"),
+        col("nw").as("a_nw")).hint("SHUFFLE_HASH")
+      val bSide = dAll.select(col("id").as("b_id"), col("w").as("b_w"))
+        .hint("SHUFFLE_HASH")
+      cand.join(aSide, "a_id").join(bSide, "b_id")
+        .select(col("a_id"), col("b_id"),
+          (HashExpressions.sortedIntersectSize(col("a_w"), col("b_w")) /
+            col("a_nw")).as("containment"))
+        .filter(col("containment") >= threshold)
+    }
+  }
+
   /** Candidate (a_id, b_id) generation for [[containmentPairs]] — exposed
     * for candidate-volume measurement (PairStats). With `exactMask`
     * (the ≤64-token bounded-dictionary regime) the signature carried on
@@ -1010,8 +1083,25 @@ object Dedup {
   private[text] def containmentCandidates(d: DataFrame, blockCols: Seq[String],
                                           threshold: Double, commonVocab: Int,
                                           hotBucketCap: Int,
-                                          exactMask: Option[Column] = None): DataFrame = {
-    val ranks = tokenRanks(d, commonVocab)
+                                          exactMask: Option[Column] = None): DataFrame =
+    containmentCandidatesAB(d, d, tokenRanks(d, commonVocab), blockCols,
+      threshold, hotBucketCap, exactMask)
+
+  /** Two-sided candidate core: CONTAINED side `dA` (canonical prefixes
+    * probe), CONTAINER side `dB` (full positionally-truncated token
+    * index). The self case `dA = dB` is [[containmentCandidates]]; the
+    * incremental case probes a batch against the standing corpus (and
+    * vice versa) without ever regenerating old×old candidates. `ranks`
+    * must be ONE shared frequency order for both sides — the prefix
+    * lemma relates A's prefix positions to B's index positions through
+    * the same canonical token order.
+    */
+  private[text] def containmentCandidatesAB(dA: DataFrame, dB: DataFrame,
+                                            ranks: Map[String, Int],
+                                            blockCols: Seq[String],
+                                            threshold: Double,
+                                            hotBucketCap: Int,
+                                            exactMask: Option[Column]): DataFrame = {
     // 64-bit token BLOOM per document, carried on every index row (8
     // bytes): a bit set in a_sig & ~b_sig witnesses ≥1 distinct A-token
     // absent from B, so bit_count(a_sig & ~b_sig) ≤ |A| − α is a
@@ -1024,9 +1114,11 @@ object Dedup {
     // the measured 354-candidates-per-result Zipf blowup came from.
     // Under `exactMask` the same 8 bytes are collision-FREE (bit ↔ vocab
     // rank), so the witness count is the exact missing-token count.
-    val dS = d.withColumn("sig", exactMask.getOrElse(expr(
-      "aggregate(w, 0L, (acc, t) -> acc | shiftleft(1L, cast(pmod(xxhash64(t), 64) as int)))")))
-    val aPref = dS.select((col("id") +: blockCols.map(col)) :+ col("nw") :+ col("sig") :+
+    val sigExpr = exactMask.getOrElse(expr(
+      "aggregate(w, 0L, (acc, t) -> acc | shiftleft(1L, cast(pmod(xxhash64(t), 64) as int)))"))
+    val dAS = dA.withColumn("sig", sigExpr)
+    val dBS = dB.withColumn("sig", sigExpr)
+    val aPref = dAS.select((col("id") +: blockCols.map(col)) :+ col("nw") :+ col("sig") :+
       posexplode(HashExpressions.prefixTokens(col("w"), ranks, threshold)): _*)
       .withColumnRenamed("col", "token")
       .toDF("a_id" +: blockCols :+ "a_nw" :+ "a_sig" :+ "a_pos" :+ "token": _*)
@@ -1041,11 +1133,12 @@ object Dedup {
     // (canonical order is rare-first), i.e. exactly the Zipf-head
     // entries whose probe×index products caused the measured
     // 354-candidates-per-result blowup; αmin is a 1-row aggregate.
-    val minNw = Option(d.agg(min(col("nw"))).head().get(0))
+    // α depends on |A| alone, so αmin comes from the PROBE side.
+    val minNw = Option(dA.agg(min(col("nw"))).head().get(0))
       .map(_.asInstanceOf[Int]).getOrElse(0)
     val eps0 = 1e-9
     val alphaMin = math.ceil(threshold * minNw - eps0).toInt
-    val bAll = dS.select((col("id") +: blockCols.map(col)) :+ col("nw") :+ col("sig") :+
+    val bAll = dBS.select((col("id") +: blockCols.map(col)) :+ col("nw") :+ col("sig") :+
       posexplode(HashExpressions.prefixTokens(col("w"), ranks, 1e-9)): _*)
       .withColumnRenamed("col", "token")
       .toDF("b_id" +: blockCols :+ "b_nw" :+ "b_sig" :+ "b_pos" :+ "token": _*)

@@ -126,6 +126,36 @@ class PlanSpec extends SparkSpec {
     assert(lines.exists(_.contains("BroadcastHashJoin")), "drop-list join not broadcast")
   }
 
+  test("doc_containment_topk: exact-mask path has no verify join-back or pair-dedup exchange") {
+    // the round-10 claim: in the ≤64-vocab regime containment is
+    // computed ON the candidate join output (the 8-byte signature IS
+    // the exact token bitset), so the plan must contain exactly the
+    // candidate join — no second join to recover masks/token arrays,
+    // and for topk no HashAggregate keyed (a_id, b_id) (the old global
+    // pair dedup) before the TopKByScore aggregation
+    val p = plan("doc_containment_topk")
+    val joinLines = p.linesIterator.filter(_.contains("Join [")).toSeq
+    // every join must be a token-keyed candidate join (the cold and
+    // grid-salted hot branches both qualify); an id-keyed join is the
+    // old mask/array join-back
+    val idKeyed = joinLines.filter(l =>
+      l.contains("Join [a_id") || l.contains("Join [b_id"))
+    assert(idKeyed.isEmpty, idKeyed.mkString("\n"))
+    assert(joinLines.forall(_.contains("token")),
+      joinLines.mkString("\n"))
+    // no (a_id, b_id)-keyed HashAggregate = no global pair-dedup shuffle
+    // (match b_id inside keys=[...] only — the topk aggregate is keyed
+    // a_id alone and carries b_id as a function ARGUMENT, which is fine)
+    val dedupAgg = p.linesIterator.filter { l =>
+      val k = l.indexOf("keys=[")
+      l.contains("HashAggregate") && k >= 0 && {
+        val keys = l.substring(k, l.indexOf(']', k).max(k))
+        keys.contains("a_id") && keys.contains("b_id")
+      }
+    }
+    assert(dedupAgg.isEmpty, dedupAgg.mkString("\n"))
+  }
+
   test("ev_anomalies: one full-data shuffle (the minute pre-aggregation), then key-partitioned window") {
     val p = plan("ev_anomalies")
     // partial+final HashAggregate for the per-minute counts, a Window over

@@ -229,6 +229,54 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental containment ≡ full pass restricted to batch-touching pairs") {
+    import spark.implicits._
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // randomized duplicate-heavy corpora, both vocab regimes (the ≤64
+    // bounded-dictionary exact-mask path AND the general array-verify
+    // path), plus a tiny hotBucketCap round to force the grid
+    val rnd = new scala.util.Random(97531)
+    // general-path (vocab > 64) corpora are sparse, so every third doc
+    // is PLANTED as a strict token-subset of its predecessor
+    // (containment 1.0) — batch membership (id % 4) cuts across the
+    // planting (id % 3), so planted pairs land in both probe relations
+    for ((vocabSize, maxLen, cap) <- Seq((25, 16, 100000), (25, 16, 20),
+                                         (70, 8, 100000))) {
+      val vocab = (1 to vocabSize).map(i => s"w$i")
+      val base = (1 to 80).map { id =>
+        val n = 3 + rnd.nextInt(maxLen)
+        id.toLong -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      }.toMap
+      val rows = (1 to 80).map { id =>
+        val toks =
+          if (id % 3 == 0) base(id.toLong - 1).distinct.dropRight(1) match {
+            case Nil => base(id.toLong)
+            case kept => kept
+          }
+          else base(id.toLong)
+        (id.toLong, toks.mkString(" "))
+      }
+      val d = rows.toDF("doc_id", "text").withColumn("blk", lit("b"))
+      val batch = d.filter(col("doc_id") % 4 === 0)
+      val standing = d.filter(col("doc_id") % 4 =!= 0)
+      val inc = key(Dedup.containmentPairsIncremental(batch, standing,
+        Seq("blk"), threshold = 0.8, hotBucketCap = cap))
+      val full = key(Dedup.containmentPairsQuadratic(d, Seq("blk"), 0.8))
+        .filter { case (a, b, _) => a % 4 == 0 || b % 4 == 0 }
+      assert(inc == full, s"vocab=$vocabSize cap=$cap " +
+        s"missing=${(full -- inc).take(3)} extra=${(inc -- full).take(3)}")
+      assert(inc.nonEmpty, s"vocab=$vocabSize cap=$cap produced no pairs")
+    }
+    // bootstrap: empty standing corpus ≡ plain batch self-containment
+    val d0 = (1 to 12).map(i => (i.toLong,
+        (1 to (3 + i % 5)).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text").withColumn("blk", lit("b"))
+    val selfOnly = key(Dedup.containmentPairsIncremental(
+      d0, d0.limit(0), Seq("blk"), threshold = 0.8))
+    assert(selfOnly == key(Dedup.containmentPairsQuadratic(d0, Seq("blk"), 0.8)))
+  }
+
   test("prefix filter handles token-disjoint corpora (empty candidate set)") {
     // 60 docs with fully disjoint vocabularies: zero shared prefix tokens
     // → zero candidates → empty result, where the quadratic form would
