@@ -606,7 +606,7 @@ object Dedup {
     * vocabulary size; the driver holds ≤ commonVocab strings (the
     * IVF-centroid class of bounded collect).
     */
-  private def tokenRanks(d: DataFrame, commonVocab: Int): Map[String, Int] = {
+  private[text] def tokenRanks(d: DataFrame, commonVocab: Int): Map[String, Int] = {
     val top = d.select(explode(col("w")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("token")).limit(commonVocab).collect()
@@ -928,23 +928,16 @@ object Dedup {
       (col(idCol).as("id") +: blockCols.map(col)) :+
         array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
       .withColumn("nw", size(col("w")))
-    val vocabProbe = d.select(explode(col("w")).as("t")).distinct()
-      .limit(65).collect().map(_.getString(0))
-    if (vocabProbe.length <= 64) {
-      val vocab = vocabProbe.sorted
-      val mapLit = vocab.zipWithIndex
-        .map { case (t, i) => s"'${t.replace("'", "''")}', $i" }
-        .mkString("map(", ", ", ")")
-      val mask = expr(s"aggregate(transform(w, t -> " +
-        s"shiftleft(CAST(1 AS BIGINT), element_at($mapLit, t))), " +
-        "CAST(0 AS BIGINT), (acc, b) -> acc | b)")
-      val scored = containmentCandidates(d, blockCols, threshold,
-          commonVocab, hotBucketCap, exactMask = Some(mask))
-        .filter(col("containment") >= threshold)
-      (scored, true)
-    } else {
-      val cand = containmentCandidates(d, blockCols, threshold,
-        commonVocab, hotBucketCap)
+    val ranks = tokenRanks(d, commonVocab)
+    exactMaskFromRanks(ranks, commonVocab) match {
+      case mask @ Some(_) =>
+        val scored = containmentCandidatesAB(d, d, ranks, blockCols,
+            threshold, hotBucketCap, mask)
+          .filter(col("containment") >= threshold)
+        (scored, true)
+      case None =>
+      val cand = containmentCandidatesAB(d, d, ranks, blockCols,
+        threshold, hotBucketCap, None)
       // Shuffle-join the corpus-sized payload back by id — see the same
       // treatment in prefixJaccardPairs (a byte-estimate-driven broadcast
       // of the token arrays measured 4.8 GiB at sf1).
@@ -1026,6 +1019,14 @@ object Dedup {
                                   textCol: String = "text", idCol: String = "doc_id",
                                   commonVocab: Int = 10000,
                                   hotBucketCap: Int = 100000): DataFrame = {
+    // Checkpoint the tokenized frames: the pipeline runs 6 bounded
+    // driver probes (ranks, vocab gate, 2× αmin, 2× hot buckets) plus
+    // two candidate joins, and WITHOUT materialization each re-runs the
+    // split/distinct/sort kernel over the corpus — measured at sf1 this
+    // made the incremental probe cost as much as the full pair query.
+    // At warehouse scale the standing side is a persisted tokenized
+    // table (the index the batch probes); the checkpoint is its
+    // in-session stand-in, batch-proportional on the new side.
     def prep(df: DataFrame): DataFrame = {
       val din = graft.ops.ScanSpread.spread(df.sparkSession, df,
         graft.ops.ScanSpread.KernelFloor)
@@ -1033,25 +1034,18 @@ object Dedup {
         (col(idCol).as("id") +: blockCols.map(col)) :+
           array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
         .withColumn("nw", size(col("w")))
+        .localCheckpoint()
     }
     val dNew = prep(batch)
     val dOld = prep(existing)
     val dAll = dNew.unionByName(dOld)
     val ranks = tokenRanks(dAll, commonVocab)
-    val vocabProbe = dAll.select(explode(col("w")).as("t")).distinct()
-      .limit(65).collect().map(_.getString(0))
-    if (vocabProbe.length <= 64) {
-      val vocab = vocabProbe.sorted
-      val mapLit = vocab.zipWithIndex
-        .map { case (t, i) => s"'${t.replace("'", "''")}', $i" }
-        .mkString("map(", ", ", ")")
-      val mask = Some(expr(s"aggregate(transform(w, t -> " +
-        s"shiftleft(CAST(1 AS BIGINT), element_at($mapLit, t))), " +
-        "CAST(0 AS BIGINT), (acc, b) -> acc | b)"))
+    val maskOpt = exactMaskFromRanks(ranks, commonVocab)
+    if (maskOpt.isDefined) {
       containmentCandidatesAB(dNew, dAll, ranks, blockCols, threshold,
-          hotBucketCap, mask)
+          hotBucketCap, maskOpt)
         .unionByName(containmentCandidatesAB(dOld, dNew, ranks, blockCols,
-          threshold, hotBucketCap, mask))
+          threshold, hotBucketCap, maskOpt))
         .filter(col("containment") >= threshold)
         .dropDuplicates("a_id", "b_id")
     } else {
@@ -1086,6 +1080,25 @@ object Dedup {
                                           exactMask: Option[Column] = None): DataFrame =
     containmentCandidatesAB(d, d, tokenRanks(d, commonVocab), blockCols,
       threshold, hotBucketCap, exactMask)
+
+  /** The bounded-dictionary exact-mask expression, derived from an
+    * ALREADY-collected rank dictionary — no extra corpus job: `ranks`
+    * holds the COMPLETE vocabulary exactly when it was not truncated at
+    * `commonVocab` (strictly fewer entries than the cap), so the ≤64
+    * gate and the bijective token→bit map both fall out of the one
+    * frequency aggregation every prefix pipeline already runs.
+    */
+  private def exactMaskFromRanks(ranks: Map[String, Int],
+                                 commonVocab: Int): Option[Column] =
+    if (ranks.size <= 64 && ranks.size < commonVocab) {
+      val vocab = ranks.keys.toArray.sorted
+      val mapLit = vocab.zipWithIndex
+        .map { case (t, i) => s"'${t.replace("'", "''")}', $i" }
+        .mkString("map(", ", ", ")")
+      Some(expr(s"aggregate(transform(w, t -> " +
+        s"shiftleft(CAST(1 AS BIGINT), element_at($mapLit, t))), " +
+        "CAST(0 AS BIGINT), (acc, b) -> acc | b)"))
+    } else None
 
   /** Two-sided candidate core: CONTAINED side `dA` (canonical prefixes
     * probe), CONTAINER side `dB` (full positionally-truncated token
