@@ -344,6 +344,42 @@ object CorpusQueries {
        WHERE rnk <= 10 ORDER BY q_id, rnk"""
   }
 
+  /** Shared md5-SimHash oracle (`doc_simhash_pairs_md5` /
+    * `doc_simhash_incremental_md5`): recompute 60-bit signatures over
+    * md5 token hashes, chunk-pigeonhole candidates under the optional
+    * extra predicate (the incremental row keeps pairs whose greater id
+    * is in the batch), and verify Hamming ≤ 3.
+    */
+  private def simhashMd5Sql(candExtra: String): String = {
+    val h60 =
+      """list_reduce(list_transform(range(15), k ->
+           CAST(strpos('0123456789abcdef',
+             substr(md5(tok), k + 1, 1)) - 1 AS BIGINT)),
+           (x, y) -> x * 16 + y)"""
+    s"""WITH toks AS (SELECT doc_id,
+           unnest(regexp_split_to_array(text, '\\s+')) AS tok
+         FROM documents WHERE doc_id < 5000),
+       h AS (SELECT doc_id, $h60 AS h FROM toks),
+       v AS (SELECT doc_id, j,
+           SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         FROM h CROSS JOIN (SELECT unnest(range(60)) AS j)
+         GROUP BY doc_id, j),
+       sig AS (SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
+             ELSE 0 END) AS BIGINT) AS sig
+         FROM v GROUP BY doc_id),
+       ck AS (SELECT doc_id, sig, c, (sig >> (c * 15)) & 32767 AS ch
+         FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c)),
+       cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+           x.sig AS a_sig, y.sig AS b_sig
+         FROM ck x JOIN ck y
+           ON x.c = y.c AND x.ch = y.ch AND x.doc_id < y.doc_id $candExtra)
+       SELECT a_id, b_id,
+         CAST(bit_count(xor(a_sig, b_sig)) AS INT) AS hamming
+       FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= 3
+       ORDER BY a_id, b_id"""
+  }
+
   private val annExactTopkSql =
     """WITH v AS (SELECT vec_id, embedding,
        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
@@ -1603,37 +1639,30 @@ object CorpusQueries {
     // doc_minhash_pairs_md5 rationale: verification twins prove
     // equality on a bounded slice; md5-per-token is deliberately not
     // the production kernel).
-    Q("doc_simhash_pairs_md5", {
-      val h60 =
-        """list_reduce(list_transform(range(15), k ->
-             CAST(strpos('0123456789abcdef',
-               substr(md5(tok), k + 1, 1)) - 1 AS BIGINT)),
-             (x, y) -> x * 16 + y)"""
-      s"""WITH toks AS (SELECT doc_id,
-             unnest(regexp_split_to_array(text, '\\s+')) AS tok
-           FROM documents WHERE doc_id < 5000),
-         h AS (SELECT doc_id, $h60 AS h FROM toks),
-         v AS (SELECT doc_id, j,
-             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
-           FROM h CROSS JOIN (SELECT unnest(range(60)) AS j)
-           GROUP BY doc_id, j),
-         sig AS (SELECT doc_id,
-             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
-               ELSE 0 END) AS BIGINT) AS sig
-           FROM v GROUP BY doc_id),
-         ck AS (SELECT doc_id, sig, c, (sig >> (c * 15)) & 32767 AS ch
-           FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c)),
-         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
-             x.sig AS a_sig, y.sig AS b_sig
-           FROM ck x JOIN ck y
-             ON x.c = y.c AND x.ch = y.ch AND x.doc_id < y.doc_id)
-         SELECT a_id, b_id,
-           CAST(bit_count(xor(a_sig, b_sig)) AS INT) AS hamming
-         FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= 3
-         ORDER BY a_id, b_id"""
-    }) { (s, dir) =>
+    Q("doc_simhash_pairs_md5", simhashMd5Sql(candExtra = "")) { (s, dir) =>
       Dedup.simhashPairsMd5(
           Tables(s, dir, "documents").filter(col("doc_id") < 5000),
+          maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // INCREMENTAL SimHash dedup under the oracle — the
+    // doc_minhash_incremental_md5 idiom for the chunk-pigeonhole
+    // family: the standing corpus keeps its (chunk, value) bucket
+    // index; the batch (every 4th doc — modulo, so the split is
+    // non-vacuous at every scale factor) computes ITS signatures only,
+    // probes the standing index (old×new through the two-sided
+    // grid-salted probe join) and self-joins within itself — old×old
+    // candidates are never regenerated. The oracle keeps pairs with
+    // ≥ 1 batch member. Same md5-replayable config and 5,000-doc cap
+    // as the twin above.
+    Q("doc_simhash_incremental_md5",
+      simhashMd5Sql(candExtra =
+        "AND (x.doc_id % 4 = 1 OR y.doc_id % 4 = 1)")) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") < 5000)
+      Dedup.simhashPairsMd5Incremental(
+          batch = docs.filter(col("doc_id") % 4 === 1),
+          existing = docs.filter(col("doc_id") % 4 =!= 1),
           maxHamming = 3)
         .orderBy(col("a_id"), col("b_id"))
     },

@@ -32,7 +32,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    the Hamming pigeonhole. The SAME chunk-bucketed pipeline in its
   *    oracle-replayable config (`doc_simhash_pairs_md5`: 60-bit md5
   *    token hashes, shared pigeonhole join) IS hash-checked
-  *    end-to-end.
+  *    end-to-end — as is its INCREMENTAL day-over-day shape
+  *    (`doc_simhash_incremental_md5`: batch probes the standing chunk
+  *    index + intra-batch self-join, old×old never regenerated).
   *  - `ev_hll_users` — HLL++ estimates are engine-specific; the spec
   *    bounds them against exact counts within the configured rsd.
   *  - `ev_hll_overlap` — HLL inclusion-exclusion intersection estimates

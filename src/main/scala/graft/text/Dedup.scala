@@ -517,7 +517,15 @@ object Dedup {
     */
   def simhashPairsMd5(docs: DataFrame, maxHamming: Int = 3,
                       textCol: String = "text", idCol: String = "doc_id",
-                      hotBucketCap: Int = 100000): DataFrame = {
+                      hotBucketCap: Int = 100000): DataFrame =
+    simhashPairsOnSigs(md5SimhashSigs(docs, textCol, idCol),
+      maxHamming, chunks = 4, chunkBits = 15, hotBucketCap)
+
+  /** The md5-replayable 60-bit signature table (id, sig) — shared scan
+    * stage of [[simhashPairsMd5]] and [[simhashPairsMd5Incremental]].
+    */
+  private def md5SimhashSigs(docs: DataFrame, textCol: String,
+                             idCol: String): DataFrame = {
     val bits = 60
     val din = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
       graft.ops.ScanSpread.KernelFloor)
@@ -530,9 +538,49 @@ object Dedup {
     val sig = (0 until bits).map(j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
-    val sh = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
       .select(col("id"), sig.as("sig"))
-    simhashPairsOnSigs(sh, maxHamming, chunks = 4, chunkBits = 15, hotBucketCap)
+  }
+
+  /** INCREMENTAL SimHash dedup under the oracle-replayable config — the
+    * [[minhashPairsMd5Incremental]] idiom for the chunk-pigeonhole
+    * family: the standing corpus keeps its (chunk, value) bucket index;
+    * a new batch computes ITS signatures only, probes the standing
+    * index (old×new, hot buckets salted on the standing side with the
+    * batch side replicated — [[bucketProbeJoin]]'s two-sided grid) and
+    * self-joins within itself (new×new) — old×old candidates, resolved
+    * by previous runs, are never regenerated. Emits every Hamming ≤
+    * `maxHamming` pair involving ≥ 1 batch document, canonical
+    * (a_id < b_id).
+    */
+  def simhashPairsMd5Incremental(batch: DataFrame, existing: DataFrame,
+                                 maxHamming: Int = 3,
+                                 textCol: String = "text", idCol: String = "doc_id",
+                                 hotBucketCap: Int = 100000): DataFrame = {
+    val chunks = 4; val chunkBits = 15
+    val mask = (1L << chunkBits) - 1
+    val sigsOld = md5SimhashSigs(existing, textCol, idCol)
+    val sigsNew = md5SimhashSigs(batch, textCol, idCol)
+    def chunked(sh: DataFrame): DataFrame = sh.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(chunks - 1)), c =>
+          struct(c.as("chunk"),
+            shr(col("sig"), c * chunkBits).bitwiseAND(mask).as("ch")))).as("ck"))
+      .select(col("id"), col("sig"),
+        (col("ck.chunk").cast("long") * (mask + 1) + col("ck.ch")).as("bh"))
+    // the probe keys pack (chunk, value) into one long so the shared
+    // two-sided grid join applies unchanged; the signature rides along
+    // for the verify (8 bytes — the verify needs no payload join-back)
+    val o = chunked(sigsOld).select(struct(col("id"), col("sig")).as("o"), col("bh"))
+    val n = chunked(sigsNew).select(struct(col("id"), col("sig")).as("n"), col("bh"))
+    val cross = bucketProbeJoin(o, n, hotBucketCap)
+      .select(col("a_id.id").as("a_id"), col("a_id.sig").as("a_sig"),
+        col("b_id.id").as("b_id"), col("b_id.sig").as("b_sig"))
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+    val fresh = simhashPairsOnSigs(sigsNew, maxHamming, chunks, chunkBits,
+      hotBucketCap)
+    cross.unionByName(fresh).dropDuplicates("a_id", "b_id")
   }
 
   /** Exact Jaccard-threshold pairs AT SCALE: prefix-filtered candidate

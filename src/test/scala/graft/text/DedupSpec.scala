@@ -229,6 +229,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental md5 simhash ≡ full pass restricted to batch-touching pairs") {
+    val docs = graft.source.Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 400)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val inc = key(Dedup.simhashPairsMd5Incremental(
+      batch = docs.filter(col("doc_id") % 3 === 0),
+      existing = docs.filter(col("doc_id") % 3 =!= 0), maxHamming = 3))
+    val full = key(Dedup.simhashPairsMd5(docs, maxHamming = 3))
+      .filter { case (a, b, _) => a % 3 == 0 || b % 3 == 0 }
+    assert(inc == full,
+      s"missing=${(full -- inc).take(3)} extra=${(inc -- full).take(3)}")
+    // the fixture's boilerplate corpus must actually produce pairs here
+    assert(inc.nonEmpty)
+    // hot-bucket grid on the probe join: tiny cap, identical pair set
+    val grid = key(Dedup.simhashPairsMd5Incremental(
+      batch = docs.filter(col("doc_id") % 3 === 0),
+      existing = docs.filter(col("doc_id") % 3 =!= 0), maxHamming = 3,
+      hotBucketCap = 10))
+    assert(grid == full, s"grid≠plain: ${(grid -- full).take(3)}")
+  }
+
   test("incremental containment ≡ full pass restricted to batch-touching pairs") {
     import spark.implicits._
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
