@@ -1197,6 +1197,33 @@ object CorpusQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // INCREMENTAL Jaccard near-dup pairs — the day-over-day PPJoin
+    // shape: every 11th document is the new batch; batch prefixes probe
+    // the (standing ∪ batch) prefix index — ONE relation reaches every
+    // batch-touching pair because the symmetric prefix lemma puts a
+    // shared token inside BOTH prefixes — and old×old candidates never
+    // regenerate. Oracle = the full quadratic pair relation restricted
+    // to batch-touching pairs.
+    Q("doc_jaccard_incremental",
+      """WITH d AS (SELECT doc_id, lang, source,
+           list_distinct(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           len(list_intersect(a.w, b.w)) /
+             (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
+         FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+           AND a.doc_id < b.doc_id
+         WHERE (a.doc_id % 11 = 2 OR b.doc_id % 11 = 2)
+           AND len(list_intersect(a.w, b.w)) /
+             (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+         ORDER BY a_id, b_id""") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.prefixJaccardPairsIncremental(
+          docs.filter(col("doc_id") % 11 === 2),
+          docs.filter(col("doc_id") % 11 =!= 2),
+          blockCols = Seq("lang", "source"), threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Exact word-set Jaccard near-dup pairs, blocked on (lang, source).
     Q("doc_jaccard_pairs",
       """WITH d AS (SELECT doc_id, lang, source,

@@ -643,6 +643,114 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** INCREMENTAL Jaccard near-dup pairs — the day-over-day shape of
+    * [[prefixJaccardPairs]]: every Jaccard ≥ t pair involving ≥ 1 batch
+    * document, canonical (a_id < b_id), without regenerating the
+    * old×old candidate volume. The SYMMETRIC prefix filter needs only
+    * ONE probe relation: a qualifying pair shares a token inside BOTH
+    * prefixes (the prefix lemma), so batch prefixes × (standing ∪
+    * batch) prefixes reaches every batch-touching pair — old×new with
+    * the batch doc as probe, new×new with either as probe. Canonical
+    * order comes from least/greatest (the probe side is not id-ordered
+    * against the index side); ranks are computed over the union, one
+    * shared canonical token order (a standing rank table works at
+    * scale). The verify joins token arrays back from the union frame,
+    * exactly like the full pass.
+    */
+  def prefixJaccardPairsIncremental(batch: DataFrame, existing: DataFrame,
+                                    blockCols: Seq[String], threshold: Double,
+                                    textCol: String = "text", idCol: String = "doc_id",
+                                    commonVocab: Int = 10000,
+                                    hotBucketCap: Int = 100000): DataFrame = {
+    // checkpoint the tokenized frames — the containment-incremental
+    // rationale: the rank/hot probes must not re-run the split/sort
+    // kernel; the standing side stands in for a persisted tokenized
+    // table at warehouse scale
+    def prep(df: DataFrame): DataFrame = {
+      val din = graft.ops.ScanSpread.spread(df.sparkSession, df,
+        graft.ops.ScanSpread.KernelFloor)
+      din.select(
+        (col(idCol).as("id") +: blockCols.map(col)) :+
+          array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
+        .withColumn("nw", size(col("w")))
+        .localCheckpoint()
+    }
+    val dNew = prep(batch)
+    val dAll = dNew.unionByName(prep(existing))
+    val ranks = tokenRanks(dAll, commonVocab)
+    val cand = prefixCandidatesAB(dNew, dAll, ranks, blockCols, threshold,
+      hotBucketCap)
+    val aSide = dAll.select(col("id").as("a_id"), col("w").as("a_w"),
+      col("nw").as("a_nw")).hint("SHUFFLE_HASH")
+    val bSide = dAll.select(col("id").as("b_id"), col("w").as("b_w"),
+      col("nw").as("b_nw")).hint("SHUFFLE_HASH")
+    cand.join(aSide, "a_id").join(bSide, "b_id")
+      .withColumn("inter",
+        HashExpressions.sortedIntersectSize(col("a_w"), col("b_w")))
+      .select(col("a_id"), col("b_id"),
+        (col("inter") / (col("a_nw") + col("b_nw") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Two-sided prefix-candidate core for [[prefixJaccardPairsIncremental]]:
+    * probe-side prefixes (dA) × index-side prefixes (dB), canonical
+    * (least, greatest) distinct pairs. Hot buckets are metered by the
+    * a×b PRODUCT (the honest join cost for asymmetric sides — the
+    * containment treatment) and grid-salted two-ways; all PPJoin
+    * filters (length, positional) are symmetric in (a, b) and apply
+    * unchanged.
+    */
+  private[text] def prefixCandidatesAB(dA: DataFrame, dB: DataFrame,
+                                       ranks: Map[String, Int],
+                                       blockCols: Seq[String],
+                                       threshold: Double,
+                                       hotBucketCap: Int): DataFrame = {
+    def prefixes(d: DataFrame, role: String): DataFrame =
+      d.select((col("id") +: blockCols.map(col)) :+ col("nw") :+
+        posexplode(HashExpressions.prefixTokens(col("w"), ranks, threshold)): _*)
+        .withColumnRenamed("col", "token")
+        .toDF(s"${role}_id" +: blockCols :+ s"${role}_nw" :+ s"${role}_pos" :+ "token": _*)
+    // never broadcast a corpus-proportional exploded index (see
+    // prefixCandidates)
+    val a = prefixes(dA, "a").hint("SHUFFLE_HASH")
+    val b = prefixes(dB, "b")
+    val aCnt = a.groupBy(col("token")).agg(count(lit(1)).as("na"))
+    val bCnt = b.groupBy(col("token")).agg(count(lit(1)).as("nb"))
+    val hotRows = aCnt.join(bCnt, "token")
+      .filter(col("na") * col("nb") > hotBucketCap)
+      .orderBy((col("na") * col("nb")).desc, col("token")).limit(64).collect()
+    val joined =
+      if (hotRows.isEmpty) a.join(b, blockCols :+ "token")
+      else {
+        val hot = hotRows.map(_.getString(0)).toSeq
+        val maxProd = hotRows.map(r => r.getLong(1) * r.getLong(2)).max
+        val grid = math.min(32L,
+          math.ceil(math.sqrt(maxProd.toDouble / hotBucketCap)).toLong).toInt
+        val cold = a.filter(!col("token").isin(hot: _*))
+          .join(b.filter(!col("token").isin(hot: _*)), blockCols :+ "token")
+        val aHot = a.filter(col("token").isin(hot: _*))
+          .withColumn("g1", pmod(xxhash64(col("a_id")), lit(grid.toLong)))
+          .withColumn("g2", explode(sequence(lit(0L), lit(grid - 1L))))
+        val bHot = b.filter(col("token").isin(hot: _*))
+          .withColumn("g2", pmod(xxhash64(col("b_id")), lit(grid.toLong)))
+          .withColumn("g1", explode(sequence(lit(0L), lit(grid - 1L))))
+        cold.unionByName(
+          aHot.join(bHot, blockCols ++ Seq("token", "g1", "g2"))
+            .drop("g1", "g2"))
+      }
+    val eps = 1e-9
+    val alpha = ceil((lit(threshold) / (1 + threshold)) * (col("a_nw") + col("b_nw")) - eps)
+    joined
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(col("a_nw") >= lit(threshold) * col("b_nw") - eps &&
+        col("b_nw") >= lit(threshold) * col("a_nw") - eps)
+      .filter(lit(1) + least(col("a_nw") - col("a_pos") - 1,
+        col("b_nw") - col("b_pos") - 1) >= alpha)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+  }
+
   /** The canonical token order both AllPairs pipelines sort by: document
     * frequency ascending (rare first — rare prefix tokens minimize bucket
     * collisions), realized as a BOUNDED dictionary of the top

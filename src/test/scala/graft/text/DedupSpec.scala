@@ -229,6 +229,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental Jaccard ≡ full pass restricted to batch-touching pairs") {
+    import spark.implicits._
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // fixture corpus
+    val d = graft.source.Tables(spark, sfDir, "documents")
+    val incFix = key(Dedup.prefixJaccardPairsIncremental(
+      d.filter(col("doc_id") % 5 === 2), d.filter(col("doc_id") % 5 =!= 2),
+      Seq("lang", "source"), threshold = 0.8))
+    val fullFix = key(Dedup.prefixJaccardPairs(d, Seq("lang", "source"), 0.8))
+      .filter { case (a, b, _) => a % 5 == 2 || b % 5 == 2 }
+    assert(incFix == fullFix && incFix.nonEmpty,
+      s"missing=${(fullFix -- incFix).take(3)} extra=${(incFix -- fullFix).take(3)}")
+    // randomized duplicate-heavy corpus, plus the tiny-cap grid path
+    val rnd = new scala.util.Random(13579)
+    val vocab = (1 to 20).map(i => s"w$i")
+    val rows = (1 to 70).map { id =>
+      val n = 4 + rnd.nextInt(12)
+      (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val dr = rows.toDF("doc_id", "text").withColumn("blk", lit("b"))
+    for (cap <- Seq(100000, 15)) {
+      val inc = key(Dedup.prefixJaccardPairsIncremental(
+        dr.filter(col("doc_id") % 3 === 0), dr.filter(col("doc_id") % 3 =!= 0),
+        Seq("blk"), threshold = 0.6, hotBucketCap = cap))
+      val full = key(Dedup.prefixJaccardPairs(dr, Seq("blk"), 0.6))
+        .filter { case (a, b, _) => a % 3 == 0 || b % 3 == 0 }
+      assert(inc == full && inc.nonEmpty, s"cap=$cap " +
+        s"missing=${(full -- inc).take(3)} extra=${(inc -- full).take(3)}")
+    }
+  }
+
   test("incremental md5 simhash ≡ full pass restricted to batch-touching pairs") {
     val docs = graft.source.Tables(spark, sfDir, "documents")
       .filter(col("doc_id") < 400)
