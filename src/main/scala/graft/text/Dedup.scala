@@ -94,6 +94,63 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** One micro-batch step of the STREAMING near-dup loop (and the unit
+    * [[minhashPairStream]] runs per batch): probe the persisted standing
+    * corpus at `standingPath` with this batch via
+    * [[minhashPairsMd5Incremental]] — every near-dup pair involving ≥ 1
+    * batch document, old×old never regenerated — then append the batch
+    * to the store under `__batch = batchId`. Exactly-once discipline:
+    * the append uses dynamic partition overwrite of THIS batch's
+    * partition (redelivery rewrites the identical rows), and the
+    * standing side excludes the current batch id, so a redelivered
+    * batch probes the same standing set and returns the identical pair
+    * frame. Returns the pairs (materialize before the next step).
+    */
+  def minhashStreamStep(batch: DataFrame, batchId: Long, standingPath: String,
+                        threshold: Double = 0.5,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleW: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    val docs = batch.select(col(idCol), col(textCol))
+    val standing =
+      if (new java.io.File(standingPath).exists)
+        spark.read.parquet(standingPath)
+          .filter(col("__batch") =!= batchId)
+          .select(col(idCol), col(textCol))
+      else docs.limit(0)
+    val pairs = minhashPairsMd5Incremental(docs, standing, threshold,
+        numHashes, bands, shingleW, textCol, idCol)
+      .localCheckpoint() // pin the result BEFORE the store gains this batch
+    docs.withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(standingPath)
+    pairs
+  }
+
+  /** Streaming day-over-day near-dup detection: each micro-batch runs
+    * [[minhashStreamStep]] — so across the stream every qualifying pair
+    * is emitted EXACTLY ONCE, at its later member's arrival (sequential
+    * batches ≡ one-shot, spec-pinned), and the standing store grows by
+    * one partition per batch. `sink` receives (pairs, batchId) per
+    * batch — the [[graft.runtime.Streams]] foreachBatch discipline.
+    */
+  def minhashPairStream(stream: DataFrame, standingPath: String,
+                        checkpointDir: String,
+                        threshold: Double = 0.5,
+                        textCol: String = "text", idCol: String = "doc_id")
+                       (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink(minhashStreamStep(b, id, standingPath, threshold,
+          textCol, idCol), id)
+      }
+      .start()
+
   /** `w`-word shingles of a text column, deduplicated, as 64-bit hashes
     * (native kernel; hashes match `xxhash64(concat_ws(" ", …))`).
     */

@@ -131,4 +131,53 @@ class CorpusStreamSpec extends SparkSpec {
     val kept = spark.table("incr_stream_out").collect().map(_.getLong(0)).toSet
     assert(kept == Set(13L, 12L), s"kept=$kept")
   }
+
+  test("streaming minhash near-dup: batches ≡ one-shot, redelivery idempotent") {
+    import spark.implicits._
+    // near-dup groups planted ACROSS arrival batches: every pair must be
+    // emitted exactly once, at its LATER member's arrival
+    val s1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val s2 = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val s3 = "one two three four five six seven eight nine ten"
+    val rows = Seq(
+      1L -> s1, 2L -> s2, 3L -> s3,          // batch 0
+      4L -> s1, 5L -> "unique first words never repeated anywhere else at all",
+      6L -> s2,                              // batch 1: dups of 1 and 2
+      7L -> s1, 8L -> s3)                    // batch 2: dups of 1, 4 and 3
+    val base = java.nio.file.Files.createTempDirectory("mh_stream").toString
+    val standing = s"$base/standing"
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Dedup.minhashPairStream(input.toDF().toDF("doc_id", "text"),
+        standing, s"$base/ckpt") { (pairs, id) =>
+      emitted ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), id))
+    }
+    try {
+      input.addData(rows.take(3)); q.processAllAvailable()
+      input.addData(rows.slice(3, 6)); q.processAllAvailable()
+      input.addData(rows.drop(6)); q.processAllAvailable()
+    } finally q.stop()
+    val got = emitted.map { case (a, b, _) => (a, b) }.toSet
+    val oneShot = Dedup.minhashPairsMd5(rows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == oneShot, s"missing=${oneShot -- got} extra=${got -- oneShot}")
+    // each pair exactly once, at the batch where its later member arrived
+    assert(emitted.size == got.size, s"duplicated emissions: $emitted")
+    val arrivalBatch = Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1,
+      6L -> 1, 7L -> 2, 8L -> 2)
+    emitted.foreach { case (a, b, id) =>
+      assert(math.max(arrivalBatch(a), arrivalBatch(b)) == id,
+        s"pair ($a,$b) emitted at batch $id")
+    }
+    // redelivery of the LAST batch (the foreachBatch failure-replay case):
+    // the store partition overwrites with identical rows and the standing
+    // side excludes the batch id → identical pair frame, store unchanged
+    val before = spark.read.parquet(standing).count()
+    val redelivered = Dedup.minhashStreamStep(
+        rows.drop(6).toDF("doc_id", "text"), batchId = 2, standing)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(redelivered ==
+      emitted.filter(_._3 == 2).map { case (a, b, _) => (a, b) }.toSet)
+    assert(spark.read.parquet(standing).count() == before)
+  }
 }
