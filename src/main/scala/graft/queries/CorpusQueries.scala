@@ -2623,5 +2623,31 @@ object CorpusQueries {
           // spreading the probe, ONE task would run all block² DPs
           probePartitions = s.sessionState.conf.numShufflePartitions)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // INCREMENTAL entity resolution — the day-over-day fuzzy join:
+    // every 9th customer arrives as the new batch; batch deletion
+    // variants probe the (standing ∪ batch) variant index — one
+    // relation reaches every batch-touching pair, since a qualifying
+    // pair shares a variant — and old×old DP work never regenerates.
+    // Oracle = the full pair relation restricted to batch-touching
+    // pairs.
+    Q("cust_fuzzy_incremental",
+      """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+         CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         WHERE (a.c_custkey % 9 = 4 OR b.c_custkey % 9 = 4)
+           AND abs(length(a.c_name) - length(b.c_name)) <= 2
+           AND levenshtein(a.c_name, b.c_name) <= 2
+         ORDER BY a_id, b_id""") { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+      Entity.editDistancePairsIncremental(
+          cust.filter(col("c_custkey") % 9 === 4),
+          cust.filter(col("c_custkey") % 9 =!= 4),
+          maxDist = 2, idCol = "c_custkey", strCol = "c_name",
+          blockCols = Seq("c_nationkey"),
+          probePartitions = s.sessionState.conf.numShufflePartitions)
+        .orderBy(col("a_id"), col("b_id"))
     })
 }

@@ -126,6 +126,58 @@ object Entity {
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 
+  /** INCREMENTAL entity resolution — the day-over-day shape of
+    * [[editDistancePairs]]: every within-`maxDist` pair involving ≥ 1
+    * batch record, canonical (a_id < b_id), without regenerating the
+    * old×old candidate volume previous runs already resolved. One probe
+    * relation suffices (the incremental-Jaccard argument applied to the
+    * FastSS join): a qualifying pair SHARES a deletion variant, so
+    * batch variants probed against the (standing ∪ batch) variant index
+    * reach every batch-touching pair — old×new with the batch record as
+    * probe, new×new with either. At warehouse scale the standing
+    * variant index is a persisted table keyed (block, variant-hash);
+    * the batch probes it and appends its own variants — an index
+    * lookup, batch-proportional, never corpus². Canonical order via
+    * least/greatest (batch ids interleave standing ids); verify is the
+    * same bounded-threshold DP over join-backed strings.
+    */
+  def editDistancePairsIncremental(batch: DataFrame, existing: DataFrame,
+                                   maxDist: Int,
+                                   idCol: String, strCol: String,
+                                   blockCols: Seq[String],
+                                   probePartitions: Int = 0): DataFrame = {
+    require(blockCols.nonEmpty, "blocking columns are the scale contract")
+    require(maxDist <= 2, "variant counts C(len, d) explode past d = 2")
+    def slim(df: DataFrame): DataFrame = df.select(
+      (col(idCol).as("id") +: col(strCol).as("s") +:
+        blockCols.map(c => col(c))): _*)
+    val sNew = slim(batch)
+    val sAll = sNew.unionByName(slim(existing))
+    def variants(df: DataFrame, role: String): DataFrame = {
+      val src = if (probePartitions > 0) df.repartition(probePartitions) else df
+      src.select(
+        (col("id").as(s"${role}_id") +: blockCols.map(col) :+
+          explode(graft.functions.TextExpressions
+            .deletionNeighborhood(col("s"), maxDist)).as("vh")): _*)
+    }
+    // SHUFFLE_HASH: the variant explode's inflation is invisible to
+    // size stats (the editDistancePairs rationale)
+    val cands = variants(sNew, "a").hint("SHUFFLE_HASH")
+      .join(variants(sAll, "b"), blockCols :+ "vh")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+    cands
+      .join(sAll.select(col("id").as("a_id"), col("s").as("a_s")), "a_id")
+      .join(sAll.select(col("id").as("b_id"), col("s").as("b_s")), "b_id")
+      .filter(abs(length(col("a_s")) - length(col("b_s"))) <= maxDist)
+      .withColumn("dist", graft.functions.TextExpressions
+        .editDistanceWithin(col("a_s"), col("b_s"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
   /** Deletion-neighborhood candidate generation + DP verify (see
     * [[editDistancePairs]]). `slim` is (id, s, blockCols…).
     */

@@ -43,6 +43,30 @@ class EntitySpec extends SparkSpec {
     assert(got == want, s"sets differ: got ${got.size}, want ${want.size}")
   }
 
+  test("incremental fuzzy join ≡ full pass restricted to batch-touching pairs") {
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val rows = cust.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    val want = quadraticReference(rows, maxDist = 2)
+      .filter { case (a, b, _) => a % 9 == 4 || b % 9 == 4 }
+    val got = Entity.editDistancePairsIncremental(
+        cust.filter(col("c_custkey") % 9 === 4),
+        cust.filter(col("c_custkey") % 9 =!= 4),
+        maxDist = 2, idCol = "c_custkey", strCol = "c_name",
+        blockCols = Seq("c_nationkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(want.nonEmpty, "degenerate split: no batch-touching pairs")
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // bootstrap: empty standing ≡ plain self-join of the batch
+    val batchOnly = Entity.editDistancePairsIncremental(
+        cust, cust.limit(0), maxDist = 2, idCol = "c_custkey",
+        strCol = "c_name", blockCols = Seq("c_nationkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batchOnly == quadraticReference(rows, maxDist = 2))
+  }
+
   test("grid-salted hot blocks ≡ plain join (lossless), multi-column block key") {
     import spark.implicits._
     // one deliberately hot block (120 near-identical names) next to cold
