@@ -110,19 +110,34 @@ object Dedup {
                         threshold: Double = 0.5,
                         textCol: String = "text", idCol: String = "doc_id",
                         numHashes: Int = 64, bands: Int = 16,
-                        shingleW: Int = 3): DataFrame = {
+                        shingleW: Int = 3): DataFrame =
+    incrementalStreamStep(batch.select(col(idCol), col(textCol)), batchId,
+      standingPath)(minhashPairsMd5Incremental(_, _, threshold,
+      numHashes, bands, shingleW, textCol, idCol))
+
+  /** One micro-batch step of ANY incremental pair family over a
+    * batch-partitioned standing store: run `pairFn(batch, standing)` —
+    * every pair involving ≥ 1 batch row, old×old never regenerated —
+    * then append the batch under `__batch = batchId`. Exactly-once
+    * discipline: the append dynamically overwrites THIS batch's
+    * partition (redelivery rewrites identical rows) and the standing
+    * side excludes the current batch id, so a redelivered batch probes
+    * the same standing set and returns the identical frame. The result
+    * is checkpointed BEFORE the store gains the batch.
+    */
+  def incrementalStreamStep(batch: DataFrame, batchId: Long,
+                            standingPath: String)
+                           (pairFn: (DataFrame, DataFrame) => DataFrame)
+      : DataFrame = {
     val spark = batch.sparkSession
-    val docs = batch.select(col(idCol), col(textCol))
     val standing =
       if (new java.io.File(standingPath).exists)
         spark.read.parquet(standingPath)
           .filter(col("__batch") =!= batchId)
-          .select(col(idCol), col(textCol))
-      else docs.limit(0)
-    val pairs = minhashPairsMd5Incremental(docs, standing, threshold,
-        numHashes, bands, shingleW, textCol, idCol)
-      .localCheckpoint() // pin the result BEFORE the store gains this batch
-    docs.withColumn("__batch", lit(batchId))
+          .select(batch.columns.map(col): _*)
+      else batch.limit(0)
+    val pairs = pairFn(batch, standing).localCheckpoint()
+    batch.withColumn("__batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch").parquet(standingPath)
@@ -135,6 +150,11 @@ object Dedup {
     * batches ≡ one-shot, spec-pinned), and the standing store grows by
     * one partition per batch. `sink` receives (pairs, batchId) per
     * batch — the [[graft.runtime.Streams]] foreachBatch discipline.
+    * The same wrapper shape lifts any family via
+    * [[incrementalStreamStep]]: [[prefixJaccardPairsIncremental]],
+    * [[containmentPairsIncremental]], [[simhashPairsMd5Incremental]],
+    * [[graft.text.Entity.editDistancePairsIncremental]] all share the
+    * (batch, standing) ⇒ pairs contract.
     */
   def minhashPairStream(stream: DataFrame, standingPath: String,
                         checkpointDir: String,

@@ -132,6 +132,23 @@ class CorpusStreamSpec extends SparkSpec {
     assert(kept == Set(13L, 12L), s"kept=$kept")
   }
 
+  test("generic incremental stream step lifts Jaccard: sequential batches ≡ one-shot") {
+    val docs = graft.source.Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 300).select("doc_id", "lang", "source", "text")
+    val standing = java.nio.file.Files
+      .createTempDirectory("jc_stream").resolve("store").toString
+    def step(lo: Long, hi: Long, id: Long) =
+      Dedup.incrementalStreamStep(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi), id, standing)(
+          Dedup.prefixJaccardPairsIncremental(_, _, Seq("lang", "source"), 0.8))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = step(0, 100, 0) ++ step(100, 200, 1) ++ step(200, 300, 2)
+    val oneShot = Dedup.prefixJaccardPairs(docs, Seq("lang", "source"), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == oneShot && got.nonEmpty,
+      s"missing=${(oneShot -- got).take(3)} extra=${(got -- oneShot).take(3)}")
+  }
+
   test("streaming minhash near-dup: batches ≡ one-shot, redelivery idempotent") {
     import spark.implicits._
     // near-dup groups planted ACROSS arrival batches: every pair must be
