@@ -638,6 +638,40 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Fill-in-the-middle (FIM) splitting — the infilling-model data
+    // transform: each document cut at two md5-derived points into
+    // (prefix, middle, suffix). Both engines compute the identical
+    // md5-hex cut points (the doc_hash_sample idiom) and the identical
+    // slices, so every split is hash-checked byte-for-byte.
+    Q("doc_fim_split",
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS t,
+             len(regexp_split_to_array(text, ' ')) AS n FROM documents),
+         c AS (SELECT doc_id, t, CAST(n AS BIGINT) AS n_tokens,
+             list_reduce(list_transform(range(8),
+                 i -> CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR) || 'fim1'), i + 1, 1)) - 1
+                   AS BIGINT)),
+               (a, b) -> a * 16 + b) % (n + 1) AS c1,
+             list_reduce(list_transform(range(8),
+                 i -> CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR) || 'fim2'), i + 1, 1)) - 1
+                   AS BIGINT)),
+               (a, b) -> a * 16 + b) % (n + 1) AS c2
+           FROM d)
+         SELECT doc_id, n_tokens,
+           least(c1, c2) AS lo, greatest(c1, c2) AS hi,
+           COALESCE(array_to_string(list_slice(t, 1, least(c1, c2)), ' '), '')
+             AS prefix,
+           COALESCE(array_to_string(
+             list_slice(t, least(c1, c2) + 1, greatest(c1, c2)), ' '), '')
+             AS middle,
+           COALESCE(array_to_string(
+             list_slice(t, greatest(c1, c2) + 1, n_tokens), ' '), '')
+             AS suffix
+         FROM c ORDER BY doc_id""") { (s, dir) =>
+      Text.fimSplit(docsKernel(s, dir)).orderBy(col("doc_id"))
+    },
+
     // PII redaction — the pre-training scrub pass (emails, then IPv4s),
     // plus per-document match counts. The fixture text carries no PII, so
     // each row is salted with a synthetic email + IP derived from its

@@ -228,6 +228,41 @@ object Text {
         size(col("chunk")).as("n_tokens"))
   }
 
+  /** Fill-in-the-middle (FIM) splitting — the code/infilling-model data
+    * transform (Bavarian et al. 2022, "Efficient Training of Language
+    * Models to Fill in the Middle"): each document's token stream is cut
+    * at two points into (prefix, middle, suffix) so the trainer can
+    * rearrange them PSM/SPM-style. Cut points are DETERMINISTIC —
+    * md5-derived per (doc_id, salt), the `hashModBucket` idiom — so the
+    * split is reproducible across runs/engines (an RNG-based split
+    * could never be audited or oracle-checked). Pure narrow
+    * expressions: streams, scales, no shuffle; empty prefix/middle/
+    * suffix arise naturally when cuts coincide or hit the ends.
+    */
+  def fimSplit(docs: org.apache.spark.sql.DataFrame,
+               textCol: String = "text",
+               idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    def cut(salt: String, n: Column): Column =
+      pmod(conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
+        1, 8), 16, 10).cast("long"), n + 1)
+    docs
+      .select(col(idCol), toks.as("toks"), size(toks).as("n"))
+      .withColumn("c1", cut("fim1", col("n")))
+      .withColumn("c2", cut("fim2", col("n")))
+      .select(col(idCol), col("n").cast("long").as("n_tokens"),
+        least(col("c1"), col("c2")).as("lo"),
+        greatest(col("c1"), col("c2")).as("hi"),
+        col("toks"))
+      .select(col(idCol), col("n_tokens"), col("lo"), col("hi"),
+        array_join(slice(col("toks"), lit(1), col("lo").cast("int")), " ")
+          .as("prefix"),
+        array_join(slice(col("toks"), (col("lo") + 1).cast("int"),
+          (col("hi") - col("lo")).cast("int")), " ").as("middle"),
+        array_join(slice(col("toks"), (col("hi") + 1).cast("int"),
+          (col("n_tokens") - col("hi")).cast("int")), " ").as("suffix"))
+  }
+
   /** Adjacent word-bigram strings ("w1 w2") of a token array — native
     * kernel (one JVM loop per row; see TextExpressions.WordBigrams).
     * Empty array for < 2 tokens.

@@ -11,6 +11,29 @@ class TextSpec extends SparkSpec {
     Seq(text).toDF("text")
   }
 
+  test("fimSplit: parts reassemble the document, cuts bounded and deterministic") {
+    val docs = graft.source.Tables(spark, sfDir, "documents").limit(300)
+    val got = Text.fimSplit(docs).collect().map(r => (r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getString(4), r.getString(5), r.getString(6)))
+    assert(got.nonEmpty)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, n, lo, hi, pre, mid, suf) =>
+      assert(0 <= lo && lo <= hi && hi <= n, s"doc $id cuts out of range")
+      // token-level reassembly: the three parts concatenate to the doc
+      val joined = Seq(pre, mid, suf).filter(_.nonEmpty).mkString(" ")
+      assert(joined == texts(id), s"doc $id does not reassemble")
+      assert(pre.split(" ").count(_.nonEmpty) == lo)
+      assert(suf.split(" ").count(_.nonEmpty) == n - hi)
+    }
+    // deterministic: a second run yields the identical splits
+    val again = Text.fimSplit(docs).collect().map(r => (r.getLong(0),
+      r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getString(4), r.getString(5), r.getString(6)))
+    assert(got.toSet == again.toSet)
+  }
+
   test("token counting: whitespace and BPE-ish") {
     val r = one("Hello world, 42 tests!").select(
       Text.tokenCount(col("text")).as("ws"),
