@@ -1326,6 +1326,51 @@ object CorpusQueries {
       dupGroupLabels(s, dir).orderBy(col("doc_id"))
     },
 
+    // LEAKAGE-PROOF train/val/test split — eval integrity as a
+    // first-class operator: the whole transitive near-dup group draws
+    // ONE md5 bucket from its group id (80/10/10), so a near-duplicate
+    // of a training document can never land in the test split — the
+    // failure mode a naive per-doc hash split ships silently. Oracle =
+    // the doc_dup_groups recursive closure extended with the identical
+    // bucket arithmetic; the spec additionally asserts no qualifying
+    // pair crosses a split.
+    Q("doc_leakproof_split",
+      """WITH RECURSIVE d AS (SELECT doc_id, lang, source,
+           list_distinct(regexp_split_to_array(text, '\s+')) AS w FROM documents),
+         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.w, b.w)) /
+               (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8),
+         e AS (SELECT a_id AS s, b_id AS t FROM p
+               UNION SELECT b_id, a_id FROM p),
+         reach(s, t) AS (SELECT s, t FROM e
+           UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+         g AS (SELECT doc_id,
+             CAST(LEAST(doc_id, coalesce(m.mn, doc_id)) AS BIGINT) AS group_id
+           FROM documents LEFT JOIN
+             (SELECT s, min(t) AS mn FROM reach GROUP BY s) m ON m.s = doc_id),
+         gb AS (SELECT doc_id, group_id,
+             list_reduce(list_transform(range(8),
+                 i -> CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST(group_id AS VARCHAR)), i + 1, 1)) - 1
+                   AS BIGINT)),
+               (a, b) -> a * 16 + b) % 10 AS bucket
+           FROM g)
+         SELECT doc_id, group_id,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket < 9 THEN 'val'
+                ELSE 'test' END AS split
+         FROM gb ORDER BY doc_id""") { (s, dir) =>
+      dupGroupLabels(s, dir)
+        .withColumn("bucket", Text.hashModBucket(col("group_id"), 10))
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") < 9, "val").otherwise("test"))
+        .select(col("doc_id"), col("group_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // Quality-aware survivor selection: what a production dedup actually
     // keeps is not min-id but the best group member. Per transitive
     // near-dup group, the survivor is the member with the most distinct

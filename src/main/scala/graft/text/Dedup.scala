@@ -1011,6 +1011,33 @@ object Dedup {
     * O(log n); near-dup components are chain-shallow, so fewer jobs per
     * round is worth more than fewer rounds here.)
     */
+  /** LEAKAGE-PROOF corpus split: train/val/test assignment that is
+    * coherent by NEAR-DUP GROUP, not by document — the eval-integrity
+    * op naive per-doc hash splits get wrong (a near-duplicate of a
+    * training document landing in the test split inflates every metric
+    * it touches). The whole transitive group draws ONE deterministic
+    * md5 bucket from its group id (the [[graft.text.Text.hashModBucket]]
+    * idiom — engine-independent, reproducible across snapshots as long
+    * as group ids are stable), so no qualifying pair can ever cross a
+    * split boundary BY CONSTRUCTION; singleton documents are their own
+    * group and split like a plain hash split. `buckets` partitions as
+    * [0, train) → train, [train, train+val) → val, rest → test.
+    */
+  def leakProofSplit(docs: DataFrame, pairs: DataFrame,
+                     trainBuckets: Int = 8, valBuckets: Int = 1,
+                     buckets: Int = 10,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(trainBuckets + valBuckets < buckets,
+      "need at least one test bucket")
+    dupGroups(docs, pairs, idCol)
+      .withColumn("bucket", Text.hashModBucket(col("group_id"), buckets))
+      .withColumn("split",
+        when(col("bucket") < trainBuckets, "train")
+          .when(col("bucket") < trainBuckets + valBuckets, "val")
+          .otherwise("test"))
+      .select(col(idCol), col("group_id"), col("split"))
+  }
+
   def dupGroups(docs: DataFrame, pairs: DataFrame,
                 idCol: String = "doc_id", maxIters: Int = 20): DataFrame = {
     // Materialize the edge list ONCE: `pairs` is typically the full

@@ -229,6 +229,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("leakProofSplit: no near-dup pair crosses a split; groups are coherent") {
+    val d = graft.source.Tables(spark, sfDir, "documents")
+    val pairs = Dedup.prefixJaccardPairs(d, Seq("lang", "source"), 0.8)
+    val split = Dedup.leakProofSplit(d, pairs)
+    val byDoc = split.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(byDoc.size == d.count())
+    // every qualifying pair shares a group AND a split — the guarantee
+    val pairRows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairRows.nonEmpty)
+    pairRows.foreach { case (a, b) =>
+      assert(byDoc(a)._1 == byDoc(b)._1, s"pair ($a,$b) in different groups")
+      assert(byDoc(a)._2 == byDoc(b)._2, s"LEAK: pair ($a,$b) crosses splits")
+    }
+    // deterministic bucket arithmetic ≡ the hashModBucket idiom
+    val splits = byDoc.values.map(_._2).toSeq
+    assert(Set("train", "val", "test").subsetOf(splits.toSet) ||
+      splits.toSet.subsetOf(Set("train", "val", "test")))
+    val trainFrac = splits.count(_ == "train").toDouble / splits.size
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train fraction $trainFrac")
+  }
+
   test("incremental Jaccard ≡ full pass restricted to batch-touching pairs") {
     import spark.implicits._
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
