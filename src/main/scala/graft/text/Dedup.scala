@@ -387,7 +387,12 @@ object Dedup {
                       numHashes: Int = 64, bands: Int = 16, shingleW: Int = 3,
                       textCol: String = "text", idCol: String = "doc_id",
                       hotBucketCap: Int = 100000): DataFrame = {
+    // md5-per-shingle is the dominant cost and three jobs read it (hot
+    // detection, bucket join, verify) — checkpoint once, like the
+    // containment prep (the in-session stand-in for a persisted
+    // signature table)
     val sigs = md5ShingleSigs(docs, numHashes, bands, shingleW, textCol, idCol)
+      .localCheckpoint()
     val cand = bucketSelfJoin(md5BandBuckets(sigs, numHashes, bands), hotBucketCap)
       .dropDuplicates("a_id", "b_id")
     jaccardVerify(cand, sigs, threshold)
@@ -477,8 +482,15 @@ object Dedup {
                                  shingleW: Int = 3,
                                  textCol: String = "text", idCol: String = "doc_id",
                                  hotBucketCap: Int = 100000): DataFrame = {
+    // both sig frames feed ≥ 3 jobs each (the two hot-detection
+    // collects, the probe/self joins, the verify) and md5-per-shingle
+    // dominates — checkpoint once per side; at warehouse scale the
+    // standing side is a persisted signature table and this is its
+    // in-session stand-in (the containment-incremental rationale)
     val sigsOld = md5ShingleSigs(existing, numHashes, bands, shingleW, textCol, idCol)
+      .localCheckpoint()
     val sigsNew = md5ShingleSigs(batch, numHashes, bands, shingleW, textCol, idCol)
+      .localCheckpoint()
     val oldB = md5BandBuckets(sigsOld, numHashes, bands)
     val newB = md5BandBuckets(sigsNew, numHashes, bands)
     val cross = bucketProbeJoin(oldB, newB, hotBucketCap)
@@ -595,7 +607,9 @@ object Dedup {
   def simhashPairsMd5(docs: DataFrame, maxHamming: Int = 3,
                       textCol: String = "text", idCol: String = "doc_id",
                       hotBucketCap: Int = 100000): DataFrame =
-    simhashPairsOnSigs(md5SimhashSigs(docs, textCol, idCol),
+    // hot detection + join both read the md5 signature table —
+    // checkpoint once (see [[minhashPairsMd5]])
+    simhashPairsOnSigs(md5SimhashSigs(docs, textCol, idCol).localCheckpoint(),
       maxHamming, chunks = 4, chunkBits = 15, hotBucketCap)
 
   /** The md5-replayable 60-bit signature table (id, sig) — shared scan
@@ -636,8 +650,11 @@ object Dedup {
                                  hotBucketCap: Int = 100000): DataFrame = {
     val chunks = 4; val chunkBits = 15
     val mask = (1L << chunkBits) - 1
-    val sigsOld = md5SimhashSigs(existing, textCol, idCol)
-    val sigsNew = md5SimhashSigs(batch, textCol, idCol)
+    // per-token md5 + 60 bit-votes dominate and each side feeds multiple
+    // jobs (hot detection + joins) — checkpoint once per side, as in
+    // [[minhashPairsMd5Incremental]]
+    val sigsOld = md5SimhashSigs(existing, textCol, idCol).localCheckpoint()
+    val sigsNew = md5SimhashSigs(batch, textCol, idCol).localCheckpoint()
     def chunked(sh: DataFrame): DataFrame = sh.select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(chunks - 1)), c =>
           struct(c.as("chunk"),
