@@ -617,6 +617,42 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Maximal duplicated-span detection (the Lee et al. 2021 shape:
+    // variable-length repeated substrings ≥ a token threshold, at ANY
+    // alignment — the disjoint-block form above only sees k-aligned
+    // repeats). Sliding 8-token windows, duplicated anywhere in the
+    // corpus, merged into maximal spans ≥ 16 tokens. The engine marks
+    // positions by md5 window hash; the oracle by the window string —
+    // same equivalence classes (the doc_span_dedup idiom), and both
+    // sides merge islands with the identical pos − prev > k rule.
+    Q("doc_dup_spans",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n FROM documents),
+         g AS (SELECT doc_id, toks, unnest(range(0, n - 8 + 1)) AS pos
+           FROM d WHERE n >= 8),
+         g2 AS (SELECT doc_id, pos,
+           array_to_string(list_slice(toks, pos + 1, pos + 8), ' ') AS gram
+           FROM g),
+         dup AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(*) > 1),
+         p AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (gram)),
+         i AS (SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+             THEN 1 ELSE 0 END AS ni FROM p),
+         isl AS (SELECT doc_id, pos,
+           SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i),
+         s AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end
+           FROM isl GROUP BY doc_id, island)
+         SELECT s.doc_id, CAST(span_start AS INT) AS span_start,
+           CAST(span_end - span_start AS INT) AS span_len,
+           array_to_string(list_slice(d.toks, span_start + 1, span_end), ' ')
+             AS span_text
+         FROM s JOIN d USING (doc_id)
+         WHERE span_end - span_start >= 16
+         ORDER BY doc_id, span_start""") { (s, dir) =>
+      Dedup.duplicatedSpans(docsKernel(s, dir), k = 8, minLen = 16)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     // Deterministic hash-mod sampling — THE reproducible sampling method
     // for training-data pipelines (rerun-stable, join-free, no RNG state;
     // `df.sample` is seed+partitioning dependent). Bucket = first 8 hex

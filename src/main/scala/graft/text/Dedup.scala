@@ -1630,6 +1630,69 @@ object Dedup {
   private def spanBlockText(i: Column, k: Int): Column =
     array_join(slice(col("toks"), i * k + 1, lit(k)), " ")
 
+  /** Maximal duplicated-span DETECTION — the variable-length counterpart
+    * of [[spanDedup]]'s fixed disjoint blocks (the shape of Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better",
+    * which removes repeated substrings ≥ a length threshold found by a
+    * suffix array). Distributed re-expression: slide a k-token window
+    * over every document (stride 1, not k — so a repeat is found at ANY
+    * alignment, which the disjoint-block form misses), mark the
+    * positions whose window recurs anywhere in the corpus (including
+    * within the same document), and merge overlapping/adjacent marked
+    * windows into maximal spans, keeping those ≥ `minLen` tokens.
+    * Returns one row per span: (doc_id, span_start, span_len,
+    * span_text) — the audit/removal list a pipeline subtracts from the
+    * corpus.
+    *
+    * Scale shape: window text reduces to md5 BEFORE anything shuffles
+    * (positions are (doc_id, pos, hash) triples); duplicated hashes come
+    * from one map-side-combined count; the island merge is a per-document
+    * window function — state bounded by document length, partitioned by
+    * doc_id, never a global sort; span text is rebuilt scan-side from the
+    * original token array after a per-doc span-list join (the
+    * [[spanDedup]] drop-list idiom). Interval merge is exact because all
+    * windows share length k: positions sorted, a new span starts iff
+    * pos − prev > k (gaps-and-islands), so max-end bookkeeping never
+    * needs a running aggregate over varying ends.
+    */
+  def duplicatedSpans(docs: DataFrame, k: Int = 8, minLen: Int = 16,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && minLen >= k,
+      s"minLen ($minLen) must be >= k ($k): a single window is the shortest span")
+    val toks = split(col(textCol), " ")
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("toks"),
+      size(toks).as("n"))
+    val grams = base.filter(col("n") >= k).select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), col("n") - k),
+        i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+        .as(Seq("pos", "gh")))
+    // corpus-wide duplicated window hashes: map-side combine collapses a
+    // boilerplate window repeated across an input split before the shuffle
+    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("gh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = grams.join(dup, "gh").select(col("doc_id"), col("pos"))
+      .withColumn("ni",
+        when(col("pos") - lag(col("pos"), 1).over(w) > k, 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k).as("span_end"))
+      .filter(col("span_end") - col("span_start") >= minLen)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("span_start"), col("span_end")))).as("spans"))
+    base.join(spans, "doc_id")
+      .select(col("doc_id"), col("toks"), explode(col("spans")).as("s"))
+      .select(col("doc_id"),
+        col("s.span_start").cast("int").as("span_start"),
+        (col("s.span_end") - col("s.span_start")).cast("int").as("span_len"),
+        array_join(slice(col("toks"), col("s.span_start") + 1,
+          col("s.span_end") - col("s.span_start")), " ").as("span_text"))
+  }
+
   /** Rebuild surviving text scan-side from the per-doc drop-list. */
   private def spanReassemble(base: DataFrame, drops: DataFrame, k: Int): DataFrame =
     base.join(drops, Seq("doc_id"), "left")

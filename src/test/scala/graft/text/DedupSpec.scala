@@ -638,6 +638,58 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicatedSpans: planted cross-doc repeat found at unaligned offset, span maximal") {
+    // a 20-token phrase shared by docs 1 and 2 but at OFFSETS 3 and 7 —
+    // invisible to disjoint 8-blocks (different alignments), found by
+    // the sliding window at any alignment
+    val phrase = (0 until 20).map(i => s"p$i").mkString(" ")
+    def filler(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val d = docs(
+      (1L, s"${filler("a", 3)} $phrase ${filler("b", 5)}"),
+      (2L, s"${filler("c", 7)} $phrase ${filler("d", 2)}"),
+      (3L, other))
+    val got = Dedup.duplicatedSpans(d, k = 8, minLen = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    // positions p with duplicated 8-window: exactly the phrase's 13
+    // window starts (20 − 8 + 1) ⇒ one maximal span of 20 tokens per doc
+    assert(got == Set((1L, 3, 20, phrase), (2L, 7, 20, phrase)), got.toString)
+  }
+
+  test("duplicatedSpans matches the sequential reference on a randomized collision-heavy corpus") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Array("w0", "w1", "w2") // 3 words → dense window collisions
+    val rows = (0L until 50L).map { id =>
+      val n = 1 + rnd.nextInt(30)
+      id -> Array.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    def naive(k: Int, minLen: Int): Set[(Long, Int, Int, String)] = {
+      val toks = rows.map { case (id, t) => id -> t.split(" ") }
+      val counts = toks.flatMap { case (_, w) =>
+        w.sliding(k).filter(_.length == k).map(_.mkString(" ")) }
+        .groupBy(identity).map { case (g, o) => g -> o.size }
+      toks.flatMap { case (id, w) =>
+        val dupPos = w.sliding(k).zipWithIndex
+          .filter { case (g, _) => g.length == k && counts(g.mkString(" ")) > 1 }
+          .map(_._2).toList
+        // merge: new island iff pos − prev > k
+        val islands = dupPos.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && p - acc.head.head <= k =>
+            (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map(is => (is.min, is.max + k)).filter(s => s._2 - s._1 >= minLen)
+          .map { case (s0, s1) =>
+            (id, s0, s1 - s0, w.slice(s0, s1).mkString(" ")) }
+      }.toSet
+    }
+    for ((k, minLen) <- Seq((2, 4), (3, 3), (8, 16))) {
+      val got = Dedup.duplicatedSpans(docs(rows: _*).repartition(7), k, minLen)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+      assert(got == naive(k, minLen),
+        s"k=$k minLen=$minLen: missing=${(naive(k, minLen) -- got).take(3)} extra=${(got -- naive(k, minLen)).take(3)}")
+    }
+  }
+
   test("contaminationScore: benchmark self-overlap 1.0, disjoint docs 0.0, filter ≡ zero-score") {
     val d = docs((1L, base), (2L, base + " extra tail tokens here"), (3L, other))
     val bench = docs((1L, base))
