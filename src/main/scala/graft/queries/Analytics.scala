@@ -1094,6 +1094,33 @@ object Analytics {
         .orderBy(col("event_type"))
     },
 
+    // CDC changelog apply (Delta MERGE / Hudi upsert / Flink changelog
+    // compaction semantics): events re-read as a change feed keyed by
+    // user_id — every event is an upsert of the user's last-seen state,
+    // an 'error' event is a tombstone — and compacted to the final
+    // snapshot by last-writer-wins on (ts, event_id). ONE keyed shuffle:
+    // max_by combines map-side (one row per key per map task), where the
+    // oracle's window formulation would shuffle-and-sort the full feed;
+    // the tombstone filter runs on the ≤|keys| winners, so a user whose
+    // LAST change is a delete is absent even though earlier versions
+    // exist (no resurrection). Carried values only — no float arithmetic,
+    // every column hash-checks raw.
+    Q("ev_cdc_apply",
+      """SELECT user_id, event_type AS last_type, value AS last_value,
+         ts AS last_ts
+         FROM (SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""") { (s, dir) =>
+      graft.ops.Cdc.applyChangelog(Tables.events(s, dir),
+          keys = Seq("user_id"), ordering = Seq("ts", "event_id"),
+          isDelete = col("event_type") === "error")
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"), col("ts").as("last_ts"))
+        .orderBy(col("user_id"))
+    },
+
     // PIVOT: per-user event-type counts as columns. The pivot value list
     // is explicit — with an inferred list Spark would run an extra
     // distinct job AND the output schema would depend on the data.

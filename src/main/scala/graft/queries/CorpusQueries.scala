@@ -2270,6 +2270,50 @@ object CorpusQueries {
         .orderBy(col("n_id"), col("sub"))
     },
 
+    // SemDeDup under the oracle — semantic dedup over the SAME seeded cell
+    // structure as ann_ivf_incremental_assign: every vector assigns to its
+    // nearest seed centroid (the kernel's ||c||²−2v·c arithmetic, ties to
+    // the lower cell), pairwise cosine runs ONLY within a cell, and a
+    // vector is dropped when a smaller-id cell-mate clears tau (min-id
+    // survivor — deterministic, so the whole kept set is hash-checkable).
+    // DuckDB replays assignment + index-ordered cosine bit-exactly (the
+    // ann_brute_topk precedent), so the threshold verdicts agree bit-for-
+    // bit. tau = 0.4 because the fixture corpus is i.i.d. (max pairwise
+    // cosine ≈ 0.49): the rule must BITE on real rows at both gate scales
+    // rather than pass vacuously at a production-style 0.95.
+    Q("emb_semdedup",
+      """WITH c AS (SELECT vec_id AS cluster, embedding,
+             list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) AS n2
+           FROM embeddings WHERE vec_id < 16),
+         sc AS (SELECT e.vec_id, c.cluster,
+             c.n2 - 2.0 * list_sum(list_transform(range(len(e.embedding)),
+               i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)))
+               AS score
+           FROM embeddings e CROSS JOIN c),
+         asg AS (SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cluster) AS rn
+             FROM sc) WHERE rn = 1),
+         v AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+           FROM embeddings),
+         dom AS (SELECT DISTINCT b.vec_id
+           FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           JOIN v va ON va.vec_id = a.vec_id JOIN v vb ON vb.vec_id = b.vec_id
+           WHERE list_sum(list_transform(range(len(va.embedding)),
+               i -> CAST(va.embedding[i+1] AS DOUBLE) * CAST(vb.embedding[i+1] AS DOUBLE)))
+             / (va.nrm * vb.nrm) >= 0.4)
+         SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           vec_id NOT IN (SELECT vec_id FROM dom) AS kept
+         FROM asg ORDER BY vec_id""") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      graft.sim.Ivf.semDeDup(emb, graft.sim.Ivf.IvfModel(cents), tau = 0.4)
+        .orderBy(col("vec_id"))
+    },
+
     // Distributed PCA (the dimensionality-reduction step semantic-dedup
     // runs before clustering): one corpus pass accumulates count/Σx/Σxxᵀ
     // through typed Aggregators (driver only holds the 64×64 covariance),

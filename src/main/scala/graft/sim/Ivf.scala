@@ -283,4 +283,52 @@ object Ivf {
           col("cos"), col("rnk"))
     }.reduce(_ unionByName _)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication through the SAME cluster structure [[search]] probes:
+    * pairwise cosine is computed ONLY within a centroid cell (the paper's
+    * core trick — clustering shrinks the n² pair space to Σ|cell|²), and a
+    * vector is dropped when a same-cell vector with a SMALLER id is
+    * cosine-similar above `tau`. The min-id survivor rule makes the pass
+    * deterministic and one-shot: no iteration, no RNG, no
+    * order-of-arrival dependence, and the kept set is reproducible from
+    * the inputs alone (the paper keeps a random/centroid-distance pick
+    * per similar group; any fixed total order is an admissible choice and
+    * id order is the auditable one).
+    *
+    * Scale shape: the pair join keys on (cell, salt) — the [[knnGraph]]
+    * grid treatment, so an O(n²/k) hot cell spreads over `saltG` tasks
+    * instead of pinning one reducer; the a-side replicates `saltG` ways
+    * (O(n·G) extra rows of ids+vector), the b-side salts by id. Dominated
+    * ids collapse to ≤ n rows before the one distinct shuffle, and the
+    * verdict join back to the assignment is id-only. At 100 TB the cell
+    * count comes from [[train]]'s scale-adaptive nlist (∝ √n), keeping
+    * Σ|cell|² ≈ n^1.5 — never all-pairs.
+    *
+    * Output: one row per corpus vector — (id, cluster, kept).
+    */
+  def semDeDup(corpus: DataFrame, model: IvfModel, tau: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               saltG: Int = 8): DataFrame = {
+    val flat = model.flat
+    def assigned(role: String): DataFrame =
+      corpus.select(col(idCol).as(s"${role}_id"),
+        element_at(VectorExpressions.nearestCentroids(
+          col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"),
+        col(vecCol).as(s"${role}_vec"),
+        Similarity.l2Norm(col(vecCol)).as(s"${role}_norm"))
+    val a = assigned("a")
+      .withColumn("salt", explode(sequence(lit(0), lit(saltG - 1))))
+    val b = assigned("b")
+      .withColumn("salt", pmod(col("b_id"), lit(saltG)).cast("int"))
+    val dominated = a.join(b, Seq("cluster", "salt"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(Similarity.dot(col("a_vec"), col("b_vec")) /
+        (col("a_norm") * col("b_norm")) >= tau)
+      .select(col("b_id").as(idCol)).distinct()
+    assign(corpus, model, idCol, vecCol)
+      .join(dominated.withColumn("__dom", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster").cast("int").as("cluster"),
+        col("__dom").isNull.as("kept"))
+  }
 }

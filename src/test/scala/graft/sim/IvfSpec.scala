@@ -198,4 +198,55 @@ class IvfSpec extends SparkSpec {
       assert(single.nonEmpty)
     }
   }
+
+  test("semDeDup: ≡ naive within-cell dominance; partition-invariant; tau-monotone") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val dim = 16
+    // 120 base vectors + planted near-copies (tiny jitter → cosine ≈ 1)
+    val base = (0 until 120)
+      .map(i => (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val copies = (0 until 30).map { j =>
+      val (srcId, v) = base(rnd.nextInt(base.size))
+      (1000L + j, v.map(x => x + (rnd.nextFloat() - 0.5f) * 1e-3f)) -> srcId
+    }
+    val emb = (base ++ copies.map(_._1)).toDF("vec_id", "embedding")
+    val model = Ivf.train(emb, nCentroids = 6, dim = dim, iters = 2)
+    val got = Ivf.semDeDup(emb, model, tau = 0.95)
+    val gotRows = got.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sortBy(_._1)
+
+    // naive reference: assignment via the proven kernel, dominance on the
+    // driver over exact double cosine
+    val asg = Ivf.assign(emb, model).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val want = ids.map { id =>
+      val dominated = ids.exists(o => o < id && asg(o) == asg(id) &&
+        cos(vecs(o), vecs(id)) >= 0.95)
+      (id, asg(id), !dominated)
+    }
+    assert(gotRows.toSeq == want, "semDeDup diverged from naive dominance")
+    // the planted copies actually exercised the rule
+    assert(gotRows.count(!_._3) >= 20, "planted near-copies were not dropped")
+
+    // partition invariance
+    val reparts = Ivf.semDeDup(emb.repartition(7), model, tau = 0.95).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sortBy(_._1)
+    assert(reparts.toSeq == gotRows.toSeq)
+
+    // tau-monotone: a stricter threshold never drops MORE
+    val kept95 = gotRows.filter(_._3).map(_._1).toSet
+    val kept99 = Ivf.semDeDup(emb, model, tau = 0.999).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(kept95.subsetOf(kept99), "raising tau removed a survivor")
+  }
 }
