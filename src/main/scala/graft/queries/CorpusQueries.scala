@@ -1000,6 +1000,37 @@ object CorpusQueries {
       Text.repetitionStats(docsKernel(s, dir)).orderBy(col("doc_id"))
     },
 
+    // Gopher duplicated-n-gram mass (n=3): the fraction of a document's
+    // 3-gram occurrences whose gram repeats within the document — the
+    // spread-out-repetition signal the single top-gram ratio above
+    // misses. ZERO shuffle on the engine side: grams sort per-row and
+    // duplication is sorted-neighbor equality, so the operator rides the
+    // scan like langid. The oracle takes the relational route (unnest +
+    // per-doc GROUP BY) — Σ_{cnt≥2} cnt is the same number as the
+    // neighbor-equality count, so hash-equality proves the scan-side
+    // reformulation exact. dup_fraction = one IEEE division of BIGINTs.
+    Q("doc_dup_ngram_stats",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+           FROM documents),
+         g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+           FROM t WHERE len(toks) >= 3),
+         c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram),
+         agg AS (SELECT doc_id, SUM(cnt) AS total,
+             COALESCE(SUM(cnt) FILTER (cnt >= 2), 0) AS dup
+           FROM c GROUP BY doc_id)
+         SELECT t.doc_id,
+           CAST(COALESCE(agg.total, 0) AS BIGINT) AS total_grams,
+           CAST(COALESCE(agg.dup, 0) AS BIGINT) AS dup_occurrences,
+           CASE WHEN COALESCE(agg.total, 0) = 0 THEN NULL
+             ELSE CAST(agg.dup AS DOUBLE) / CAST(agg.total AS BIGINT) END
+             AS dup_fraction
+         FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+         ORDER BY t.doc_id""") { (s, dir) =>
+      Text.dupNgramStats(docsKernel(s, dir), n = 3).orderBy(col("doc_id"))
+    },
+
     // Corpus-frequency rarity: mean corpus-wide occurrence count of each
     // document's tokens. The frequency table is re-aggregated from the
     // per-doc partials and joined back on the token key — counts shuffle,
@@ -1093,6 +1124,22 @@ object CorpusQueries {
          FROM r ORDER BY doc_id""") { (s, dir) =>
       Text.shardAssign(docsKernel(s, dir), nShards = 8)
         .orderBy(col("doc_id"))
+    },
+
+    // Deterministic epoch shuffle: the per-epoch global permutation of a
+    // training export — position = exact global rank under
+    // md5(epoch:doc_id), so any worker/rerun reproduces the epoch order
+    // with no shared RNG. Engine ranks through GlobalRank's range-
+    // partitioned two-pass numbering (no partitionless window); the
+    // oracle is the single-window formulation of the same total order —
+    // hash-equality proves the distributed numbering exact, md5 keys and
+    // all. Epoch 2 pinned so the row is a fixed permutation.
+    Q("doc_epoch_shuffle",
+      """SELECT doc_id, md5(concat(2, ':', doc_id)) AS shuffle_key,
+           ROW_NUMBER() OVER (ORDER BY md5(concat(2, ':', doc_id)), doc_id)
+             AS position
+         FROM documents ORDER BY doc_id""") { (s, dir) =>
+      Text.epochShuffle(docsKernel(s, dir), epoch = 2).orderBy(col("doc_id"))
     },
 
     // Sequence packing (concat-and-split): documents concatenate in

@@ -303,6 +303,45 @@ object Text {
         (col("top_count").cast("double") / col("n_bigrams")).as("top_ratio"))
   }
 
+  /** Gopher-style duplicated-n-gram mass (Rae et al. 2021 §A1.1): per
+    * document, how many n-gram occurrences belong to an n-gram that
+    * repeats WITHIN the document — the repetition-loop signal that
+    * catches degenerate generations and boilerplate stuffing where the
+    * single top-gram ratio ([[repetitionStats]]) under-reads spread-out
+    * repetition. ZERO shuffle: the whole computation is one scan-side
+    * projection — grams materialize per row, `sort_array` groups equal
+    * grams adjacently, and an occurrence is duplicated iff it equals a
+    * sorted neighbor. [[repetitionStats]] pays a (doc_id, gram) exchange
+    * for its cross-gram aggregates; this operator needs none, so at
+    * 100 TB it rides the read stage like langid/quality and costs no
+    * exchange bytes at all.
+    *
+    * Output: (doc_id, total_grams, dup_occurrences, dup_fraction) —
+    * dup_fraction one IEEE division of exact BIGINTs (NULL when the doc
+    * is shorter than n tokens).
+    */
+  def dupNgramStats(docs: org.apache.spark.sql.DataFrame, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("total",
+        greatest(size(col("toks")) - lit(n - 1), lit(0)).cast("bigint"))
+      .withColumn("sorted", when(col("total") > 0, sort_array(expr(
+          s"transform(sequence(1, size(toks) - ${n - 1}), " +
+            s"i -> array_join(slice(toks, i, $n), ' '))")))
+        .otherwise(expr("CAST(array() AS array<string>)")))
+      .withColumn("dup_occurrences", when(col("total") > 0, expr(
+          """size(filter(transform(sequence(1, size(sorted)), i ->
+               (i > 1 AND element_at(sorted, i) = element_at(sorted, i - 1)) OR
+               (i < size(sorted) AND element_at(sorted, i) = element_at(sorted, i + 1))),
+             x -> x))""").cast("bigint"))
+        .otherwise(lit(0L)))
+      .select(col("doc_id"), col("total"). as("total_grams"),
+        col("dup_occurrences"),
+        when(col("total") > 0,
+          col("dup_occurrences").cast("double") / col("total"))
+          .otherwise(lit(null).cast("double")).as("dup_fraction"))
+  }
+
   /** Corpus-trained bigram-LM predictability score — the CCNet-shaped
     * quality signal: score each document by how well the corpus's own
     * bigram statistics predict it. High mean probability flags templated
@@ -517,6 +556,26 @@ object Text {
         when(expr(s"((rank - 1) div $nShards) % 2") === 0, col("pos"))
           .otherwise(lit(nShards - 1) - col("pos")))
       .drop("pos")
+  }
+
+  /** Deterministic epoch shuffle — the coordination-free global permutation
+    * a training exporter needs per epoch: every document's position in
+    * epoch e is a pure function of (e, doc_id), so any worker (or a rerun
+    * after failure) reproduces the same order without a shared RNG state
+    * or a shuffle service round-trip. Key = md5(e:doc_id); position = the
+    * exact global rank of (key, doc_id) via [[graft.ops.GlobalRank]]'s
+    * range-partitioned two-pass numbering — no partitionless window, no
+    * single-task sort at any corpus size. Different epochs decorrelate
+    * (md5 avalanche), and position is dense 1..n, so downstream batch b
+    * is exactly rows (b·B, (b+1)·B].
+    */
+  def epochShuffle(docs: org.apache.spark.sql.DataFrame, epoch: Int,
+                   idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val keyed = docs.select(col(idCol),
+      md5(concat_ws(":", lit(epoch), col(idCol))).as("shuffle_key"))
+    graft.ops.GlobalRank.withGlobalRowNumber(
+        keyed, Seq(col("shuffle_key"), col(idCol)), out = "position")
+      .select(col(idCol), col("shuffle_key"), col("position"))
   }
 
   /** Cross-source quality calibration: each document's quality mapped to

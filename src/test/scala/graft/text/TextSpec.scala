@@ -671,4 +671,63 @@ class TextSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(repart == out, "partition-invariant")
   }
+
+  test("dupNgramStats: ≡ brute-force Σ_{cnt≥2} cnt; edges; partition-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b d"),      // "a b c" ×2, plus dup "b c a" etc.
+      (2L, "x y z w v u"),            // all 3-grams distinct → 0
+      (3L, "p p p p p"),              // one gram repeated: 3 occurrences, all dup
+      (4L, "q r"),                    // shorter than n → total 0, NULL fraction
+      (5L, "")                        // empty text
+    ).toDF("doc_id", "text")
+    val out = Text.dupNgramStats(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+
+    // brute-force reference
+    def ref(text: String): (Long, Long) = {
+      val t = text.split("\\s+").filter(_ => true)
+      if (t.length < 3) (0L, 0L) else {
+        val grams = t.sliding(3).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size)
+        (grams.size.toLong, counts.values.filter(_ >= 2).map(_.toLong).sum)
+      }
+    }
+    Seq(1L -> "a b c a b c a b d", 2L -> "x y z w v u", 3L -> "p p p p p")
+      .foreach { case (id, text) =>
+        val (total, dup) = ref(text)
+        assert(out(id)._1 == total && out(id)._2 == dup,
+          s"doc $id: got ${out(id)}, want ($total, $dup)")
+        assert(out(id)._3.contains(dup.toDouble / total))
+      }
+    assert(out(3L) == ((3L, 3L, Some(1.0))), "pure repetition → fraction 1")
+    assert(out(2L)._2 == 0L, "distinct grams → 0 duplicated occurrences")
+    assert(out(4L) == ((0L, 0L, None)) && out(5L)._3.isEmpty,
+      "short docs: total 0, NULL fraction")
+
+    val repart = Text.dupNgramStats(docs.repartition(4), n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(repart == out, "partition-invariant")
+  }
+
+  test("epochShuffle: dense permutation ≡ window formulation; epochs decorrelate") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Text.epochShuffle(docs.repartition(7), epoch = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.values.toSeq.sorted == (1L to 200L), "positions are dense 1..n")
+    val naive = docs
+      .select(col("doc_id"), md5(concat_ws(":", lit(3), col("doc_id"))).as("k"))
+      .withColumn("p", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("doc_id"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == naive, "distributed rank ≡ single-window rank")
+    val epoch4 = Text.epochShuffle(docs, epoch = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(epoch4 != out, "different epochs permute differently")
+    assert(Text.epochShuffle(docs.repartition(3), epoch = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap == out, "rerun-stable")
+  }
 }
