@@ -23,18 +23,51 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
-  /** Apply a changelog: latest row per `keys` under the lexicographic
-    * `ordering` (later = greater), then drop keys whose winning row
-    * satisfies `isDelete` (evaluated against the surviving row's columns).
-    * Output columns = input columns, one row per surviving key.
+  /** Kafka-style log compaction: the winning change per key under the
+    * lexicographic `ordering` (later = greater), TOMBSTONES INCLUDED.
+    * This is the state an incremental consumer must carry — see
+    * [[mergeCompacted]] for why deletes cannot be dropped here.
     */
-  def applyChangelog(log: DataFrame, keys: Seq[String], ordering: Seq[String],
-                     isDelete: Column): DataFrame = {
+  def compactedLog(log: DataFrame, keys: Seq[String],
+                   ordering: Seq[String]): DataFrame = {
     val payload = struct(log.columns.map(col).toIndexedSeq: _*)
     val ord = struct(ordering.map(col).toIndexedSeq: _*)
     log.groupBy(keys.map(col).toIndexedSeq: _*)
       .agg(max_by(payload, ord).as("__last"))
       .select(col("__last.*"))
-      .filter(!isDelete)
   }
+
+  /** Apply a changelog: latest row per `keys` under `ordering`, then drop
+    * keys whose winning row satisfies `isDelete` (evaluated against the
+    * surviving row's columns). Output columns = input columns, one row
+    * per surviving key. This is the SNAPSHOT view; a consumer that will
+    * fold further batches must keep [[compactedLog]] instead.
+    */
+  def applyChangelog(log: DataFrame, keys: Seq[String], ordering: Seq[String],
+                     isDelete: Column): DataFrame =
+    compactedLog(log, keys, ordering).filter(!isDelete)
+
+  /** Incremental fold — the day-2 shape: merge a new change batch into a
+    * STANDING compacted log without re-reading history. Winners compose
+    * (max_by is associative over the union), so
+    * `mergeCompacted(compactedLog(a), b) ≡ compactedLog(a ∪ b)` exactly.
+    *
+    * The standing side must be the TOMBSTONE-RETAINING [[compactedLog]],
+    * not the filtered snapshot: if batch 1's winner for key k is a delete
+    * at seq 5 and batch 2 carries a LATE update at seq 3, folding against
+    * the snapshot (where k is absent) would resurrect k — folding against
+    * the compacted log keeps the seq-5 tombstone as the winner. Tombstone
+    * rows are garbage-collectible only once the feed's lateness bound
+    * (watermark/retention) has passed — the same contract as Kafka
+    * compacted-topic `delete.retention.ms`.
+    *
+    * Scale shape: one keyed shuffle of |state| + |batch| rows. With the
+    * standing log stored bucketed by the key (the natural layout for a
+    * state table), the union aggregation co-locates and only the batch
+    * moves. A streaming deployment is this fold inside `foreachBatch`
+    * (CdcSpec drives it end-to-end over a MemoryStream).
+    */
+  def mergeCompacted(compacted: DataFrame, batch: DataFrame,
+                     keys: Seq[String], ordering: Seq[String]): DataFrame =
+    compactedLog(compacted.unionByName(batch), keys, ordering)
 }

@@ -1121,6 +1121,35 @@ object Analytics {
         .orderBy(col("user_id"))
     },
 
+    // Incremental CDC fold — the day-2 shape of the row above: the
+    // standing side compacts once (tombstones RETAINED — dropping them
+    // would let a late older update resurrect a deleted key), the new
+    // batch (every 3rd event) folds in via one keyed shuffle of
+    // |state|+|batch| rows, and only then does the snapshot filter drop
+    // tombstone winners. max_by is associative over the union, so the
+    // fold is EXACTLY the full-log result — the oracle recomputes from
+    // scratch and hash-equality proves it.
+    Q("ev_cdc_incremental",
+      """SELECT user_id, event_type AS last_type, value AS last_value,
+         ts AS last_ts
+         FROM (SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""") { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val standing = graft.ops.Cdc.compactedLog(
+        ev.filter(col("event_id") % 3 =!= 0),
+        keys = Seq("user_id"), ordering = Seq("ts", "event_id"))
+      graft.ops.Cdc.mergeCompacted(standing,
+          ev.filter(col("event_id") % 3 === 0),
+          keys = Seq("user_id"), ordering = Seq("ts", "event_id"))
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"), col("ts").as("last_ts"))
+        .orderBy(col("user_id"))
+    },
+
     // PIVOT: per-user event-type counts as columns. The pivot value list
     // is explicit — with an inferred list Spark would run an extra
     // distinct job AND the output schema would depend on the data.

@@ -59,6 +59,63 @@ class CdcSpec extends SparkSpec {
     assert(out.toSeq == Seq("second"))
   }
 
+  test("mergeCompacted: 3-batch fold ≡ one-shot; tombstones block resurrection") {
+    import spark.implicits._
+    val full = log(4)
+    val batches = Seq(full.filter(col("seq") % 3 === 0),
+      full.filter(col("seq") % 3 === 1), full.filter(col("seq") % 3 === 2))
+    val folded = batches.tail.foldLeft(
+        Cdc.compactedLog(batches.head, Seq("key"), Seq("seq"))) { (state, b) =>
+      Cdc.mergeCompacted(state, b, Seq("key"), Seq("seq")).localCheckpoint()
+    }
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("op") =!= "D")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(snap(folded) ==
+      Cdc.applyChangelog(full, Seq("key"), Seq("seq"), col("op") === "D")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet,
+      "incremental fold diverged from one-shot apply")
+
+    // resurrection pin: delete (seq 5) lands first, LATE update (seq 3)
+    // arrives in a later batch — the key must stay dead
+    val b1 = Seq((5L, 9L, "D", "-")).toDF("seq", "key", "op", "v")
+    val b2 = Seq((3L, 9L, "U", "late")).toDF("seq", "key", "op", "v")
+    val state = Cdc.mergeCompacted(
+      Cdc.compactedLog(b1, Seq("key"), Seq("seq")), b2, Seq("key"), Seq("seq"))
+    assert(state.filter(col("op") =!= "D").count() == 0,
+      "late older update resurrected a deleted key")
+    assert(state.count() == 1, "tombstone must be retained in compacted state")
+  }
+
+  test("streaming foreachBatch fold converges to the batch snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, String)]
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.toDF().toDF("seq", "key", "op", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val next = state match {
+          case None    => Cdc.compactedLog(batch, Seq("key"), Seq("seq"))
+          case Some(s) => Cdc.mergeCompacted(s, batch, Seq("key"), Seq("seq"))
+        }
+        state = Some(next.localCheckpoint())
+        ()
+      }.start()
+    try {
+      stream.addData((1L, 1L, "I", "a"), (2L, 2L, "D", "-"), (5L, 4L, "I", "z"))
+      q.processAllAvailable()
+      stream.addData((5L, 1L, "U", "e"), (1L, 2L, "I", "x"), (7L, 4L, "D", "-"))
+      q.processAllAvailable()
+      stream.addData((4L, 1L, "D", "-"), (1L, 3L, "I", "only"), (6L, 4L, "U", "y"))
+      q.processAllAvailable()
+      val got = state.get.filter(col("op") =!= "D")
+        .collect().map(r => r.getLong(1) -> r.getString(3)).sortBy(_._1)
+      assert(got.toSeq == Seq(1L -> "e", 3L -> "only"),
+        s"streaming fold diverged: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("applyChangelog plan: aggregate, not a window sort") {
     val plan = Cdc.applyChangelog(log(4), Seq("key"), Seq("seq"),
       col("op") === "D").queryExecution.executedPlan.toString
