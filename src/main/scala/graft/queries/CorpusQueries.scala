@@ -2361,6 +2361,69 @@ object CorpusQueries {
         .orderBy(col("vec_id"))
     },
 
+    // Incremental SemDeDup — the day-2 row of the one above: every 5th
+    // vector arrives as a batch and dedups against the STANDING KEPT set
+    // plus itself; old×old cosine volume never regenerates. Standing
+    // kept vectors dominate regardless of id (they are already in the
+    // corpus); within the batch the same min-id rule applies; standing
+    // DROPPED vectors never dominate (their survivor represents them).
+    // The oracle replays the standing pass, the standing×batch probe and
+    // the batch self-pass — all through the bit-exact assignment + cosine
+    // arithmetic, so every batch verdict hash-checks.
+    Q("emb_semdedup_incremental",
+      """WITH c AS (SELECT vec_id AS cluster, embedding,
+             list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) AS n2
+           FROM embeddings WHERE vec_id < 16),
+         asg AS (SELECT vec_id, cluster FROM (
+             SELECT e.vec_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 c.n2 - 2.0 * list_sum(list_transform(range(len(e.embedding)),
+                   i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE))),
+                 c.cluster) AS rn
+             FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         v AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+           FROM embeddings),
+         sasg AS (SELECT * FROM asg WHERE vec_id % 5 <> 2),
+         basg AS (SELECT * FROM asg WHERE vec_id % 5 = 2),
+         sdom AS (SELECT DISTINCT b.vec_id
+           FROM sasg a JOIN sasg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           JOIN v va ON va.vec_id = a.vec_id JOIN v vb ON vb.vec_id = b.vec_id
+           WHERE list_sum(list_transform(range(len(va.embedding)),
+               i -> CAST(va.embedding[i+1] AS DOUBLE) * CAST(vb.embedding[i+1] AS DOUBLE)))
+             / (va.nrm * vb.nrm) >= 0.4),
+         skept AS (SELECT vec_id, cluster FROM sasg
+           WHERE vec_id NOT IN (SELECT vec_id FROM sdom)),
+         bdom AS (SELECT DISTINCT b.vec_id
+           FROM skept a JOIN basg b ON a.cluster = b.cluster
+           JOIN v va ON va.vec_id = a.vec_id JOIN v vb ON vb.vec_id = b.vec_id
+           WHERE list_sum(list_transform(range(len(va.embedding)),
+               i -> CAST(va.embedding[i+1] AS DOUBLE) * CAST(vb.embedding[i+1] AS DOUBLE)))
+             / (va.nrm * vb.nrm) >= 0.4
+           UNION
+           SELECT DISTINCT b.vec_id
+           FROM basg a JOIN basg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           JOIN v va ON va.vec_id = a.vec_id JOIN v vb ON vb.vec_id = b.vec_id
+           WHERE list_sum(list_transform(range(len(va.embedding)),
+               i -> CAST(va.embedding[i+1] AS DOUBLE) * CAST(vb.embedding[i+1] AS DOUBLE)))
+             / (va.nrm * vb.nrm) >= 0.4)
+         SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           vec_id NOT IN (SELECT vec_id FROM bdom) AS kept
+         FROM basg ORDER BY vec_id""") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val model = graft.sim.Ivf.IvfModel(cents)
+      val standing = emb.filter(col("vec_id") % 5 =!= 2)
+      val standingKept = graft.sim.Ivf.semDeDup(standing, model, tau = 0.4)
+        .filter(col("kept")).select(col("vec_id"))
+        .join(emb, "vec_id")
+      graft.sim.Ivf.semDeDupIncremental(standingKept,
+          emb.filter(col("vec_id") % 5 === 2), model, tau = 0.4)
+        .orderBy(col("vec_id"))
+    },
+
     // Distributed PCA (the dimensionality-reduction step semantic-dedup
     // runs before clustering): one corpus pass accumulates count/Σx/Σxxᵀ
     // through typed Aggregators (driver only holds the 64×64 covariance),

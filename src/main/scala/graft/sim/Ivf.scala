@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -327,6 +327,55 @@ object Ivf {
         (col("a_norm") * col("b_norm")) >= tau)
       .select(col("b_id").as(idCol)).distinct()
     assign(corpus, model, idCol, vecCol)
+      .join(dominated.withColumn("__dom", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster").cast("int").as("cluster"),
+        col("__dom").isNull.as("kept"))
+  }
+
+  /** Incremental [[semDeDup]] — the day-2 shape: a batch of NEW vectors
+    * dedups against the STANDING kept set plus itself, and the standing
+    * corpus is never re-compared (old×old cosine volume never
+    * regenerates). A batch vector is dropped when a standing KEPT
+    * cell-mate clears `tau` (standing wins regardless of id — it is
+    * already in the corpus), or when a smaller-id batch cell-mate does
+    * (the same non-recursive dominance rule as the batch pass: a
+    * dominator need not itself survive). Standing DROPPED vectors never
+    * dominate — their survivor represents them.
+    *
+    * Scale shape: both joins key on (cell, salt) exactly as [[semDeDup]];
+    * the standing×batch probe is |kept|·|batch|/k pairs and the
+    * batch×batch half |batch|²/k — each grid-salted, dominated ids
+    * collapse before one distinct shuffle. `standingKept` is the
+    * (id, vector) view of the previous pass's kept rows — the state a
+    * store would keep bucketed by cell.
+    *
+    * Output: one row per BATCH vector — (id, cluster, kept).
+    */
+  def semDeDupIncremental(standingKept: DataFrame, batch: DataFrame,
+                          model: IvfModel, tau: Double,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          saltG: Int = 8): DataFrame = {
+    val flat = model.flat
+    def prep(df: DataFrame, role: String): DataFrame =
+      df.select(col(idCol).as(s"${role}_id"),
+        element_at(VectorExpressions.nearestCentroids(
+          col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"),
+        col(vecCol).as(s"${role}_vec"),
+        Similarity.l2Norm(col(vecCol)).as(s"${role}_norm"))
+    val bSalted = prep(batch, "b")
+      .withColumn("salt", pmod(col("b_id"), lit(saltG)).cast("int"))
+    def dominatedBy(a: DataFrame, extra: Column): DataFrame =
+      a.withColumn("salt", explode(sequence(lit(0), lit(saltG - 1))))
+        .join(bSalted, Seq("cluster", "salt"))
+        .filter(extra)
+        .filter(Similarity.dot(col("a_vec"), col("b_vec")) /
+          (col("a_norm") * col("b_norm")) >= tau)
+        .select(col("b_id").as(idCol))
+    val dominated = dominatedBy(prep(standingKept, "a"), lit(true))
+      .unionByName(dominatedBy(prep(batch, "a"), col("a_id") < col("b_id")))
+      .distinct()
+    assign(batch, model, idCol, vecCol)
       .join(dominated.withColumn("__dom", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("cluster").cast("int").as("cluster"),
         col("__dom").isNull.as("kept"))

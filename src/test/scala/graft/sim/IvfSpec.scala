@@ -249,4 +249,56 @@ class IvfSpec extends SparkSpec {
       .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
     assert(kept95.subsetOf(kept99), "raising tau removed a survivor")
   }
+
+  test("semDeDupIncremental: ≡ naive standing-priority rule; empty standing ≡ batch pass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val dim = 16
+    val base = (0 until 100)
+      .map(i => (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val copies = (0 until 40).map { j =>
+      val (_, v) = base(rnd.nextInt(base.size))
+      (500L + j, v.map(x => x + (rnd.nextFloat() - 0.5f) * 1e-3f))
+    }
+    val all = (base ++ copies).toDF("vec_id", "embedding")
+    val model = Ivf.train(all, nCentroids = 5, dim = dim, iters = 2)
+    val standing = all.filter(col("vec_id") % 3 =!= 1)
+    val batch = all.filter(col("vec_id") % 3 === 1)
+    val standingKept = Ivf.semDeDup(standing, model, tau = 0.95)
+      .filter(col("kept")).select("vec_id").join(all, "vec_id")
+    val got = Ivf.semDeDupIncremental(standingKept, batch, model, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1)
+
+    // naive reference on the driver
+    val asg = Ivf.assign(all, model).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = all.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sIds = vecs.keys.filter(_ % 3 != 1).toSeq.sorted
+    val sKeptIds = sIds.filter(id => !sIds.exists(o => o < id &&
+      asg(o) == asg(id) && cos(vecs(o), vecs(id)) >= 0.95))
+    val bIds = vecs.keys.filter(_ % 3 == 1).toSeq.sorted
+    val want = bIds.map { id =>
+      val bySt = sKeptIds.exists(o => asg(o) == asg(id) &&
+        cos(vecs(o), vecs(id)) >= 0.95)
+      val byBatch = bIds.exists(o => o < id && asg(o) == asg(id) &&
+        cos(vecs(o), vecs(id)) >= 0.95)
+      (id, !(bySt || byBatch))
+    }
+    assert(got.toSeq == want, "incremental diverged from naive standing-priority rule")
+    assert(got.exists(!_._2), "rule never bit — fixture too sparse")
+
+    // bootstrap: empty standing ≡ the batch-only semDeDup pass
+    val empty = all.filter(lit(false))
+    val boot = Ivf.semDeDupIncremental(empty, batch, model, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1)
+    val batchOnly = Ivf.semDeDup(batch, model, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1)
+    assert(boot.toSeq == batchOnly.toSeq, "empty-standing bootstrap diverged")
+  }
 }
