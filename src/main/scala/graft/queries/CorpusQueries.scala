@@ -2317,6 +2317,38 @@ object CorpusQueries {
         .orderBy(col("n_id"), col("sub"))
     },
 
+    // Embedding-space decontamination: every 7th vector plays the eval
+    // benchmark, the rest the training corpus; per eval vector the MAX
+    // train cosine (+ the train vector achieving it, ties to the lower
+    // id) and the >= tau contamination flag. The semantic counterpart of
+    // doc_contamination_score — catches the paraphrase leak n-grams
+    // miss. Scale shape: eval broadcast, train scans once, both
+    // aggregates combine map-side (<= |eval| rows per map task on the one
+    // shuffle). tau = 0.4 so the flag BITES on this i.i.d. fixture.
+    Q("emb_test_contamination",
+      """WITH v AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+           FROM embeddings),
+         te AS (SELECT * FROM v WHERE vec_id % 7 = 3),
+         tr AS (SELECT * FROM v WHERE vec_id % 7 <> 3),
+         p AS (SELECT te.vec_id AS test_id, tr.vec_id AS train_id,
+             list_sum(list_transform(range(len(te.embedding)),
+               i -> CAST(te.embedding[i+1] AS DOUBLE) * CAST(tr.embedding[i+1] AS DOUBLE)))
+               / (te.nrm * tr.nrm) AS cos
+           FROM te CROSS JOIN tr),
+         r AS (SELECT test_id, train_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY test_id
+               ORDER BY cos DESC, train_id) AS rn
+           FROM p)
+         SELECT test_id, train_id AS nearest_train_id, cos AS max_cos,
+           cos >= 0.4 AS contaminated
+         FROM r WHERE rn = 1 ORDER BY test_id""") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.testContamination(emb.filter(col("vec_id") % 7 =!= 3),
+          emb.filter(col("vec_id") % 7 === 3), tau = 0.4)
+        .orderBy(col("test_id"))
+    },
+
     // SemDeDup under the oracle — semantic dedup over the SAME seeded cell
     // structure as ann_ivf_incremental_assign: every vector assigns to its
     // nearest seed centroid (the kernel's ||c||²−2v·c arithmetic, ties to

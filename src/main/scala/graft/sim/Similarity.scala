@@ -184,6 +184,39 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Embedding-space decontamination — the semantic counterpart of the
+    * trigram-overlap benchmark decontamination in [[graft.text.Dedup]]:
+    * for every EVAL vector, its maximum cosine against the TRAIN corpus
+    * and the train vector achieving it (ties to the lower train id).
+    * A max_cos above `tau` means a paraphrase/near-copy of the eval item
+    * sits in the training set — the leak n-gram matching misses when the
+    * wording changed but the embedding didn't.
+    *
+    * Scale shape: the eval set (a benchmark — thousands of rows) is the
+    * broadcast side; the train corpus SCANS ONCE with the per-pair cosine
+    * fused scan-side, and both aggregates (max, max_by) combine map-side,
+    * so the one shuffle carries ≤ |eval| rows per map task no matter how
+    * large train is. Train-side spread ([[spreadForCompute]]) keeps a
+    * few-file corpus from serializing the scan.
+    */
+  def testContamination(train: DataFrame, test: DataFrame, tau: Double,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val t = spreadForCompute(train).select(col(idCol).as("train_id"),
+      col(vecCol).as("t_vec"), l2Norm(col(vecCol)).as("t_norm"))
+    val q = test.select(col(idCol).as("test_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_norm"))
+    t.join(broadcast(q), col("train_id") =!= col("test_id"))
+      .select(col("test_id"), col("train_id"),
+        (dot(col("q_vec"), col("t_vec")) / (col("q_norm") * col("t_norm"))).as("cos"))
+      .groupBy(col("test_id"))
+      .agg(max(col("cos")).as("max_cos"),
+        max_by(col("train_id"), struct(col("cos"), -col("train_id")))
+          .as("nearest_train_id"))
+      .select(col("test_id"), col("nearest_train_id"), col("max_cos"),
+        (col("max_cos") >= tau).as("contaminated"))
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplanes (seeded). */
   private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -262,4 +262,54 @@ class SimilaritySpec extends SparkSpec {
     val errs = v.zip(codes).map { case (x, c) => math.abs(x - (mn + c * scale)) }
     assert(out(4L)._4 == codes.sum && out(4L)._5 == errs.max)
   }
+
+  test("testContamination: ≡ window argmax; planted paraphrase flagged; partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(321)
+    val dim = 16
+    val train = (0 until 80)
+      .map(i => (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    // eval items: 5 near-copies of train vectors (leaks) + 10 fresh
+    val leaks = (0 until 5).map { j =>
+      (100L + j, train(j * 7)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 1e-3f))
+    }
+    val fresh = (0 until 10)
+      .map(j => (200L + j, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val trainDf = train.toDF("vec_id", "embedding")
+    val testDf = (leaks ++ fresh).toDF("vec_id", "embedding")
+    val out = Similarity.testContamination(trainDf, testDf, tau = 0.95)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(out.size == 15)
+    (0 until 5).foreach { j =>
+      assert(out(100L + j)._3, s"planted leak ${100 + j} not flagged")
+      assert(out(100L + j)._1 == (j * 7).toLong, "nearest is not the source")
+    }
+    assert(fresh.forall { case (id, _) => !out(id)._3 },
+      "fresh eval item falsely flagged at tau=0.95")
+
+    // ≡ window-rank formulation
+    val t = trainDf.select(col("vec_id").as("train_id"), col("embedding").as("tv"),
+      Similarity.l2Norm(col("embedding")).as("tn"))
+    val q = testDf.select(col("vec_id").as("test_id"), col("embedding").as("qv"),
+      Similarity.l2Norm(col("embedding")).as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("test_id")).orderBy(col("cos").desc, col("train_id"))
+    val naive = t.join(q, col("train_id") =!= col("test_id"))
+      .select(col("test_id"), col("train_id"),
+        (Similarity.dot(col("qv"), col("tv")) / (col("qn") * col("tn"))).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(2) >= 0.95))
+      .toMap
+    assert(out == naive, "diverged from window-argmax formulation")
+
+    val repart = Similarity.testContamination(
+        trainDf.repartition(7), testDf.repartition(3), tau = 0.95)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(repart == out, "partition-invariant")
+  }
 }
