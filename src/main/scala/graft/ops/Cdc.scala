@@ -70,4 +70,25 @@ object Cdc {
   def mergeCompacted(compacted: DataFrame, batch: DataFrame,
                      keys: Seq[String], ordering: Seq[String]): DataFrame =
     compactedLog(compacted.unionByName(batch), keys, ordering)
+
+  /** Tombstone GC for a [[compactedLog]] state table — the
+    * `delete.retention.ms` contract [[mergeCompacted]]'s scaladoc cites,
+    * as an operator. A tombstone must be RETAINED while a change older
+    * than it can still arrive (dropping it early would let that late
+    * change resurrect the deleted key); once the feed's lateness bound
+    * has passed — `expired`, e.g. `col("ts") < watermark` — every future
+    * change for the key carries a NEWER ordering, beats the tombstone in
+    * [[mergeCompacted]] anyway, and the tombstone row is pure state
+    * weight. So: drop exactly the expired tombstones. Folding any batch
+    * whose orderings are at-or-after the bound into the vacuumed state
+    * yields the identical snapshot as folding into the un-vacuumed state
+    * (CdcSpec proves it; the `ev_cdc_vacuum` oracle hash-checks it on
+    * real data), and a late change still INSIDE the bound keeps hitting
+    * the retained tombstone — no resurrection. Narrow filter, no
+    * shuffle; at 100 TB this is what keeps the compacted state from
+    * accreting one row per deleted key forever.
+    */
+  def vacuumTombstones(compacted: DataFrame, isDelete: Column,
+                       expired: Column): DataFrame =
+    compacted.filter(!isDelete || !expired)
 }

@@ -1150,6 +1150,54 @@ object Analytics {
         .orderBy(col("user_id"))
     },
 
+    // CDC tombstone vacuum — the retention GC the two rows above defer
+    // to (Kafka delete.retention.ms semantics). Keys are (user, day):
+    // with user-only keys every winner sits at the end of the month and
+    // the GC would pass vacuously; per-day keys spread winners across
+    // the whole range, so the standing compacted log (every non-3rd
+    // event) really drops hundreds of EXPIRED tombstones (error-winners
+    // older than Jan 20, the feed's lateness bound — 428 at sf0.01)
+    // before folding a strictly post-bound batch (every 3rd event
+    // at-or-after the bound). Oracle = the same snapshot recomputed from
+    // the equivalent UNvacuumed log, so hash-equality proves the GC
+    // changes nothing a post-bound fold can observe: a batch row for a
+    // vacuumed key carries ordering ≥ bound > the tombstone's and wins
+    // either way, and a vacuumed key with no batch row is absent from
+    // both (the snapshot filter drops tombstone winners regardless).
+    // Retained (post-bound) tombstones still block resurrection —
+    // CdcSpec pins that half, plus fold-invariance on synthetic feeds.
+    Q("ev_cdc_vacuum",
+      """WITH ev AS (SELECT *, CAST(ts AS DATE) AS day FROM events),
+         log AS (SELECT * FROM ev
+           WHERE event_id % 3 <> 0
+              OR ts >= TIMESTAMP '2024-01-20 00:00:00')
+         SELECT user_id, day, event_type AS last_type,
+           value AS last_value, ts AS last_ts
+         FROM (SELECT user_id, day, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM log)
+         WHERE rn = 1 AND event_type <> 'error'
+         ORDER BY user_id, day""") { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+      val bound = lit("2024-01-20 00:00:00").cast("timestamp")
+      val standing = graft.ops.Cdc.compactedLog(
+        ev.filter(col("event_id") % 3 =!= 0),
+        keys = Seq("user_id", "day"), ordering = Seq("ts", "event_id"))
+      val vacuumed = graft.ops.Cdc.vacuumTombstones(standing,
+        isDelete = col("event_type") === "error",
+        expired = col("ts") < bound)
+      graft.ops.Cdc.mergeCompacted(vacuumed,
+          ev.filter((col("event_id") % 3 === 0) && col("ts") >= bound),
+          keys = Seq("user_id", "day"), ordering = Seq("ts", "event_id"))
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("day"),
+          col("event_type").as("last_type"),
+          col("value").as("last_value"), col("ts").as("last_ts"))
+        .orderBy(col("user_id"), col("day"))
+    },
+
     // PIVOT: per-user event-type counts as columns. The pivot value list
     // is explicit — with an inferred list Spark would run an extra
     // distinct job AND the output schema would depend on the data.

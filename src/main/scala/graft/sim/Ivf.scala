@@ -132,7 +132,12 @@ object Ivf {
                   idCol: String = "vec_id", vecCol: String = "embedding"): IvfModel =
     memo.getOrElseUpdate(modelPath, {
       val spark = corpus.sparkSession
-      if (new java.io.File(modelPath, "_SUCCESS").exists) load(spark, modelPath)
+      // Hadoop-FS resolution by the path's own scheme: the model store
+      // lives next to the corpus (HDFS/S3 at deployment scale), and a
+      // java.io.File probe would report it absent and retrain per query
+      val success = new org.apache.hadoop.fs.Path(modelPath, "_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(success)) load(spark, modelPath)
       else {
         val m = train(corpus, nCentroids, dim, iters, idCol, vecCol)
         save(spark, m, modelPath)
@@ -298,12 +303,17 @@ object Ivf {
     *
     * Scale shape: the pair join keys on (cell, salt) — the [[knnGraph]]
     * grid treatment, so an O(n²/k) hot cell spreads over `saltG` tasks
-    * instead of pinning one reducer; the a-side replicates `saltG` ways
-    * (O(n·G) extra rows of ids+vector), the b-side salts by id. Dominated
-    * ids collapse to ≤ n rows before the one distinct shuffle, and the
-    * verdict join back to the assignment is id-only. At 100 TB the cell
-    * count comes from [[train]]'s scale-adaptive nlist (∝ √n), keeping
-    * Σ|cell|² ≈ n^1.5 — never all-pairs.
+    * instead of pinning one reducer — and the salted exchange carries
+    * IDs + cluster ONLY (the [[knnGraph]] idiom at [[knnGraph]]'s
+    * `assigned`): the a-side explodes `saltG` ways as (a_id, cluster,
+    * salt) rows, never replicating the embedding payload, and both
+    * vectors join back by id AFTER the candidate join (shuffle-hash,
+    * not broadcast — the payload side is corpus-sized however small its
+    * parquet-bytes estimate looks). Dominated ids collapse to ≤ n rows
+    * before the one distinct shuffle, and the verdict join back to the
+    * assignment is id-only. At 100 TB the cell count comes from
+    * [[train]]'s scale-adaptive nlist (∝ √n), keeping Σ|cell|² ≈ n^1.5
+    * — never all-pairs.
     *
     * Output: one row per corpus vector — (id, cluster, kept).
     */
@@ -311,18 +321,21 @@ object Ivf {
                idCol: String = "vec_id", vecCol: String = "embedding",
                saltG: Int = 8): DataFrame = {
     val flat = model.flat
-    def assigned(role: String): DataFrame =
+    val ids = corpus.select(col(idCol).as("id"),
+      element_at(VectorExpressions.nearestCentroids(
+        col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"))
+    val a = ids.select(col("id").as("a_id"), col("cluster"))
+      .withColumn("salt", explode(sequence(lit(0), lit(saltG - 1))))
+    val b = ids.select(col("id").as("b_id"), col("cluster"))
+      .withColumn("salt", pmod(col("b_id"), lit(saltG)).cast("int"))
+    def vecs(role: String): DataFrame =
       corpus.select(col(idCol).as(s"${role}_id"),
-        element_at(VectorExpressions.nearestCentroids(
-          col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"),
         col(vecCol).as(s"${role}_vec"),
         Similarity.l2Norm(col(vecCol)).as(s"${role}_norm"))
-    val a = assigned("a")
-      .withColumn("salt", explode(sequence(lit(0), lit(saltG - 1))))
-    val b = assigned("b")
-      .withColumn("salt", pmod(col("b_id"), lit(saltG)).cast("int"))
+        .hint("SHUFFLE_HASH")
     val dominated = a.join(b, Seq("cluster", "salt"))
       .filter(col("a_id") < col("b_id"))
+      .join(vecs("a"), "a_id").join(vecs("b"), "b_id")
       .filter(Similarity.dot(col("a_vec"), col("b_vec")) /
         (col("a_norm") * col("b_norm")) >= tau)
       .select(col("b_id").as(idCol)).distinct()
@@ -342,12 +355,14 @@ object Ivf {
     * dominator need not itself survive). Standing DROPPED vectors never
     * dominate — their survivor represents them.
     *
-    * Scale shape: both joins key on (cell, salt) exactly as [[semDeDup]];
-    * the standing×batch probe is |kept|·|batch|/k pairs and the
-    * batch×batch half |batch|²/k — each grid-salted, dominated ids
-    * collapse before one distinct shuffle. `standingKept` is the
-    * (id, vector) view of the previous pass's kept rows — the state a
-    * store would keep bucketed by cell.
+    * Scale shape: both joins key on (cell, salt) exactly as [[semDeDup]]
+    * — IDs-only on the salted exchange, with id-keyed shuffle-hash
+    * vector join-backs after the candidate join; the standing×batch
+    * probe is |kept|·|batch|/k pairs and the batch×batch half
+    * |batch|²/k — each grid-salted, dominated ids collapse before one
+    * distinct shuffle. `standingKept` is the (id, vector) view of the
+    * previous pass's kept rows — the state a store would keep bucketed
+    * by cell.
     *
     * Output: one row per BATCH vector — (id, cluster, kept).
     */
@@ -357,23 +372,28 @@ object Ivf {
                           vecCol: String = "embedding",
                           saltG: Int = 8): DataFrame = {
     val flat = model.flat
-    def prep(df: DataFrame, role: String): DataFrame =
+    def idsOf(df: DataFrame, role: String): DataFrame =
       df.select(col(idCol).as(s"${role}_id"),
         element_at(VectorExpressions.nearestCentroids(
-          col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"),
+          col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"))
+    def vecsOf(df: DataFrame, role: String): DataFrame =
+      df.select(col(idCol).as(s"${role}_id"),
         col(vecCol).as(s"${role}_vec"),
         Similarity.l2Norm(col(vecCol)).as(s"${role}_norm"))
-    val bSalted = prep(batch, "b")
+        .hint("SHUFFLE_HASH")
+    val bIds = idsOf(batch, "b")
       .withColumn("salt", pmod(col("b_id"), lit(saltG)).cast("int"))
-    def dominatedBy(a: DataFrame, extra: Column): DataFrame =
-      a.withColumn("salt", explode(sequence(lit(0), lit(saltG - 1))))
-        .join(bSalted, Seq("cluster", "salt"))
+    def dominatedBy(src: DataFrame, extra: Column): DataFrame =
+      idsOf(src, "a")
+        .withColumn("salt", explode(sequence(lit(0), lit(saltG - 1))))
+        .join(bIds, Seq("cluster", "salt"))
         .filter(extra)
+        .join(vecsOf(src, "a"), "a_id").join(vecsOf(batch, "b"), "b_id")
         .filter(Similarity.dot(col("a_vec"), col("b_vec")) /
           (col("a_norm") * col("b_norm")) >= tau)
         .select(col("b_id").as(idCol))
-    val dominated = dominatedBy(prep(standingKept, "a"), lit(true))
-      .unionByName(dominatedBy(prep(batch, "a"), col("a_id") < col("b_id")))
+    val dominated = dominatedBy(standingKept, lit(true))
+      .unionByName(dominatedBy(batch, col("a_id") < col("b_id")))
       .distinct()
     assign(batch, model, idCol, vecCol)
       .join(dominated.withColumn("__dom", lit(true)), Seq(idCol), "left")

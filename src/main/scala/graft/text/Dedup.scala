@@ -123,19 +123,22 @@ object Dedup {
     * partition (redelivery rewrites identical rows) and the standing
     * side excludes the current batch id, so a redelivered batch probes
     * the same standing set and returns the identical frame. The result
-    * is checkpointed BEFORE the store gains the batch.
+    * is checkpointed BEFORE the store gains the batch. Store resolution
+    * goes through [[graft.ops.StandingStore]] — Hadoop-FS-agnostic (an
+    * HDFS/S3 store resolves by the path's own scheme, never
+    * `java.io.File`, which would report a remote store absent and turn
+    * every batch into "first batch") and compaction-aware (a folded
+    * base + newer deltas read as one standing set).
     */
   def incrementalStreamStep(batch: DataFrame, batchId: Long,
                             standingPath: String)
                            (pairFn: (DataFrame, DataFrame) => DataFrame)
       : DataFrame = {
     val spark = batch.sparkSession
-    val standing =
-      if (new java.io.File(standingPath).exists)
-        spark.read.parquet(standingPath)
-          .filter(col("__batch") =!= batchId)
-          .select(batch.columns.map(col): _*)
-      else batch.limit(0)
+    val standing = graft.ops.StandingStore
+      .read(spark, standingPath, excludeBatch = batchId,
+        batch.columns.toIndexedSeq)
+      .getOrElse(batch.limit(0))
     val pairs = pairFn(batch, standing).localCheckpoint()
     batch.withColumn("__batch", lit(batchId))
       .write.mode("overwrite")
@@ -144,32 +147,125 @@ object Dedup {
     pairs
   }
 
-  /** Streaming day-over-day near-dup detection: each micro-batch runs
-    * [[minhashStreamStep]] — so across the stream every qualifying pair
-    * is emitted EXACTLY ONCE, at its later member's arrival (sequential
-    * batches ≡ one-shot, spec-pinned), and the standing store grows by
-    * one partition per batch. `sink` receives (pairs, batchId) per
-    * batch — the [[graft.runtime.Streams]] foreachBatch discipline.
-    * The same wrapper shape lifts any family via
-    * [[incrementalStreamStep]]: [[prefixJaccardPairsIncremental]],
-    * [[containmentPairsIncremental]], [[simhashPairsMd5Incremental]],
-    * [[graft.text.Entity.editDistancePairsIncremental]] all share the
-    * (batch, standing) ⇒ pairs contract.
+  /** Streaming lift of [[incrementalStreamStep]] for ANY pair family:
+    * each micro-batch runs `stepFn(batch, batchId)` — so across the
+    * stream every qualifying pair is emitted EXACTLY ONCE, at its later
+    * member's arrival — and `sink` receives (pairs, batchId) per batch
+    * (the [[graft.runtime.Streams]] foreachBatch discipline). With
+    * `compactEvery > 0`, every N-th batch folds the standing store's
+    * older partitions into a bounded-file base
+    * ([[graft.ops.StandingStore.compact]]) — without it a week-long
+    * stream accretes one tiny parquet partition per trigger, the
+    * small-files failure [[graft.ops.Compact]] documents. Compaction
+    * keeps the latest batch as a delta (`keepLast ≥ 1`), so the
+    * foreachBatch redelivery contract is untouched: a replayed batch
+    * still overwrites its own partition and probes the identical
+    * standing set (CorpusStreamSpec crosses two compaction boundaries
+    * and proves output identity + redelivery idempotence).
     */
-  def minhashPairStream(stream: DataFrame, standingPath: String,
-                        checkpointDir: String,
-                        threshold: Double = 0.5,
-                        textCol: String = "text", idCol: String = "doc_id")
-                       (sink: (DataFrame, Long) => Unit)
+  def incrementalPairStream(stream: DataFrame, standingPath: String,
+                            checkpointDir: String, compactEvery: Int = 0)
+                           (stepFn: (DataFrame, Long) => DataFrame)
+                           (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (b: DataFrame, id: Long) =>
-        sink(minhashStreamStep(b, id, standingPath, threshold,
-          textCol, idCol), id)
+        sink(stepFn(b, id), id)
+        if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+          graft.ops.StandingStore.compact(b.sparkSession, standingPath)
       }
       .start()
+
+  /** Streaming day-over-day near-dup detection: [[minhashStreamStep]]
+    * per micro-batch (sequential batches ≡ one-shot, spec-pinned). One
+    * wired instance of [[incrementalPairStream]]; its siblings —
+    * [[jaccardPairStream]], [[containmentPairStream]],
+    * [[simhashPairStream]], [[graft.text.Entity.fuzzyPairStream]] —
+    * lift the other (batch, standing) ⇒ pairs families the same way,
+    * each with its own exactly-once spec.
+    */
+  def minhashPairStream(stream: DataFrame, standingPath: String,
+                        checkpointDir: String,
+                        threshold: Double = 0.5,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        compactEvery: Int = 0)
+                       (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incrementalPairStream(stream, standingPath, checkpointDir, compactEvery)(
+      minhashStreamStep(_, _, standingPath, threshold, textCol, idCol))(sink)
+
+  /** [[incrementalStreamStep]] instance for the exact-Jaccard PPJoin
+    * family ([[prefixJaccardPairsIncremental]]). */
+  def jaccardStreamStep(batch: DataFrame, batchId: Long, standingPath: String,
+                        blockCols: Seq[String], threshold: Double,
+                        textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame =
+    incrementalStreamStep(
+      batch.select((Seq(idCol, textCol) ++ blockCols).map(col): _*),
+      batchId, standingPath)(
+      prefixJaccardPairsIncremental(_, _, blockCols, threshold, textCol, idCol))
+
+  /** Streaming exact-Jaccard near-dup pairs — [[jaccardStreamStep]] per
+    * micro-batch (exactly-once across the stream, spec-pinned). */
+  def jaccardPairStream(stream: DataFrame, standingPath: String,
+                        checkpointDir: String,
+                        blockCols: Seq[String], threshold: Double,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        compactEvery: Int = 0)
+                       (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incrementalPairStream(stream, standingPath, checkpointDir, compactEvery)(
+      jaccardStreamStep(_, _, standingPath, blockCols, threshold,
+        textCol, idCol))(sink)
+
+  /** [[incrementalStreamStep]] instance for the containment-join family
+    * ([[containmentPairsIncremental]]). */
+  def containmentStreamStep(batch: DataFrame, batchId: Long,
+                            standingPath: String,
+                            blockCols: Seq[String], threshold: Double,
+                            textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame =
+    incrementalStreamStep(
+      batch.select((Seq(idCol, textCol) ++ blockCols).map(col): _*),
+      batchId, standingPath)(
+      containmentPairsIncremental(_, _, blockCols, threshold, textCol, idCol))
+
+  /** Streaming containment-join pairs — [[containmentStreamStep]] per
+    * micro-batch (exactly-once across the stream, spec-pinned). */
+  def containmentPairStream(stream: DataFrame, standingPath: String,
+                            checkpointDir: String,
+                            blockCols: Seq[String], threshold: Double,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            compactEvery: Int = 0)
+                           (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incrementalPairStream(stream, standingPath, checkpointDir, compactEvery)(
+      containmentStreamStep(_, _, standingPath, blockCols, threshold,
+        textCol, idCol))(sink)
+
+  /** [[incrementalStreamStep]] instance for the SimHash family
+    * ([[simhashPairsMd5Incremental]]). */
+  def simhashStreamStep(batch: DataFrame, batchId: Long, standingPath: String,
+                        maxHamming: Int = 3,
+                        textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame =
+    incrementalStreamStep(batch.select(col(idCol), col(textCol)),
+      batchId, standingPath)(
+      simhashPairsMd5Incremental(_, _, maxHamming, textCol, idCol))
+
+  /** Streaming SimHash near-dup pairs — [[simhashStreamStep]] per
+    * micro-batch (exactly-once across the stream, spec-pinned). */
+  def simhashPairStream(stream: DataFrame, standingPath: String,
+                        checkpointDir: String,
+                        maxHamming: Int = 3,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        compactEvery: Int = 0)
+                       (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incrementalPairStream(stream, standingPath, checkpointDir, compactEvery)(
+      simhashStreamStep(_, _, standingPath, maxHamming, textCol, idCol))(sink)
 
   /** `w`-word shingles of a text column, deduplicated, as 64-bit hashes
     * (native kernel; hashes match `xxhash64(concat_ws(" ", …))`).

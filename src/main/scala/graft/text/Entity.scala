@@ -214,4 +214,28 @@ object Entity {
       .filter(col("dist") >= 0)
       .select(col("a_id"), col("b_id"), col("dist"))
   }
+
+  /** [[graft.text.Dedup.incrementalStreamStep]] instance for the fuzzy
+    * entity-resolution family ([[editDistancePairsIncremental]]). */
+  def fuzzyStreamStep(batch: DataFrame, batchId: Long, standingPath: String,
+                      maxDist: Int, idCol: String, strCol: String,
+                      blockCols: Seq[String]): DataFrame =
+    Dedup.incrementalStreamStep(
+      batch.select((Seq(idCol, strCol) ++ blockCols).map(col): _*),
+      batchId, standingPath)(
+      editDistancePairsIncremental(_, _, maxDist, idCol, strCol, blockCols))
+
+  /** Streaming fuzzy-match pairs — [[fuzzyStreamStep]] per micro-batch
+    * (exactly-once across the stream, spec-pinned like its
+    * [[graft.text.Dedup]] siblings). */
+  def fuzzyPairStream(stream: DataFrame, standingPath: String,
+                      checkpointDir: String,
+                      maxDist: Int, idCol: String, strCol: String,
+                      blockCols: Seq[String], compactEvery: Int = 0)
+                     (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    Dedup.incrementalPairStream(stream, standingPath, checkpointDir,
+      compactEvery)(
+      fuzzyStreamStep(_, _, standingPath, maxDist, idCol, strCol,
+        blockCols))(sink)
 }

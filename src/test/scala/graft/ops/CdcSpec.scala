@@ -124,4 +124,56 @@ class CdcSpec extends SparkSpec {
     assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window"),
       "changelog apply must not plan a window sort over the full feed")
   }
+
+  test("vacuumTombstones: expired tombstones drop; retained ones still block resurrection") {
+    import spark.implicits._
+    // key 1 dies long before the bound (GC-able), key 2 dies inside the
+    // retention window (must stay), key 3 never dies
+    val log = Seq(
+      (5L, 1L, "I", "a"), (10L, 1L, "D", "-"),
+      (80L, 2L, "I", "x"), (90L, 2L, "D", "-"),
+      (15L, 3L, "I", "keep")).toDF("seq", "key", "op", "v")
+    val compacted = Cdc.compactedLog(log, Seq("key"), Seq("seq"))
+    // lateness bound: no change with seq < 50 can arrive anymore
+    val vac = Cdc.vacuumTombstones(compacted,
+      isDelete = col("op") === "D", expired = col("seq") < 50L)
+    assert(vac.filter(col("key") === 1L).count() == 0, "expired tombstone kept")
+    assert(vac.filter(col("key") === 2L).filter(col("op") === "D").count() == 1,
+      "in-retention tombstone vacuumed")
+    assert(vac.filter(col("key") === 3L).count() == 1, "live row vacuumed")
+    // a LATE update still inside retention (seq 85 < the key-2 tombstone's
+    // 90) must keep hitting the retained tombstone — no resurrection
+    val late = Seq((85L, 2L, "U", "ghost")).toDF("seq", "key", "op", "v")
+    val snap = Cdc.mergeCompacted(vac, late, Seq("key"), Seq("seq"))
+      .filter(col("op") =!= "D")
+    assert(snap.filter(col("key") === 2L).count() == 0,
+      "late update resurrected a deleted key through a retained tombstone")
+  }
+
+  test("vacuumTombstones: post-bound folds can't tell vacuumed from unvacuumed state") {
+    import spark.implicits._
+    // 200-change history over 17 keys, every 5th change a tombstone;
+    // keys 0-4 go QUIET after seq 100, so their winners sit below the
+    // bound — key 0's winner is the tombstone at seq 85, i.e. the GC
+    // really bites (asserted below)
+    val history = (1L to 200L)
+      .filterNot(i => i % 17 < 5 && i > 100)
+      .map(i => (i, i % 17, if (i % 5 == 0) "D" else "U", s"v$i"))
+      .toDF("seq", "key", "op", "v")
+    val compacted = Cdc.compactedLog(history, Seq("key"), Seq("seq"))
+    val bound = 150L
+    val vac = Cdc.vacuumTombstones(compacted,
+      isDelete = col("op") === "D", expired = col("seq") < bound)
+    assert(vac.count() < compacted.count(), "the GC removed nothing")
+    // every post-bound batch folds to the IDENTICAL snapshot either way
+    val batch = (201L to 260L)
+      .map(i => (i, i % 13, if (i % 7 == 0) "D" else "U", s"b$i"))
+      .toDF("seq", "key", "op", "v")
+    def snap(state: org.apache.spark.sql.DataFrame): Set[(Long, Long, String, String)] =
+      Cdc.mergeCompacted(state, batch, Seq("key"), Seq("seq"))
+        .filter(col("op") =!= "D")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .toSet
+    assert(snap(vac) == snap(compacted), "vacuum changed a post-bound fold")
+  }
 }

@@ -217,4 +217,32 @@ class PlanSpec extends SparkSpec {
       l.trim.matches("""\(\d+\) Exchange.*""") || l.trim.startsWith("Exchange"))
     assert(dataExchanges <= 3, s"$dataExchanges exchanges:\n" + p.take(800))
   }
+
+  /** Exchanges that carry BOTH a salt key and an embedding/norm payload —
+    * the semDeDup grid join must move (id, cluster, salt) rows only,
+    * with vectors joining back by id after the candidate join (the
+    * knnGraph idiom): a vector column on the salted exchange replicates
+    * the dominant payload `saltG`× for no information gain.
+    */
+  private def saltedVecOffenders(name: String): Seq[String] = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    val lines = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .linesIterator.toSeq
+    lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) (Exchange|BroadcastExchange).*""") =>
+        lines.slice(i + 1, i + 4).find(_.startsWith("Input"))
+    }.flatten.filter(in => in.contains("salt#") &&
+      (in.contains("embedding#") || in.contains("_vec#") || in.contains("_norm#")))
+  }
+
+  test("emb_semdedup: no vector column rides the salted pair exchange") {
+    val offenders = saltedVecOffenders("emb_semdedup")
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("emb_semdedup_incremental: no vector column rides either salted exchange") {
+    val offenders = saltedVecOffenders("emb_semdedup_incremental")
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }

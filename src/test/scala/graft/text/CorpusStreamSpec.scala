@@ -197,4 +197,144 @@ class CorpusStreamSpec extends SparkSpec {
       emitted.filter(_._3 == 2).map { case (a, b, _) => (a, b) }.toSet)
     assert(spark.read.parquet(standing).count() == before)
   }
+
+  /** Exactly-once contract for a family's `*PairStream` wrapper: drive
+    * `rows` through three micro-batches, assert emissions ≡ the family's
+    * one-shot pass over the whole corpus, each pair exactly once, at its
+    * later member's arrival batch.
+    */
+  private def assertExactlyOnce(
+      rows: Seq[(Long, String, String)], cols: Seq[String],
+      oneShot: org.apache.spark.sql.DataFrame,
+      run: (org.apache.spark.sql.DataFrame, String, String,
+            (org.apache.spark.sql.DataFrame, Long) => Unit) =>
+           org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    import spark.implicits._
+    val n = rows.size
+    val arrival = rows.zipWithIndex.map { case ((id, _, _), i) =>
+      id -> (if (i < n / 3) 0 else if (i < 2 * n / 3) 1 else 2)
+    }.toMap
+    val base = java.nio.file.Files.createTempDirectory("fam_stream").toString
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = run(input.toDF().toDF(cols: _*), s"$base/standing", s"$base/ckpt",
+      (pairs, id) => emitted ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), id)))
+    try {
+      input.addData(rows.take(n / 3)); q.processAllAvailable()
+      input.addData(rows.slice(n / 3, 2 * n / 3)); q.processAllAvailable()
+      input.addData(rows.drop(2 * n / 3)); q.processAllAvailable()
+    } finally q.stop()
+    val got = emitted.map { case (a, b, _) => (a, b) }.toSet
+    val want = oneShot.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(got.nonEmpty, "vacuous: the planted corpus produced no pairs")
+    assert(emitted.size == got.size, s"duplicated emissions: $emitted")
+    emitted.foreach { case (a, b, id) =>
+      assert(math.max(arrival(a), arrival(b)) == id,
+        s"pair ($a,$b) emitted at batch $id, arrivals $arrival")
+    }
+  }
+
+  test("streaming jaccard pairs: batches ≡ one-shot, exactly once") {
+    import spark.implicits._
+    val s1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val s2 = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val s3 = "one two three four five six seven eight nine ten"
+    val rows = Seq((1L, "en", s1), (2L, "en", s2), (3L, "en", s3),
+      (4L, "en", s1), (5L, "en", "unique words never repeated anywhere else"),
+      (6L, "en", s2), (7L, "en", s1), (8L, "en", s3))
+    assertExactlyOnce(rows, Seq("doc_id", "lang", "text"),
+      Dedup.prefixJaccardPairs(rows.toDF("doc_id", "lang", "text"), Seq("lang"), 0.8),
+      (df, st, ck, sink) =>
+        Dedup.jaccardPairStream(df, st, ck, Seq("lang"), 0.8)(sink))
+  }
+
+  test("streaming containment pairs: batches ≡ one-shot, exactly once") {
+    import spark.implicits._
+    val s1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val sub = "alpha beta gamma delta epsilon" // ⊂ s1: containment 1
+    val s3 = "one two three four five six seven eight nine ten"
+    val rows = Seq((1L, "en", s1), (2L, "en", s3), (3L, "en", sub),
+      (4L, "en", s1), (5L, "en", "unique words never repeated anywhere else"),
+      (6L, "en", s3), (7L, "en", sub), (8L, "en", s1))
+    assertExactlyOnce(rows, Seq("doc_id", "lang", "text"),
+      Dedup.containmentPairs(rows.toDF("doc_id", "lang", "text"), Seq("lang"), 0.8),
+      (df, st, ck, sink) =>
+        Dedup.containmentPairStream(df, st, ck, Seq("lang"), 0.8)(sink))
+  }
+
+  test("streaming simhash pairs: batches ≡ one-shot, exactly once") {
+    import spark.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val t1b = "the quick brown fox jumps over the lazy cat near the river bank today"
+    val t2 = "completely different words about spark catalyst tungsten codegen shuffles"
+    val rows = Seq((1L, "en", t1), (2L, "en", t2), (3L, "en", t1b),
+      (4L, "en", t1), (5L, "en", "unrelated filler text with nothing shared"),
+      (6L, "en", t1b), (7L, "en", t2), (8L, "en", t1))
+    assertExactlyOnce(rows, Seq("doc_id", "lang", "text"),
+      Dedup.simhashPairsMd5(rows.toDF("doc_id", "lang", "text")),
+      (df, st, ck, sink) =>
+        Dedup.simhashPairStream(df, st, ck)(sink))
+  }
+
+  test("streaming fuzzy pairs: batches ≡ one-shot, exactly once") {
+    import spark.implicits._
+    val rows = Seq((1L, "ams", "jansen"), (2L, "ams", "johnson"), (3L, "ams", "janssen"),
+      (4L, "rtm", "devries"), (5L, "ams", "jansen"), (6L, "rtm", "de vries"),
+      (7L, "ams", "johnsen"), (8L, "rtm", "devries"))
+    assertExactlyOnce(rows, Seq("id", "city", "name"),
+      Entity.editDistancePairs(rows.toDF("id", "city", "name"), 1, "id", "name", Seq("city")),
+      (df, st, ck, sink) =>
+        Entity.fuzzyPairStream(df, st, ck, 1, "id", "name", Seq("city"))(sink))
+  }
+
+  test("standing-store compaction: bounded files, identical pairs, redelivery intact") {
+    import spark.implicits._
+    val s1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val s2 = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val s3 = "one two three four five six seven eight nine ten"
+    val rows = Seq(1L -> s1, 2L -> s2, 3L -> s3, 4L -> s1,
+      5L -> s2, 6L -> s3, 7L -> s1, 8L -> s2)
+    val base = java.nio.file.Files.createTempDirectory("mh_compact").toString
+    val standing = s"$base/standing"
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[(Long, String)](spark)
+    // compact after every 2nd batch: the stream crosses TWO compaction
+    // boundaries (after ids 1 and 3) while pairs keep spanning them
+    val q = Dedup.minhashPairStream(input.toDF().toDF("doc_id", "text"),
+        standing, s"$base/ckpt", compactEvery = 2) { (pairs, id) =>
+      emitted ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), id))
+    }
+    try {
+      rows.grouped(2).foreach { g => input.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    // content identity across both boundaries
+    val got = emitted.map { case (a, b, _) => (a, b) }.toSet
+    val want = Dedup.minhashPairsMd5(rows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty, s"missing=${want -- got} extra=${got -- want}")
+    assert(emitted.size == got.size, s"duplicated emissions: $emitted")
+    // layout bounded: ONE base (batches 0-2 folded) + the latest delta —
+    // not one directory per micro-batch
+    val l = graft.ops.StandingStore.layout(spark, standing)
+    assert(l.foldedThrough == 2L, l.toString)
+    assert(l.deltas.map(_._2) == Seq(3L), l.toString)
+    val baseFiles = new java.io.File(l.base.get._1.toUri)
+      .listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(baseFiles.length == 1, s"base not bin-packed: ${baseFiles.toSeq}")
+    // row content untouched: all 8 docs still standing
+    assert(graft.ops.StandingStore
+      .read(spark, standing, excludeBatch = -1, Seq("doc_id", "text"))
+      .get.count() == 8)
+    // redelivery of the LAST batch across the compaction boundary: the
+    // standing side (now the folded base + nothing) still excludes batch
+    // 3, the partition overwrite rewrites identical rows → identical frame
+    val redelivered = Dedup.minhashStreamStep(
+        rows.drop(6).toDF("doc_id", "text"), batchId = 3, standing)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(redelivered ==
+      emitted.filter(_._3 == 3).map { case (a, b, _) => (a, b) }.toSet)
+    val l2 = graft.ops.StandingStore.layout(spark, standing)
+    assert(l2.foldedThrough == 2L && l2.deltas.map(_._2) == Seq(3L), l2.toString)
+  }
 }
