@@ -303,17 +303,23 @@ object Ivf {
     *
     * Scale shape: the pair join keys on (cell, salt) — the [[knnGraph]]
     * grid treatment, so an O(n²/k) hot cell spreads over `saltG` tasks
-    * instead of pinning one reducer — and the salted exchange carries
-    * IDs + cluster ONLY (the [[knnGraph]] idiom at [[knnGraph]]'s
-    * `assigned`): the a-side explodes `saltG` ways as (a_id, cluster,
-    * salt) rows, never replicating the embedding payload, and both
-    * vectors join back by id AFTER the candidate join (shuffle-hash,
-    * not broadcast — the payload side is corpus-sized however small its
-    * parquet-bytes estimate looks). Dominated ids collapse to ≤ n rows
-    * before the one distinct shuffle, and the verdict join back to the
-    * assignment is id-only. At 100 TB the cell count comes from
-    * [[train]]'s scale-adaptive nlist (∝ √n), keeping Σ|cell|² ≈ n^1.5
-    * — never all-pairs.
+    * instead of pinning one reducer — and the REPLICATED side carries
+    * IDs + cluster ONLY (the [[knnGraph]] idiom): the a-side explodes
+    * `saltG` ways as (a_id, cluster, salt) rows, never replicating the
+    * embedding payload, and a_vec/a_norm join back by id AFTER the
+    * candidate join (shuffle-hash, not broadcast — the payload side is
+    * corpus-sized however small its parquet-bytes estimate looks). The
+    * UNREPLICATED b-side keeps its vector on the salted join
+    * deliberately: it crosses that exchange exactly once (salt =
+    * pmod(b_id) — no explode), so carrying b_vec there costs the same
+    * n vector rows a join-back would move by b_id anyway, while saving
+    * the second shuffle of the whole candidate stream (same-session
+    * sf0.1 pair vs the two-join-back form: incremental 2.14 → 1.46 s;
+    * SCALE.md r11 carries the three-variant comparison).
+    * Dominated ids collapse to ≤ n rows before the one distinct
+    * shuffle, and the verdict join back to the assignment is id-only.
+    * At 100 TB the cell count comes from [[train]]'s scale-adaptive
+    * nlist (∝ √n), keeping Σ|cell|² ≈ n^1.5 — never all-pairs.
     *
     * Output: one row per corpus vector — (id, cluster, kept).
     */
@@ -321,21 +327,23 @@ object Ivf {
                idCol: String = "vec_id", vecCol: String = "embedding",
                saltG: Int = 8): DataFrame = {
     val flat = model.flat
-    val ids = corpus.select(col(idCol).as("id"),
-      element_at(VectorExpressions.nearestCentroids(
-        col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"))
-    val a = ids.select(col("id").as("a_id"), col("cluster"))
+    val a = corpus.select(col(idCol).as("a_id"),
+        element_at(VectorExpressions.nearestCentroids(
+          col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"))
       .withColumn("salt", explode(sequence(lit(0), lit(saltG - 1))))
-    val b = ids.select(col("id").as("b_id"), col("cluster"))
+    val b = corpus.select(col(idCol).as("b_id"),
+        element_at(VectorExpressions.nearestCentroids(
+          col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"),
+        col(vecCol).as("b_vec"),
+        Similarity.l2Norm(col(vecCol)).as("b_norm"))
       .withColumn("salt", pmod(col("b_id"), lit(saltG)).cast("int"))
-    def vecs(role: String): DataFrame =
-      corpus.select(col(idCol).as(s"${role}_id"),
-        col(vecCol).as(s"${role}_vec"),
-        Similarity.l2Norm(col(vecCol)).as(s"${role}_norm"))
-        .hint("SHUFFLE_HASH")
+    val aVecs = corpus.select(col(idCol).as("a_id"),
+        col(vecCol).as("a_vec"),
+        Similarity.l2Norm(col(vecCol)).as("a_norm"))
+      .hint("SHUFFLE_HASH")
     val dominated = a.join(b, Seq("cluster", "salt"))
       .filter(col("a_id") < col("b_id"))
-      .join(vecs("a"), "a_id").join(vecs("b"), "b_id")
+      .join(aVecs, "a_id")
       .filter(Similarity.dot(col("a_vec"), col("b_vec")) /
         (col("a_norm") * col("b_norm")) >= tau)
       .select(col("b_id").as(idCol)).distinct()
@@ -356,13 +364,15 @@ object Ivf {
     * dominate — their survivor represents them.
     *
     * Scale shape: both joins key on (cell, salt) exactly as [[semDeDup]]
-    * — IDs-only on the salted exchange, with id-keyed shuffle-hash
-    * vector join-backs after the candidate join; the standing×batch
-    * probe is |kept|·|batch|/k pairs and the batch×batch half
-    * |batch|²/k — each grid-salted, dominated ids collapse before one
-    * distinct shuffle. `standingKept` is the (id, vector) view of the
-    * previous pass's kept rows — the state a store would keep bucketed
-    * by cell.
+    * — the replicated a-side (standing kept / batch) is IDs-only with an
+    * id-keyed shuffle-hash a_vec join-back after the candidate join,
+    * while the unreplicated batch probe side carries its vector across
+    * the salted exchange once (see [[semDeDup]]'s rationale); the
+    * standing×batch probe is |kept|·|batch|/k pairs and the batch×batch
+    * half |batch|²/k — each grid-salted, dominated ids collapse before
+    * one distinct shuffle. `standingKept` is the (id, vector) view of
+    * the previous pass's kept rows — the state a store would keep
+    * bucketed by cell.
     *
     * Output: one row per BATCH vector — (id, cluster, kept).
     */
@@ -372,26 +382,28 @@ object Ivf {
                           vecCol: String = "embedding",
                           saltG: Int = 8): DataFrame = {
     val flat = model.flat
-    def idsOf(df: DataFrame, role: String): DataFrame =
-      df.select(col(idCol).as(s"${role}_id"),
+    val bSalted = batch.select(col(idCol).as("b_id"),
         element_at(VectorExpressions.nearestCentroids(
-          col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"))
-    def vecsOf(df: DataFrame, role: String): DataFrame =
-      df.select(col(idCol).as(s"${role}_id"),
-        col(vecCol).as(s"${role}_vec"),
-        Similarity.l2Norm(col(vecCol)).as(s"${role}_norm"))
-        .hint("SHUFFLE_HASH")
-    val bIds = idsOf(batch, "b")
+          col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"),
+        col(vecCol).as("b_vec"),
+        Similarity.l2Norm(col(vecCol)).as("b_norm"))
       .withColumn("salt", pmod(col("b_id"), lit(saltG)).cast("int"))
-    def dominatedBy(src: DataFrame, extra: Column): DataFrame =
-      idsOf(src, "a")
+    def dominatedBy(src: DataFrame, extra: Column): DataFrame = {
+      val aIds = src.select(col(idCol).as("a_id"),
+          element_at(VectorExpressions.nearestCentroids(
+            col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"))
         .withColumn("salt", explode(sequence(lit(0), lit(saltG - 1))))
-        .join(bIds, Seq("cluster", "salt"))
+      val aVecs = src.select(col(idCol).as("a_id"),
+          col(vecCol).as("a_vec"),
+          Similarity.l2Norm(col(vecCol)).as("a_norm"))
+        .hint("SHUFFLE_HASH")
+      aIds.join(bSalted, Seq("cluster", "salt"))
         .filter(extra)
-        .join(vecsOf(src, "a"), "a_id").join(vecsOf(batch, "b"), "b_id")
+        .join(aVecs, "a_id")
         .filter(Similarity.dot(col("a_vec"), col("b_vec")) /
           (col("a_norm") * col("b_norm")) >= tau)
         .select(col("b_id").as(idCol))
+    }
     val dominated = dominatedBy(standingKept, lit(true))
       .unionByName(dominatedBy(batch, col("a_id") < col("b_id")))
       .distinct()

@@ -218,11 +218,15 @@ class PlanSpec extends SparkSpec {
     assert(dataExchanges <= 3, s"$dataExchanges exchanges:\n" + p.take(800))
   }
 
-  /** Exchanges that carry BOTH a salt key and an embedding/norm payload —
-    * the semDeDup grid join must move (id, cluster, salt) rows only,
-    * with vectors joining back by id after the candidate join (the
-    * knnGraph idiom): a vector column on the salted exchange replicates
-    * the dominant payload `saltG`× for no information gain.
+  /** Exchanges that carry BOTH a salt key and the REPLICATED side's
+    * vector/norm — the semDeDup grid join's a-side explodes `saltG`
+    * ways, so it must move (a_id, cluster, salt) rows only, with
+    * a_vec/a_norm joining back by id after the candidate join (the
+    * knnGraph idiom): a vector on the replicated exchange ships the
+    * dominant payload `saltG`× for no information gain. The
+    * UNREPLICATED b-side carries b_vec across its salted exchange BY
+    * DESIGN — it crosses exactly once, the same n vector rows a
+    * join-back would move, minus a whole candidate-stream shuffle.
     */
   private def saltedVecOffenders(name: String): Seq[String] = {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
@@ -233,15 +237,15 @@ class PlanSpec extends SparkSpec {
       case (l, i) if l.matches("""\(\d+\) (Exchange|BroadcastExchange).*""") =>
         lines.slice(i + 1, i + 4).find(_.startsWith("Input"))
     }.flatten.filter(in => in.contains("salt#") &&
-      (in.contains("embedding#") || in.contains("_vec#") || in.contains("_norm#")))
+      (in.contains("a_vec#") || in.contains("a_norm#")))
   }
 
-  test("emb_semdedup: no vector column rides the salted pair exchange") {
+  test("emb_semdedup: the replicated salted exchange is IDs-only (no a_vec/a_norm)") {
     val offenders = saltedVecOffenders("emb_semdedup")
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
-  test("emb_semdedup_incremental: no vector column rides either salted exchange") {
+  test("emb_semdedup_incremental: both replicated salted exchanges are IDs-only") {
     val offenders = saltedVecOffenders("emb_semdedup_incremental")
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
