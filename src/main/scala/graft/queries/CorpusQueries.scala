@@ -2229,6 +2229,68 @@ object CorpusQueries {
         .orderBy(col("n_probe"))
     },
 
+    // IVF serving with PHYSICAL cell pruning — the layout half of ANN
+    // that ann_ivf_topk's logical bucket join can't show: the corpus
+    // lives cluster-PARTITIONED on disk (IvfStore.cellPartitioned, one
+    // directory per inverted list), three online queries probe their
+    // nProbe=2 nearest cells, and Spark's dynamic partition pruning
+    // injects the broadcast probe frame's cluster set into the fact
+    // scan — the query READS ≤ 6 of the 16 cell directories, never the
+    // corpus (IvfSpec asserts the dynamicpruning partition filter and
+    // row-identity with Ivf.search on the raw table). Partial probe
+    // makes the PROBE SET part of the semantics, so the model must be
+    // SQL-replayable: seeded centroids (the first 16 corpus vectors —
+    // the ann_ivf_incremental_assign / emb_semdedup precedent), probe
+    // ranks replayed through the same ||v−c||² expansion ordering, and
+    // the exact-cosine rerank hash-checks end-to-end.
+    Q("ann_ivf_pruned_topk",
+      """WITH c AS (SELECT vec_id AS cluster, embedding AS c_emb,
+             list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) AS n2
+           FROM embeddings WHERE vec_id < 16),
+         asg AS (SELECT vec_id, cluster FROM (
+             SELECT e.vec_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 c.n2 - 2.0 * list_sum(list_transform(range(len(e.embedding)),
+                   i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.c_emb[i+1] AS DOUBLE))),
+                 c.cluster) AS rn
+             FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         probe AS (SELECT q_id, cluster FROM (
+             SELECT e.vec_id AS q_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 c.n2 - 2.0 * list_sum(list_transform(range(len(e.embedding)),
+                   i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.c_emb[i+1] AS DOUBLE))),
+                 c.cluster) AS rn
+             FROM embeddings e CROSS JOIN c
+             WHERE e.vec_id IN (101, 211, 307)) WHERE rn <= 2),
+         v AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+           FROM embeddings),
+         cand AS (SELECT p.q_id, a.vec_id AS n_id
+           FROM probe p JOIN asg a USING (cluster) WHERE a.vec_id <> p.q_id),
+         scored AS (SELECT cand.q_id, cand.n_id,
+             list_sum(list_transform(range(len(vq.embedding)),
+               i -> CAST(vq.embedding[i+1] AS DOUBLE) * CAST(vn.embedding[i+1] AS DOUBLE)))
+               / (vq.nrm * vn.nrm) AS cos
+           FROM cand JOIN v vq ON vq.vec_id = cand.q_id
+           JOIN v vn ON vn.vec_id = cand.n_id)
+         SELECT q_id, n_id, cos, rnk FROM (
+           SELECT q_id, n_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, n_id) AS INT) AS rnk
+           FROM scored) WHERE rnk <= 10 ORDER BY q_id, rnk""") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val model = graft.sim.Ivf.IvfModel(cents)
+      val store = s.read.parquet(
+        graft.sim.IvfStore.cellPartitioned(s, dir, model, "seed16"))
+      graft.sim.Ivf.prunedSearch(store,
+          emb.filter(col("vec_id").isin(101L, 211L, 307L)), model,
+          k = 10, nProbe = 2)
+        .orderBy(col("q_id"), col("rnk"))
+    },
+
     // Incremental IVF index MAINTENANCE under the oracle: a "day-2"
     // batch of new vectors (every 17th id — deterministic and
     // scale-proportional) is assigned to a STANDING cell structure

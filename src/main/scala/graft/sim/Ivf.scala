@@ -188,6 +188,45 @@ object Ivf {
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
   }
 
+  /** [[search]] against a CELL-PARTITIONED store
+    * ([[IvfStore.cellPartitioned]]) — the online-serving shape, where the
+    * scan itself is pruned to the probed inverted lists: the probe frame
+    * (a handful of query vectors × `nProbe` cells) broadcasts, the join
+    * keys on the store's PARTITION column, and Spark's dynamic partition
+    * pruning injects the broadcast's cluster set into the fact scan's
+    * partition filters — so the query READS `≤ |queries|·nProbe` cell
+    * directories of the store's `k`, never the corpus (IvfSpec asserts
+    * the `dynamicpruning` filter on the executed scan AND row-identity
+    * with [[search]] on the raw table). This is the physics the logical
+    * bucket join can't provide on an unpartitioned table: there, every
+    * byte is still scanned and discarded by the join. At 100 TB with
+    * √n-adaptive nlist, a 10-query/nProbe-4 request touches ~40 cells of
+    * ~300k.
+    *
+    * `cellStore` must carry (`idCol`, `vecCol`, `cluster`) with `cluster`
+    * as its partition column under the SAME model.
+    */
+  def prunedSearch(cellStore: DataFrame, queries: DataFrame, model: IvfModel,
+                   k: Int = 10, nProbe: Int = 4,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val flat = model.flat
+    val probes = queries.select(col(idCol).as("q_id"),
+        col(vecCol).as("q_vec"),
+        Similarity.l2Norm(col(vecCol)).as("q_norm"))
+      .withColumn("cluster", explode(VectorExpressions.nearestCentroids(
+        col("q_vec"), flat, model.k, model.dim, nProbe)))
+    val fact = cellStore.select(col("cluster"), col(idCol).as("n_id"),
+      col(vecCol).as("n_vec"), Similarity.l2Norm(col(vecCol)).as("n_norm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    fact.join(broadcast(probes), Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (Similarity.dot(col("q_vec"), col("n_vec")) /
+          (col("q_norm") * col("n_norm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
+  }
+
   /** Bucketed kNN-GRAPH construction — [[search]] with queries = corpus,
     * but with the final ranking consumed map-side by the bounded
     * [[Similarity.TopKByScore]] Aggregator instead of a window rank.
@@ -412,4 +451,59 @@ object Ivf {
       .select(col(idCol), col("cluster").cast("int").as("cluster"),
         col("__dom").isNull.as("kept"))
   }
+
+  /** One micro-batch step of STREAMING SemDeDup over a batch-partitioned
+    * standing store of KEPT vectors: dedup the batch against the standing
+    * kept set plus itself ([[semDeDupIncremental]] — old×old cosine
+    * volume never regenerates), then append only the batch's KEPT
+    * (id, vector) rows under `__batch = batchId`. The kept-only store IS
+    * the operator's state contract: standing dropped vectors never
+    * dominate, so persisting them would only grow every later probe.
+    * Exactly-once discipline matches
+    * [[graft.text.Dedup.incrementalStreamStep]]: the standing read
+    * excludes the current batch id and the append dynamically overwrites
+    * this batch's partition, so a redelivered batch recomputes identical
+    * verdicts and rewrites identical rows (verdicts are deterministic —
+    * min-id dominance, no RNG). Verdicts are checkpointed BEFORE the
+    * store gains the batch. Returns one (id, cluster, kept) row per
+    * batch vector.
+    */
+  def semDeDupStreamStep(batch: DataFrame, batchId: Long, standingPath: String,
+                         model: IvfModel, tau: Double,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val spark = batch.sparkSession
+    val slim = batch.select(col(idCol), col(vecCol))
+    val standing = graft.ops.StandingStore
+      .read(spark, standingPath, excludeBatch = batchId, Seq(idCol, vecCol))
+      .getOrElse(slim.limit(0))
+    val verdicts = semDeDupIncremental(standing, slim, model, tau,
+      idCol, vecCol).localCheckpoint()
+    slim.join(verdicts.filter(col("kept")).select(col(idCol)), Seq(idCol))
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(standingPath)
+    verdicts
+  }
+
+  /** Streaming semantic dedup — [[semDeDupStreamStep]] per micro-batch
+    * through the shared [[graft.text.Dedup.incrementalPairStream]] lift
+    * (same checkpointing, sink, and `compactEvery` store-maintenance
+    * contract as the text pair families). Across the stream every vector
+    * gets exactly one verdict, at its arrival; the kept set equals the
+    * batch-by-batch fold of [[semDeDupIncremental]] (spec-pinned —
+    * streaming SemDeDup is order-dependent BY DESIGN: an arrived-first
+    * kept vector dominates later lookalikes regardless of id, the
+    * operational form of the paper's one-shot min-id rule).
+    */
+  def semDeDupStream(stream: DataFrame, standingPath: String,
+                     checkpointDir: String, model: IvfModel, tau: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     compactEvery: Int = 0)
+                    (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.text.Dedup.incrementalPairStream(stream, standingPath,
+      checkpointDir, compactEvery)(
+      semDeDupStreamStep(_, _, standingPath, model, tau, idCol, vecCol))(sink)
 }

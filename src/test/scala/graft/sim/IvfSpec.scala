@@ -301,4 +301,40 @@ class IvfSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1)
     assert(boot.toSeq == batchOnly.toSeq, "empty-standing bootstrap diverged")
   }
+
+  test("prunedSearch: row-identical to search; scan dynamically pruned to probed cells") {
+    // plan-inspecting half runs with AQE off: AdaptiveSparkPlanExec is a
+    // leaf to collect* traversals (the DppSpec rationale); DPP itself
+    // fires either way
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = Tables(spark, sfDir, "embeddings")
+      val model = Ivf.trainOrLoad(emb, nCentroids = 16, dim = 64, iters = 1,
+        modelPath = s"${sys.props("java.io.tmpdir")}/graft_ivf_prune_spec_" +
+          s"${graft.ops.Materialize.codeFingerprint.take(8)}_" +
+          new java.io.File(sfDir).getName)
+      val store = spark.read.parquet(
+        IvfStore.cellPartitioned(spark, sfDir, model, "spec"))
+      val queries = emb.filter(col("vec_id").isin(3L, 77L, 240L))
+      val pruned = Ivf.prunedSearch(store, queries, model, k = 10, nProbe = 2)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val got = rows(pruned)
+      assert(got == rows(Ivf.search(emb, queries, model, k = 10, nProbe = 2)),
+        "pruned store search diverged from the raw-table search")
+      assert(got.nonEmpty)
+      // the store scan must carry a runtime partition filter fed by the
+      // broadcast probe frame, and read ≤ |queries|·nProbe of the 16 cells
+      val scans = pruned.queryExecution.executedPlan.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      val factScan = scans.find(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))).getOrElse(
+        fail(s"no dynamically pruned scan:\n${pruned.queryExecution.executedPlan}"))
+      val read = factScan.metrics.get("numPartitions").map(_.value)
+      assert(read.exists(n => n > 0 && n <= 6),
+        s"expected ≤ 6 of 16 cell directories read, got $read")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

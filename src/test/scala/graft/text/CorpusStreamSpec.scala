@@ -337,4 +337,62 @@ class CorpusStreamSpec extends SparkSpec {
     val l2 = graft.ops.StandingStore.layout(spark, standing)
     assert(l2.foldedThrough == 2L && l2.deltas.map(_._2) == Seq(3L), l2.toString)
   }
+
+  test("streaming semDeDup: verdicts ≡ batch-by-batch incremental fold, redelivery intact") {
+    import spark.implicits._
+    val emb = graft.source.Tables(spark, sfDir, "embeddings")
+    val model = graft.sim.Ivf.IvfModel(
+      emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble)))
+    val rows = emb.filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val base = java.nio.file.Files.createTempDirectory("sem_stream").toString
+    val standing = s"$base/standing"
+    val got = scala.collection.mutable.Map.empty[Long, (Int, Boolean, Long)]
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    // tau = 0.4 (the emb_semdedup rationale): the i.i.d. fixture's max
+    // pairwise cosine ≈ 0.49, so the rule bites on real rows
+    val q = graft.sim.Ivf.semDeDupStream(input.toDF().toDF("vec_id", "embedding"),
+        standing, s"$base/ckpt", model, tau = 0.4) { (verdicts, id) =>
+      got ++= verdicts.collect().map(r =>
+        r.getLong(0) -> (r.getInt(1), r.getBoolean(2), id))
+    }
+    try {
+      input.addData(rows.take(70)); q.processAllAvailable()
+      input.addData(rows.slice(70, 140)); q.processAllAvailable()
+      input.addData(rows.drop(140)); q.processAllAvailable()
+    } finally q.stop()
+    // reference: fold semDeDupIncremental by hand, standing = kept rows
+    val want = scala.collection.mutable.Map.empty[Long, Boolean]
+    var standingRef = emb.filter(lit(false)).select(col("vec_id"), col("embedding"))
+    Seq(rows.take(70), rows.slice(70, 140), rows.drop(140)).foreach { b =>
+      val batchDf = b.toDF("vec_id", "embedding")
+      val v = graft.sim.Ivf.semDeDupIncremental(standingRef, batchDf,
+          model, tau = 0.4)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2))
+      want ++= v
+      val kept = v.filter(_._2).map(_._1).toSet
+      standingRef = standingRef.unionByName(
+        batchDf.filter(col("vec_id").isin(kept.toSeq: _*))).localCheckpoint()
+    }
+    assert(got.view.mapValues(_._2).toMap == want.toMap,
+      s"diverged on ${(got.keySet ++ want.keySet).find(k =>
+        got.get(k).map(_._2) != want.get(k))}")
+    assert(got.valuesIterator.count(!_._2) > 0, "tau never bit — vacuous")
+    // every vector judged exactly once, at its arrival batch
+    assert(got.size == rows.size)
+    // redelivery of the last batch: identical verdicts, store unchanged
+    val before = graft.ops.StandingStore
+      .read(spark, standing, excludeBatch = -1, Seq("vec_id")).get.count()
+    val redelivered = graft.sim.Ivf.semDeDupStreamStep(
+        rows.drop(140).toDF("vec_id", "embedding"), batchId = 2, standing,
+        model, tau = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(redelivered == got.collect {
+      case (k, (_, kept, 2L)) => k -> kept }.toMap)
+    assert(graft.ops.StandingStore
+      .read(spark, standing, excludeBatch = -1, Seq("vec_id")).get.count() == before)
+  }
 }
