@@ -1509,6 +1509,56 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Dataset-card curation funnel: per-source doc/token counts surviving
+    // each CUMULATIVE stage (raw → ≥20 tokens → exact-dedup survivor
+    // among length-passers → trigram-decontaminated vs the doc_id<3
+    // benchmark) — the audit table a curation run publishes next to its
+    // output. One corpus scan computes ntok/fingerprint (text never on a
+    // keyed exchange, plan-spec'd), the canonical map joins back by
+    // fingerprint, the stage expansion is a narrow stack before one
+    // (stage, source) aggregation. The oracle recomputes all four stages
+    // relationally — hash-equality pins the stage COMPOSITION (dedup
+    // after length filter, decontamination after dedup), not just each
+    // filter alone.
+    Q("doc_curation_funnel",
+      """WITH d AS (SELECT doc_id, source,
+           len(regexp_split_to_array(text, '\s+')) AS ntok,
+           md5(array_to_string(list_filter(regexp_split_to_array(text, '\s+'),
+             t -> t <> 'dup'), ' ')) AS fp FROM documents),
+         f AS (SELECT *, ntok >= 20 AS pass2 FROM d),
+         canon AS (SELECT fp, MIN(doc_id) AS canon_id FROM f
+           WHERE pass2 GROUP BY fp),
+         g AS (SELECT doc_id,
+           unnest(list_transform(range(0, greatest(len(regexp_split_to_array(text, '\s+')) - 3, 0) + 1),
+             i -> array_to_string(list_slice(regexp_split_to_array(text, '\s+'), i + 1, i + 3), ' '))) AS g
+           FROM documents),
+         bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 3),
+         bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (g)),
+         flags AS (SELECT f.doc_id, f.source, f.ntok, f.pass2,
+             f.pass2 AND f.doc_id = canon.canon_id AS pass3,
+             f.pass2 AND f.doc_id = canon.canon_id
+               AND f.doc_id NOT IN (SELECT doc_id FROM bad) AS pass4
+           FROM f LEFT JOIN canon ON canon.fp = f.fp),
+         stages AS (
+           SELECT '1_raw' AS stage, source, ntok FROM flags
+           UNION ALL SELECT '2_minlen', source, ntok FROM flags WHERE pass2
+           UNION ALL SELECT '3_exact_dedup', source, ntok FROM flags WHERE pass3
+           UNION ALL SELECT '4_decontaminated', source, ntok FROM flags WHERE pass4)
+         SELECT stage, source, COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens
+         FROM stages GROUP BY stage, source ORDER BY stage, source""") { (s, dir) =>
+      val docs = docsKernel(s, dir)
+      // normalize-before-dedup: the fixture's planted copies append the
+      // marker token 'dup' (TESTDATA/FIXTURES) — stripping it is the
+      // boilerplate-normalization step a real pipeline runs, and makes
+      // the dedup stage bite at EVERY gate scale (raw-text md5 has zero
+      // exact twins below sf0.1)
+      Dedup.curationFunnel(docs, docs.filter(col("doc_id") < 3),
+        minTokens = 20, w = 3,
+        fingerprint = md5(concat_ws(" ",
+          filter(split(col("text"), "\\s+"), t => t =!= "dup"))))
+    },
+
     // Tokenizer-training vocabulary export: top tokens by corpus frequency
     // with cumulative coverage — frequency agg (map-side combined),
     // distributed top-N, then a running sum over only the ≤ topN winners.

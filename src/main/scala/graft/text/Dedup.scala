@@ -1801,4 +1801,56 @@ object Dedup {
           i => spanBlockText(i, k)), " ").as("text_dedup"),
         col("nb").as("n_blocks"),
         (col("nb") - size(col("drop_idx"))).as("n_kept"))
+
+  /** Dataset-card curation FUNNEL — the per-source audit a training-data
+    * run reports: for each cumulative pipeline stage (raw → minimum
+    * length → exact-dedup survivor → benchmark-decontaminated), the
+    * surviving document and token counts per source. Stages COMPOSE the
+    * way the real pipeline does: the dedup survivor is the min-id per
+    * fingerprint AMONG length-passing docs (a doc rescued from a group
+    * whose shorter twin was length-filtered is the canonical), and
+    * decontamination applies to the dedup survivors.
+    *
+    * Scale shape: one corpus scan computes every per-doc input (token
+    * count, md5 fingerprint) — text never leaves the scan; the canonical
+    * map is a fingerprint-keyed aggregate joined back by fingerprint
+    * (hash+ID columns only on both exchanges), the contamination flag
+    * rides [[decontaminate]]'s broadcast gram join, and the 4× stage
+    * expansion is a narrow `stack` BEFORE the one (stage, source)
+    * aggregation — so the whole funnel costs one scan plus
+    * map-side-combined aggregates, regardless of stage count.
+    */
+  def curationFunnel(docs: DataFrame, benchmark: DataFrame,
+                     minTokens: Int = 20, w: Int = 3,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     srcCol: String = "source",
+                     fingerprint: Column = null): DataFrame = {
+    // the dedup key is caller-normalizable (real pipelines normalize
+    // BEFORE dedup — lowercase, strip boilerplate markers — so content
+    // twins that differ only in the normalized-away part collapse);
+    // default = raw-text md5, the exact-dedup semantics of [[exact]]
+    val fp = Option(fingerprint).getOrElse(md5(col(textCol)))
+    val flagged = docs.select(col(idCol), col(srcCol),
+        size(split(col(textCol), "\\s+")).as("ntok"),
+        fp.as("fp"))
+      .withColumn("pass2", col("ntok") >= minTokens)
+    val canon = flagged.filter(col("pass2"))
+      .groupBy(col("fp")).agg(min(col(idCol)).as("__canon"))
+    val clean = decontaminate(docs.select(col(idCol), col(textCol)),
+        benchmark, w, textCol, idCol)
+      .select(col(idCol)).withColumn("__clean", lit(true))
+    flagged
+      .join(canon, Seq("fp"), "left")
+      .join(clean, Seq(idCol), "left")
+      .withColumn("pass3", col("pass2") && col(idCol) === col("__canon"))
+      .withColumn("pass4", col("pass3") && col("__clean").isNotNull)
+      .selectExpr(srcCol, "ntok",
+        "stack(4, '1_raw', true, '2_minlen', pass2, " +
+          "'3_exact_dedup', pass3, '4_decontaminated', pass4) as (stage, pass)")
+      .filter(col("pass"))
+      .groupBy(col("stage"), col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok").cast("long")).as("n_tokens"))
+      .orderBy(col("stage"), col(srcCol))
+  }
 }

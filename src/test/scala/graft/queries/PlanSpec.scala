@@ -240,6 +240,13 @@ class PlanSpec extends SparkSpec {
       (in.contains("a_vec#") || in.contains("a_norm#")))
   }
 
+  test("doc_curation_funnel: text consumed scan-side — no keyed exchange carries it") {
+    val (offenders, lines) = textCarryingExchanges("doc_curation_funnel")
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+    // the benchmark-gram contamination join must broadcast, not shuffle
+    assert(lines.exists(_.contains("BroadcastHashJoin")), "gram join not broadcast")
+  }
+
   test("emb_semdedup: the replicated salted exchange is IDs-only (no a_vec/a_norm)") {
     val offenders = saltedVecOffenders("emb_semdedup")
     assert(offenders.isEmpty, offenders.mkString("\n"))

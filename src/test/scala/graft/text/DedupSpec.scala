@@ -734,4 +734,32 @@ class DedupSpec extends SparkSpec {
     // every id from either snapshot appears exactly once
     assert(got.size == 5)
   }
+
+  test("curationFunnel: stages nest (each ⊆ the previous), raw totals match the corpus") {
+    val docs = graft.source.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val bench = docs.filter(col("doc_id") < 3)
+    // normalized fingerprint (strip the fixture's planted-copy marker
+    // token) — the registered query's config, biting at every scale
+    val rows = Dedup.curationFunnel(docs, bench,
+        fingerprint = md5(concat_ws(" ",
+          org.apache.spark.sql.functions.filter(
+            split(col("text"), "\\s+"), t => t =!= "dup"))))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byStage = rows.groupBy(_._1).view
+      .mapValues(g => (g.map(_._3).sum, g.map(_._4).sum)).toMap
+    val stages = Seq("1_raw", "2_minlen", "3_exact_dedup", "4_decontaminated")
+    assert(stages.forall(byStage.contains), byStage.keySet.toString)
+    // cumulative: every stage keeps a subset of the previous one
+    stages.sliding(2).foreach { case Seq(a, b) =>
+      assert(byStage(b)._1 <= byStage(a)._1 && byStage(b)._2 <= byStage(a)._2,
+        s"$b exceeds $a: $byStage")
+    }
+    // raw row equals the corpus; every stage really filters on this fixture
+    assert(byStage("1_raw")._1 == docs.count())
+    stages.sliding(2).foreach { case Seq(a, b) =>
+      assert(byStage(b)._1 < byStage(a)._1, s"stage $b filtered nothing")
+    }
+  }
 }
