@@ -1559,6 +1559,61 @@ object CorpusQueries {
           filter(split(col("text"), "\\s+"), t => t =!= "dup"))))
     },
 
+    // Day-2 curation funnel: the dataset card rolls FORWARD — a batch
+    // (every 3rd doc) is flagged against the STANDING fingerprint index
+    // (fps of prior length-passers; text never re-read, hash-only anti
+    // probe) and its per-(stage, source) counts ADD onto yesterday's
+    // report. Dedup survivorship follows the incremental first-seen
+    // rule: fingerprint unseen among prior passers AND min-id within
+    // the batch. The oracle recomputes the batch flags relationally
+    // from the same split, so hash-equality pins the additive
+    // decomposition — batch counts are exactly what a from-scratch
+    // funnel would attribute to these docs under arrival order.
+    Q("doc_curation_funnel_incremental",
+      """WITH d AS (SELECT doc_id, source,
+           len(regexp_split_to_array(text, '\s+')) AS ntok,
+           md5(array_to_string(list_filter(regexp_split_to_array(text, '\s+'),
+             t -> t <> 'dup'), ' ')) AS fp FROM documents),
+         f AS (SELECT *, ntok >= 20 AS pass2 FROM d),
+         standingfp AS (SELECT DISTINCT fp FROM f
+           WHERE doc_id % 3 <> 0 AND pass2),
+         b AS (SELECT * FROM f WHERE doc_id % 3 = 0),
+         canon AS (SELECT fp, MIN(doc_id) AS canon_id FROM b
+           WHERE pass2 AND fp NOT IN (SELECT fp FROM standingfp)
+           GROUP BY fp),
+         g AS (SELECT doc_id,
+           unnest(list_transform(range(0, greatest(len(regexp_split_to_array(text, '\s+')) - 3, 0) + 1),
+             i -> array_to_string(list_slice(regexp_split_to_array(text, '\s+'), i + 1, i + 3), ' '))) AS g
+           FROM documents WHERE doc_id % 3 = 0),
+         bench AS (SELECT DISTINCT
+           unnest(list_transform(range(0, greatest(len(regexp_split_to_array(text, '\s+')) - 3, 0) + 1),
+             i -> array_to_string(list_slice(regexp_split_to_array(text, '\s+'), i + 1, i + 3), ' '))) AS g
+           FROM documents WHERE doc_id < 3),
+         bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (g)),
+         flags AS (SELECT b.doc_id, b.source, b.ntok, b.pass2,
+             b.pass2 AND b.doc_id = canon.canon_id AS pass3,
+             b.pass2 AND b.doc_id = canon.canon_id
+               AND b.doc_id NOT IN (SELECT doc_id FROM bad) AS pass4
+           FROM b LEFT JOIN canon ON canon.fp = b.fp),
+         stages AS (
+           SELECT '1_raw' AS stage, source, ntok FROM flags
+           UNION ALL SELECT '2_minlen', source, ntok FROM flags WHERE pass2
+           UNION ALL SELECT '3_exact_dedup', source, ntok FROM flags WHERE pass3
+           UNION ALL SELECT '4_decontaminated', source, ntok FROM flags WHERE pass4)
+         SELECT stage, source, COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens
+         FROM stages GROUP BY stage, source ORDER BY stage, source""") { (s, dir) =>
+      val docs = docsKernel(s, dir)
+      val norm = md5(concat_ws(" ",
+        filter(split(col("text"), "\\s+"), t => t =!= "dup")))
+      val standingFps = docs.filter(col("doc_id") % 3 =!= 0)
+        .filter(size(split(col("text"), "\\s+")) >= 20)
+        .select(norm.as("fp"))
+      Dedup.curationFunnelIncremental(docs.filter(col("doc_id") % 3 === 0),
+        standingFps, docs.filter(col("doc_id") < 3),
+        minTokens = 20, w = 3, fingerprint = norm)
+    },
+
     // Tokenizer-training vocabulary export: top tokens by corpus frequency
     // with cumulative coverage — frequency agg (map-side combined),
     // distributed top-N, then a running sum over only the ≤ topN winners.

@@ -28,6 +28,34 @@ object IvfStore {
 
   private val lock = new Object
 
+  /** Write `df` into the cell layout at `path`: assignment computed
+    * scan-side, one file per touched cell directory (repartition by the
+    * partition column — the compacted serving layout). `mode` is
+    * "overwrite" for an initial build, "append" for day-2 batches.
+    */
+  def writeCells(df: DataFrame, model: Ivf.IvfModel, path: String,
+                 mode: String,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): Unit =
+    df.withColumn("cluster",
+        element_at(VectorExpressions.nearestCentroids(
+          col(vecCol), model.flat, model.k, model.dim, 1), 1))
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster").mode(mode)
+      .parquet(path)
+
+  /** Day-2 index maintenance, the physical half of [[Ivf.assign]]: a
+    * batch of new vectors lands IN the standing cell layout — one fused
+    * assignment scan, one file per touched cell appended, the standing
+    * directories never rewritten. [[Ivf.prunedSearch]] over the grown
+    * store stays row-identical to a raw-table search over the grown
+    * corpus, and partition pruning keeps working (IvfSpec pins both).
+    */
+  def append(batch: DataFrame, model: Ivf.IvfModel, path: String,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): Unit =
+    writeCells(batch, model, path, "append", idCol, vecCol)
+
   /** Ensure a cluster-partitioned copy of the embeddings table exists
     * under `model`'s assignment; returns its path. One file per cell
     * directory (repartition by the partition column) — the compacted
@@ -48,13 +76,8 @@ object IvfStore {
     if (!path.exists()) {
       val staging = new File(path.getPath + ".staging." +
         java.lang.ProcessHandle.current().pid())
-      graft.source.Tables(spark, dir, "embeddings")
-        .withColumn("cluster",
-          element_at(VectorExpressions.nearestCentroids(
-            col(vecCol), model.flat, model.k, model.dim, 1), 1))
-        .repartition(col("cluster"))
-        .write.partitionBy("cluster").mode("overwrite")
-        .parquet(staging.getAbsolutePath)
+      writeCells(graft.source.Tables(spark, dir, "embeddings"), model,
+        staging.getAbsolutePath, "overwrite", idCol, vecCol)
       try java.nio.file.Files.move(staging.toPath, path.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileAlreadyExistsException |

@@ -1853,4 +1853,52 @@ object Dedup {
         sum(col("ntok").cast("long")).as("n_tokens"))
       .orderBy(col("stage"), col(srcCol))
   }
+
+  /** Day-2 [[curationFunnel]]: the funnel is ALGEBRAIC over batches
+    * given a standing fingerprint index — per-batch stage counts simply
+    * ADD onto yesterday's report, because every stage flag of a batch
+    * document is decidable from (the document, the standing index, the
+    * benchmark): length and contamination are per-doc, and the dedup
+    * survivor is "fingerprint unseen among prior length-passers AND
+    * first within this batch" (the [[incremental]] first-seen
+    * semantics — arrival order replaces global min-id, the documented
+    * streaming difference). The standing corpus contributes ONLY
+    * `standingFps` — one fingerprint column, the index a 100 TB
+    * deployment keeps; its text is never re-read and the anti probe
+    * is a hash-only join.
+    *
+    * Returns the BATCH's (stage, source, n_docs, n_tokens) rows — add
+    * them to the standing report to roll the dataset card forward.
+    */
+  def curationFunnelIncremental(batch: DataFrame, standingFps: DataFrame,
+                                benchmark: DataFrame,
+                                minTokens: Int = 20, w: Int = 3,
+                                textCol: String = "text", idCol: String = "doc_id",
+                                srcCol: String = "source",
+                                fingerprint: Column = null): DataFrame = {
+    val fp = Option(fingerprint).getOrElse(md5(col(textCol)))
+    val flagged = batch.select(col(idCol), col(srcCol),
+        size(split(col(textCol), "\\s+")).as("ntok"),
+        fp.as("fp"))
+      .withColumn("pass2", col("ntok") >= minTokens)
+    val novel = flagged.filter(col("pass2"))
+      .join(standingFps.select(col("fp")), Seq("fp"), "left_anti")
+    val canon = novel.groupBy(col("fp")).agg(min(col(idCol)).as("__canon"))
+    val clean = decontaminate(batch.select(col(idCol), col(textCol)),
+        benchmark, w, textCol, idCol)
+      .select(col(idCol)).withColumn("__clean", lit(true))
+    flagged
+      .join(canon, Seq("fp"), "left")
+      .join(clean, Seq(idCol), "left")
+      .withColumn("pass3", col("pass2") && col(idCol) === col("__canon"))
+      .withColumn("pass4", col("pass3") && col("__clean").isNotNull)
+      .selectExpr(srcCol, "ntok",
+        "stack(4, '1_raw', true, '2_minlen', pass2, " +
+          "'3_exact_dedup', pass3, '4_decontaminated', pass4) as (stage, pass)")
+      .filter(col("pass"))
+      .groupBy(col("stage"), col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok").cast("long")).as("n_tokens"))
+      .orderBy(col("stage"), col(srcCol))
+  }
 }

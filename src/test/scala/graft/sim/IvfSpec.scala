@@ -337,4 +337,38 @@ class IvfSpec extends SparkSpec {
         s"expected ≤ 6 of 16 cell directories read, got $read")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("IvfStore.append: day-2 batch lands in cells; pruned search over the grown store ≡ raw") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = Tables(spark, sfDir, "embeddings")
+      val model = Ivf.trainOrLoad(emb, nCentroids = 16, dim = 64, iters = 1,
+        modelPath = s"${sys.props("java.io.tmpdir")}/graft_ivf_prune_spec_" +
+          s"${graft.ops.Materialize.codeFingerprint.take(8)}_" +
+          new java.io.File(sfDir).getName)
+      val path = java.nio.file.Files.createTempDirectory("ivf_append")
+        .resolve("cells").toString
+      // day 1: standing corpus builds the layout; day 2: batch appends
+      IvfStore.writeCells(emb.filter(col("vec_id") % 17 =!= 0), model,
+        path, "overwrite")
+      IvfStore.append(emb.filter(col("vec_id") % 17 === 0), model, path)
+      val store = spark.read.parquet(path)
+      assert(store.count() == emb.count(), "append lost or duplicated rows")
+      val queries = emb.filter(col("vec_id").isin(3L, 77L, 240L))
+      val pruned = Ivf.prunedSearch(store, queries, model, k = 10, nProbe = 2)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(rows(pruned) ==
+        rows(Ivf.search(emb, queries, model, k = 10, nProbe = 2)),
+        "grown store diverged from the raw-table search")
+      // pruning keeps firing over the appended layout
+      val scans = pruned.queryExecution.executedPlan.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+        s"no dynamically pruned scan after append:\n${pruned.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

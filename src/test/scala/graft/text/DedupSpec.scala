@@ -762,4 +762,45 @@ class DedupSpec extends SparkSpec {
       assert(byStage(b)._1 < byStage(a)._1, s"stage $b filtered nothing")
     }
   }
+
+  test("curationFunnelIncremental: batch counts add; standing twins drop at the dedup stage") {
+    import spark.implicits._
+    val mk = (rows: Seq[(Long, String, String)]) => rows.toDF("doc_id", "source", "text")
+    val long = (s: String) => (s + " filler") * 1 + (1 to 19).map(i => s"w$i").mkString(" ", " ", "")
+    // day 1: two docs; day 2 batch: one standing twin (drops at dedup),
+    // one within-batch dup pair (first-seen survives), one short doc
+    val standing = mk(Seq((1L, "a", long("alpha")), (2L, "b", long("beta"))))
+    val batch = mk(Seq(
+      (10L, "a", long("alpha")),      // twin of standing 1 → fails stage 3
+      (11L, "a", long("gamma")),      // novel, first in batch → survives
+      (12L, "a", long("gamma")),      // within-batch dup of 11 → fails stage 3
+      (13L, "b", "short")))           // fails stage 2
+    val bench = mk(Seq((99L, "x", "no grams shared with anything here at all")))
+    val standingFps = standing
+      .filter(size(split(col("text"), "\\s+")) >= 20)
+      .select(md5(col("text")).as("fp"))
+    val inc = Dedup.curationFunnelIncremental(batch, standingFps, bench)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // raw: all 4 batch docs; minlen: 3; dedup: 11 only (10 standing-known,
+    // 12 second-seen); decontaminated: same (bench disjoint)
+    assert(inc(("1_raw", "a"))._1 == 3 && inc(("1_raw", "b"))._1 == 1)
+    assert(inc(("2_minlen", "a"))._1 == 3 && !inc.contains(("2_minlen", "b")))
+    assert(inc(("3_exact_dedup", "a"))._1 == 1 && !inc.contains(("3_exact_dedup", "b")))
+    assert(inc(("4_decontaminated", "a"))._1 == 1)
+    // additivity in the no-cross-batch-dup case: standing funnel + batch
+    // increments ≡ the from-scratch funnel over the union (arrival order
+    // = id order here, so first-seen and min-id agree)
+    val cleanBatch = mk(Seq((20L, "a", long("delta")), (21L, "b", long("epsilon"))))
+    val full = Dedup.curationFunnel(standing.unionByName(cleanBatch), bench)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val day1 = Dedup.curationFunnel(standing, bench)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val day2 = Dedup.curationFunnelIncremental(cleanBatch, standingFps, bench)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val added = (day1.keySet ++ day2.keySet).map { k =>
+      val a = day1.getOrElse(k, (0L, 0L)); val b = day2.getOrElse(k, (0L, 0L))
+      k -> (a._1 + b._1, a._2 + b._2)
+    }.toMap
+    assert(added == full, s"additive roll-forward diverged:\n$added\nvs\n$full")
+  }
 }
