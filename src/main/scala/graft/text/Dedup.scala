@@ -1901,4 +1901,55 @@ object Dedup {
         sum(col("ntok").cast("long")).as("n_tokens"))
       .orderBy(col("stage"), col(srcCol))
   }
+
+  /** One micro-batch step of the STREAMING curation funnel: flag the
+    * batch against the standing fingerprint store
+    * ([[curationFunnelIncremental]]), then append only THIS batch's
+    * length-passing fingerprints under `__batch = batchId` — the store
+    * holds one `fp` column, never text (the index a 100 TB deployment
+    * keeps). Exactly-once matches [[incrementalStreamStep]]: standing
+    * read excludes the current batch id, the append dynamically
+    * overwrites this batch's partition, counts are deterministic — a
+    * redelivered batch returns the identical count frame. Returns the
+    * batch's (stage, source, n_docs, n_tokens) increments; summing them
+    * across batches IS the running dataset card.
+    */
+  def funnelStreamStep(batch: DataFrame, batchId: Long, standingPath: String,
+                       benchmark: DataFrame,
+                       minTokens: Int = 20, w: Int = 3,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       srcCol: String = "source",
+                       fingerprint: Column = null): DataFrame = {
+    val spark = batch.sparkSession
+    val fp = Option(fingerprint).getOrElse(md5(col(textCol)))
+    val standingFps = graft.ops.StandingStore
+      .read(spark, standingPath, excludeBatch = batchId, Seq("fp"))
+      .getOrElse(batch.select(fp.as("fp")).limit(0))
+    val counts = curationFunnelIncremental(batch, standingFps, benchmark,
+      minTokens, w, textCol, idCol, srcCol, fingerprint).localCheckpoint()
+    batch.filter(size(split(col(textCol), "\\s+")) >= minTokens)
+      .select(fp.as("fp"))
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(standingPath)
+    counts
+  }
+
+  /** Streaming dataset-card funnel — [[funnelStreamStep]] per micro-batch
+    * through the shared [[incrementalPairStream]] lift (checkpointing,
+    * sink, `compactEvery` store maintenance). `sink` receives the batch's
+    * stage increments; their running sum is the live dataset card.
+    */
+  def funnelStream(stream: DataFrame, standingPath: String,
+                   checkpointDir: String, benchmark: DataFrame,
+                   minTokens: Int = 20, w: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   srcCol: String = "source",
+                   fingerprint: Column = null, compactEvery: Int = 0)
+                  (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incrementalPairStream(stream, standingPath, checkpointDir, compactEvery)(
+      funnelStreamStep(_, _, standingPath, benchmark, minTokens, w,
+        textCol, idCol, srcCol, fingerprint))(sink)
 }

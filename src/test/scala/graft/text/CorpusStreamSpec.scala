@@ -395,4 +395,61 @@ class CorpusStreamSpec extends SparkSpec {
     assert(graft.ops.StandingStore
       .read(spark, standing, excludeBatch = -1, Seq("vec_id")).get.count() == before)
   }
+
+  test("streaming curation funnel: summed increments ≡ hand-rolled fold, redelivery intact") {
+    import spark.implicits._
+    val docs = graft.source.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .filter(col("doc_id") < 300)
+    val bench = docs.filter(col("doc_id") < 3)
+    val rows = docs.as[(Long, String, String)].collect().toSeq
+    val base = java.nio.file.Files.createTempDirectory("funnel_stream").toString
+    val standing = s"$base/standing"
+    type Key = (String, String)
+    val got = scala.collection.mutable.Map.empty[Key, (Long, Long)]
+    var lastBatch = Map.empty[Key, (Long, Long)]
+    def add(into: scala.collection.mutable.Map[Key, (Long, Long)],
+            df: org.apache.spark.sql.DataFrame): Map[Key, (Long, Long)] = {
+      val m = df.collect().map(r =>
+        (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      m.foreach { case (k, (a, b)) =>
+        val (pa, pb) = into.getOrElse(k, (0L, 0L)); into(k) = (pa + a, pb + b)
+      }
+      m
+    }
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = Dedup.funnelStream(input.toDF().toDF("doc_id", "source", "text"),
+        standing, s"$base/ckpt", bench) { (counts, id) =>
+      lastBatch = add(got, counts)
+    }
+    try {
+      input.addData(rows.take(100)); q.processAllAvailable()
+      input.addData(rows.slice(100, 200)); q.processAllAvailable()
+      input.addData(rows.drop(200)); q.processAllAvailable()
+    } finally q.stop()
+    // reference: hand-rolled incremental fold with an accumulated fp set
+    val want = scala.collection.mutable.Map.empty[Key, (Long, Long)]
+    var fps = docs.filter(lit(false)).select(md5(col("text")).as("fp"))
+    Seq(rows.take(100), rows.slice(100, 200), rows.drop(200)).foreach { b =>
+      val bDf = b.toDF("doc_id", "source", "text")
+      add(want, Dedup.curationFunnelIncremental(bDf, fps, bench))
+      fps = fps.unionByName(
+        bDf.filter(size(split(col("text"), "\\s+")) >= 20)
+          .select(md5(col("text")).as("fp"))).localCheckpoint()
+    }
+    assert(got.toMap == want.toMap,
+      s"streamed card diverged: ${(got.toSet -- want.toSet).take(3)} vs ${(want.toSet -- got.toSet).take(3)}")
+    assert(got(("1_raw", rows.head._2))._1 > 0)
+    // redelivery of the last batch: identical increments, store unchanged
+    val before = graft.ops.StandingStore
+      .read(spark, standing, excludeBatch = -1, Seq("fp")).get.count()
+    val redelivered = Dedup.funnelStreamStep(
+      rows.drop(200).toDF("doc_id", "source", "text"), batchId = 2,
+      standing, bench)
+    val re = redelivered.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(re == lastBatch, "redelivered increments diverged")
+    assert(graft.ops.StandingStore
+      .read(spark, standing, excludeBatch = -1, Seq("fp")).get.count() == before)
+  }
 }
