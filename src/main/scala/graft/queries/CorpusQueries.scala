@@ -1614,6 +1614,51 @@ object CorpusQueries {
         minTokens = 20, w = 3, fingerprint = norm)
     },
 
+    // Mixture WATERFILLING: turn the dataset card's per-source token
+    // availability into a budgeted allocation — alloc_i = min(avail_i,
+    // λ·w_i) with the water level λ set so the allocations exhaust a
+    // budget of ⌊3/5 of the corpus⌋. Every saturation DECISION is an
+    // integer comparison (avail_i·W_{≥i} < (B−A_{<i})·w_i over exact
+    // longs — no float in any branch), so the saturated set and the
+    // hash agree across engines; the reported allocation of unsaturated
+    // sources is one IEEE division of exact longs. Weights 1..20 derive
+    // from the source name, so the fill genuinely tiers: low-weight
+    // sources saturate, high-weight ones share the remainder.
+    Q("doc_mixture_waterfill",
+      """WITH s AS (SELECT source,
+           CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS avail,
+           CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) + 1 AS w
+           FROM documents GROUP BY source),
+         t AS (SELECT CAST(SUM(avail) AS BIGINT) AS tot_avail,
+             CAST(SUM(w) AS BIGINT) AS tot_w FROM s),
+         o AS (SELECT s.*, t.tot_w, t.tot_avail * 3 // 5 AS budget,
+             SUM(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / w, source
+               ROWS UNBOUNDED PRECEDING) - avail AS a_prev,
+             SUM(w) OVER (ORDER BY CAST(avail AS DOUBLE) / w, source
+               ROWS UNBOUNDED PRECEDING) AS w_thru
+           FROM s CROSS JOIN t),
+         f AS (SELECT *, avail * (tot_w - w_thru + w)
+             < (budget - a_prev) * w AS saturated FROM o),
+         k AS (SELECT COALESCE(CAST(SUM(avail) FILTER (WHERE saturated) AS BIGINT), 0) AS a_sat,
+             COALESCE(CAST(SUM(w) FILTER (WHERE saturated) AS BIGINT), 0) AS w_sat
+           FROM f)
+         SELECT source, avail AS avail_tokens, w AS weight, saturated,
+           CASE WHEN saturated THEN CAST(avail AS DOUBLE)
+                ELSE CAST((budget - a_sat) * w AS DOUBLE)
+                  / CAST(tot_w - w_sat AS DOUBLE) END AS allocated
+         FROM f CROSS JOIN k ORDER BY source""") { (s, dir) =>
+      val docs = docsKernel(s, dir)
+      val perSource = docs.groupBy(col("source"))
+        .agg(sum(size(split(col("text"), "\\s+")).cast("long")).as("avail_tokens"))
+        .withColumn("weight",
+          regexp_extract(col("source"), "(\\d+)", 1).cast("long") + 1L)
+      // budget = ⌊3/5 · Σ avail⌋: one 1-row aggregate collect (the
+      // bounded-collect class — same as the deciles' N, but the operator
+      // takes a Long so the level is part of the call contract)
+      val totAvail = perSource.agg(sum(col("avail_tokens"))).collect()(0).getLong(0)
+      graft.text.Text.mixtureWaterfill(perSource, budget = totAvail * 3 / 5)
+    },
+
     // Tokenizer-training vocabulary export: top tokens by corpus frequency
     // with cumulative coverage — frequency agg (map-side combined),
     // distributed top-N, then a running sum over only the ≤ topN winners.

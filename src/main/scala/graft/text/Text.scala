@@ -652,6 +652,58 @@ object Text {
       .filter(col("bucket") < rate)
   }
 
+  /** Mixture WATERFILLING: allocate a token `budget` across sources with
+    * target weights `w_i`, capped by each source's availability — the
+    * step that turns a dataset card (per-source available tokens) into
+    * sampling rates. The allocation is the classic water level:
+    * `alloc_i = min(avail_i, λ·w_i)` with λ chosen so Σ alloc =
+    * min(budget, Σ avail). Computed in closed form: sources sorted by
+    * `avail_i/w_i` ascending saturate as a PREFIX, and row i saturates
+    * iff `avail_i · W_{≥i} < (B − A_{<i}) · w_i` — an INTEGER-EXACT
+    * comparison (no float in any decision), so the saturated set is
+    * engine-independent and the result hash-checks; only the reported
+    * `allocated` of unsaturated rows is one IEEE division of exact
+    * longs. TextSpec pins ≡ the iterative reference, Σ-conservation,
+    * and 0 ≤ alloc ≤ avail.
+    *
+    * Scale shape: `perSource` is source-cardinality (bounded small BY
+    * DESIGN — the dataset card's row count), so the unpartitioned
+    * running-sum window is the [[vocabExport]] bounded-cardinality
+    * class, not a corpus window; the heavy input (per-source token
+    * totals) comes from one map-side-combined aggregation upstream.
+    */
+  def mixtureWaterfill(perSource: org.apache.spark.sql.DataFrame, budget: Long,
+                       srcCol: String = "source",
+                       availCol: String = "avail_tokens",
+                       wCol: String = "weight"): org.apache.spark.sql.DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val slim = perSource.select(col(srcCol).as("source"),
+      col(availCol).cast("long").as("avail"), col(wCol).cast("long").as("w"))
+    val w = Window
+      .orderBy((col("avail").cast("double") / col("w")).asc, col("source").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = slim
+      .withColumn("a_prev", sum(col("avail")).over(w) - col("avail"))
+      .withColumn("w_thru", sum(col("w")).over(w))
+    val tot = pre.agg(sum(col("w")).as("tot_w"))
+    val flagged = pre.crossJoin(broadcast(tot))
+      .withColumn("w_rest", col("tot_w") - col("w_thru") + col("w"))
+      .withColumn("saturated",
+        col("avail") * col("w_rest") < (lit(budget) - col("a_prev")) * col("w"))
+    val sat = flagged.filter(col("saturated"))
+      .agg(coalesce(sum(col("avail")), lit(0L)).as("a_sat"),
+        coalesce(sum(col("w")), lit(0L)).as("w_sat"))
+    flagged.crossJoin(broadcast(sat))
+      .select(col("source"), col("avail").as("avail_tokens"),
+        col("w").as("weight"), col("saturated"),
+        when(col("saturated"), col("avail").cast("double"))
+          .otherwise(((lit(budget) - col("a_sat")) * col("w")).cast("double") /
+            (col("tot_w") - col("w_sat")).cast("double"))
+          .as("allocated"))
+      .orderBy(col("source"))
+  }
+
   /** Content fingerprint: polynomial rolling hash over the text's bytes
     * (base 1000003, modulo 2^31−1) — order-sensitive, unlike a
     * bag-of-words hash. Native kernel: one pass over the UTF8 bytes.

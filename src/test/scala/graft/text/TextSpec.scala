@@ -730,4 +730,48 @@ class TextSpec extends SparkSpec {
     assert(Text.epochShuffle(docs.repartition(3), epoch = 3).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap == out, "rerun-stable")
   }
+
+  test("mixtureWaterfill: ≡ iterative reference, conserves the budget, caps at availability") {
+    import spark.implicits._
+    // deterministic jagged availabilities/weights — some sources tiny
+    // (must saturate), some huge (must share the remainder pro rata)
+    val srcs = (0 until 12).map { i =>
+      (s"s$i", (i * i * 37 + 11).toLong, (i % 5 + 1).toLong)
+    }
+    // iterative reference: raise the water level source by source
+    def reference(budget: Long): Map[String, Double] = {
+      var remaining = budget.toDouble
+      var active = srcs.toList
+      val alloc = scala.collection.mutable.Map.empty[String, Double]
+      var changed = true
+      while (changed && active.nonEmpty) {
+        val wSum = active.map(_._3).sum.toDouble
+        val level = remaining / wSum
+        val (sat, unsat) = active.partition { case (_, a, w) => a <= level * w }
+        changed = sat.nonEmpty
+        sat.foreach { case (s, a, _) => alloc(s) = a.toDouble; remaining -= a.toDouble }
+        active = unsat
+      }
+      val wSum = active.map(_._3).sum.toDouble
+      active.foreach { case (s, _, w) => alloc(s) = remaining * w / wSum }
+      alloc.toMap
+    }
+    for (budget <- Seq(0L, 500L, 2000L, 10000L, srcs.map(_._2).sum + 100)) {
+      val got = graft.text.Text.mixtureWaterfill(
+          srcs.toDF("source", "avail_tokens", "weight"), budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(3), r.getDouble(4)))
+      val ref = reference(budget)
+      got.foreach { case (s, avail, saturated, alloc) =>
+        assert(alloc >= -1e-9 && alloc <= avail + 1e-9, s"$s alloc $alloc out of [0, $avail]")
+        assert(math.abs(alloc - ref(s)) < 1e-6,
+          s"$s: got $alloc, reference ${ref(s)} at budget $budget")
+        assert(saturated == (math.abs(alloc - avail) < 1e-9),
+          s"$s saturated flag inconsistent at budget $budget")
+      }
+      val total = got.map(_._4).sum
+      val expectTotal = math.min(budget, srcs.map(_._2).sum).toDouble
+      assert(math.abs(total - expectTotal) < 1e-6,
+        s"Σ alloc $total ≠ min(budget, Σ avail) $expectTotal")
+    }
+  }
 }
