@@ -71,6 +71,48 @@ object Cdc {
                      keys: Seq[String], ordering: Seq[String]): DataFrame =
     compactedLog(compacted.unionByName(batch), keys, ordering)
 
+  /** [[mergeCompacted]] against a STATIONARY state table — the physical
+    * form the fold's scale note promises: with the standing compacted
+    * log stored BUCKETED on the key ([[Bucketed.ensure]]), folding a
+    * batch must not re-shuffle the state. The union-then-aggregate form
+    * can't deliver that (an aggregate over a union has no usable child
+    * distribution — BOTH sides exchange), so the stationary form
+    * restates the fold as: compact the batch alone (the only keyed
+    * shuffle, |batch|-sized), then FULL OUTER JOIN the two compacted
+    * logs on the key — the bucketed standing side satisfies the join's
+    * distribution from its layout and scans exchange-free (CdcSpec
+    * asserts the plan) — and pick the per-key winner by comparing the
+    * `ordering` structs. Ties keep the STANDING row: a redelivered
+    * identical change is a no-op, exactly [[compactedLog]]'s max_by
+    * semantics. Algebraically identical to
+    * `mergeCompacted(standing, batch)` (spec + the shared oracle).
+    * Keys must be non-null (CDC keys are entity identifiers) — side
+    * absence in the outer join is detected by a null key.
+    */
+  def mergeCompactedStationary(standing: DataFrame, batch: DataFrame,
+                               keys: Seq[String],
+                               ordering: Seq[String]): DataFrame = {
+    val cols = standing.columns.toSeq
+    val b = compactedLog(batch, keys, ordering)
+    val sA = standing.as("s")
+    val bA = b.as("b")
+    // plain equality, NOT null-safe <=>: keys are non-null by contract,
+    // and a null-safe condition makes the join cluster on a wrapped key
+    // expression the bucketed layout cannot satisfy — the state side
+    // would re-shuffle, defeating the operator's whole point
+    val cond = keys.map(k => col(s"s.$k") === col(s"b.$k")).reduce(_ && _)
+    val sOrd = struct(ordering.map(o => col(s"s.$o")).toIndexedSeq: _*)
+    val bOrd = struct(ordering.map(o => col(s"b.$o")).toIndexedSeq: _*)
+    val sRow = struct(cols.map(c => col(s"s.$c")).toIndexedSeq: _*)
+    val bRow = struct(cols.map(c => col(s"b.$c")).toIndexedSeq: _*)
+    sA.join(bA, cond, "full_outer")
+      .select(when(col(s"s.${keys.head}").isNull, bRow)
+        .when(col(s"b.${keys.head}").isNull, sRow)
+        .when(bOrd > sOrd, bRow)
+        .otherwise(sRow).as("__w"))
+      .select(col("__w.*"))
+  }
+
   /** Tombstone GC for a [[compactedLog]] state table — the
     * `delete.retention.ms` contract [[mergeCompacted]]'s scaladoc cites,
     * as an operator. A tombstone must be RETAINED while a change older

@@ -1150,6 +1150,37 @@ object Analytics {
         .orderBy(col("user_id"))
     },
 
+    // The STATIONARY-STATE form of the fold above: the standing
+    // compacted log lives as a BUCKETED table on the key (the layout a
+    // 100 TB state table keeps), the batch compacts alone (the only
+    // keyed shuffle, |batch|-sized), and the full-outer winner join
+    // reads the state exchange-free off its bucketed layout — CdcSpec
+    // asserts the state side of the executed join carries no Exchange.
+    // Same oracle as ev_cdc_incremental: the two fold forms are
+    // algebraically identical, and hash-equality proves the stationary
+    // rewrite (struct-compare winner, ties keep standing) is exact.
+    Q("ev_cdc_bucketed_incremental",
+      """SELECT user_id, event_type AS last_type, value AS last_value,
+         ts AS last_ts
+         FROM (SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""") { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val stateTable = graft.ops.Bucketed.ensure(s, dir, "cdc_state_user",
+        "user_id", nBuckets = 8)(
+        graft.ops.Cdc.compactedLog(ev.filter(col("event_id") % 3 =!= 0),
+          keys = Seq("user_id"), ordering = Seq("ts", "event_id")))
+      graft.ops.Cdc.mergeCompactedStationary(s.table(stateTable),
+          ev.filter(col("event_id") % 3 === 0),
+          keys = Seq("user_id"), ordering = Seq("ts", "event_id"))
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"), col("ts").as("last_ts"))
+        .orderBy(col("user_id"))
+    },
+
     // CDC tombstone vacuum — the retention GC the two rows above defer
     // to (Kafka delete.retention.ms semantics). Keys are (user, day):
     // with user-only keys every winner sits at the end of the month and

@@ -125,6 +125,49 @@ class CdcSpec extends SparkSpec {
       "changelog apply must not plan a window sort over the full feed")
   }
 
+  test("mergeCompactedStationary: ≡ mergeCompacted; bucketed state folds exchange-free") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS cdc_stat_state")
+      val standing = Cdc.compactedLog(log(4).filter(col("seq") % 2 === 0),
+        Seq("key"), Seq("seq"))
+      standing.write.bucketBy(4, "key").sortBy("key")
+        .saveAsTable("cdc_stat_state")
+      val batch = log(4).filter(col("seq") % 2 =!= 0)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+      val got = Cdc.mergeCompactedStationary(spark.table("cdc_stat_state"),
+        batch, Seq("key"), Seq("seq"))
+      assert(rows(got) == rows(Cdc.mergeCompacted(standing, batch,
+        Seq("key"), Seq("seq"))), "stationary fold diverged from union fold")
+      // a redelivered IDENTICAL change (tie on the ordering) is a no-op
+      val tie = Cdc.mergeCompactedStationary(spark.table("cdc_stat_state"),
+        standing, Seq("key"), Seq("seq"))
+      assert(rows(tie) == rows(standing), "tie did not keep the standing row")
+      // the state side of the executed join must carry no Exchange —
+      // its bucketed layout satisfies the join distribution; only the
+      // batch side shuffles (its compaction + redistribution)
+      val smjs = got.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smjs.nonEmpty, got.queryExecution.executedPlan.toString)
+      def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      val sides = Seq(smjs.head.left, smjs.head.right).map(exchanges)
+      assert(sides.count(_ == 0) == 1 && sides.count(_ > 0) == 1,
+        s"expected exactly one exchange-free (state) side, got $sides:\n" +
+          got.queryExecution.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS cdc_stat_state")
+    }
+  }
+
   test("vacuumTombstones: expired tombstones drop; retained ones still block resurrection") {
     import spark.implicits._
     // key 1 dies long before the bound (GC-able), key 2 dies inside the
