@@ -133,4 +133,56 @@ object Cdc {
   def vacuumTombstones(compacted: DataFrame, isDelete: Column,
                        expired: Column): DataFrame =
     compacted.filter(!isDelete || !expired)
+
+  /** One micro-batch step of STREAMING changelog compaction — the
+    * exactly-once MERGE INTO loop: read the predecessor state
+    * ([[VersionedState.latestBelow]] — a redelivered batch cannot see
+    * the version its failed attempt published), fold the batch
+    * ([[mergeCompacted]] — tombstones retained), optionally GC
+    * tombstones past the lateness bound ([[vacuumTombstones]]), publish
+    * the next state atomically as `__state_v<batchId>`, and return it.
+    * Deterministic fold + versioned publish ⇒ redelivery recomputes and
+    * republishes identical state (CdcSpec proves batches ≡ one-shot and
+    * redelivery idempotence across the version boundary).
+    *
+    * Scale shape: the fold is ONE keyed shuffle of |state| + |batch|
+    * rows per trigger (see [[mergeCompactedStationary]] for the
+    * bucketed-layout variant that moves only the batch); the vacuum is
+    * a narrow filter keeping the published state from accreting one
+    * tombstone per deleted key forever.
+    */
+  def streamFold(batch: DataFrame, batchId: Long, statePath: String,
+                 keys: Seq[String], ordering: Seq[String],
+                 isDelete: Column = lit(false),
+                 expired: Column = lit(false)): DataFrame = {
+    val spark = batch.sparkSession
+    val standing = VersionedState.latestBelow(spark, statePath, batchId)
+      .getOrElse(batch.limit(0))
+    val next = vacuumTombstones(
+      mergeCompacted(standing, batch, keys, ordering), isDelete, expired)
+      .localCheckpoint()
+    VersionedState.publish(next, statePath, batchId)
+    next
+  }
+
+  /** Streaming changelog compaction — [[streamFold]] per micro-batch.
+    * `sink` receives (compacted state, batchId); the queryable snapshot
+    * is `state.filter(!isDelete)`. `expiredFor` maps the batch id to the
+    * vacuum bound (a real feed derives it from its watermark); default
+    * never vacuums.
+    */
+  def cdcStream(stream: DataFrame, statePath: String, checkpointDir: String,
+                keys: Seq[String], ordering: Seq[String],
+                isDelete: Column = lit(false),
+                expiredFor: Long => Column = _ => lit(false))
+               (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink(streamFold(b, id, statePath, keys, ordering,
+          isDelete, expiredFor(id)), id)
+      }
+      .start()
 }

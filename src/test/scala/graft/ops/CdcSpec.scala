@@ -125,6 +125,53 @@ class CdcSpec extends SparkSpec {
       "changelog apply must not plan a window sort over the full feed")
   }
 
+  test("cdcStream: versioned state folds exactly-once; in-loop vacuum GCs without resurrection") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cdc_stream_state").toString
+    val statePath = s"$base/state"
+    val batches = Seq(
+      // key 9 dies at seq 1 — expired under the bound (seq < 2) → GC'd
+      Seq((1L, 1L, "I", "a"), (2L, 2L, "I", "x"), (1L, 9L, "D", "-"), (3L, 2L, "D", "-")),
+      Seq((5L, 1L, "U", "e"), (4L, 3L, "I", "z")),
+      // late update UNDER key 2's seq-3 tombstone (in retention) → blocked
+      Seq((2L, 2L, "U", "ghost")))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    var lastState = Set.empty[(Long, Long, String, String)]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, String)](spark)
+    val q = Cdc.cdcStream(input.toDF().toDF("seq", "key", "op", "v"),
+        statePath, s"$base/ckpt", Seq("key"), Seq("seq"),
+        isDelete = col("op") === "D",
+        expiredFor = _ => col("seq") < 2L) { (state, _) =>
+      lastState = key(state)
+    }
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // ≡ one-shot fold + vacuum over the whole feed
+    val oneShot = key(Cdc.vacuumTombstones(
+      Cdc.compactedLog(batches.flatten.toDF("seq", "key", "op", "v"),
+        Seq("key"), Seq("seq")),
+      isDelete = col("op") === "D", expired = col("seq") < 2L))
+    assert(lastState == oneShot, s"streamed state diverged:\n$lastState\nvs\n$oneShot")
+    // semantics: key 9's expired tombstone GC'd; key 2's retained tombstone
+    // blocked the late update; keys 1/3 carry their last writes
+    assert(lastState == Set((5L, 1L, "U", "e"), (3L, 2L, "D", "-"), (4L, 3L, "I", "z")),
+      lastState.toString)
+    // version retention: predecessor kept for the redelivery window
+    val vs = VersionedState.versions(spark, statePath).map(_._2)
+    assert(vs == Seq(1L, 2L), vs.toString)
+    // redelivery of the last batch: its own failed-attempt version is
+    // invisible, the fold recomputes from v1 → identical state
+    val redelivered = key(Cdc.streamFold(
+      batches(2).toDF("seq", "key", "op", "v"), batchId = 2, statePath,
+      Seq("key"), Seq("seq"), isDelete = col("op") === "D",
+      expired = col("seq") < 2L))
+    assert(redelivered == lastState, "redelivered fold diverged")
+    assert(VersionedState.versions(spark, statePath).map(_._2) == Seq(1L, 2L))
+  }
+
   test("mergeCompactedStationary: ≡ mergeCompacted; bucketed state folds exchange-free") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
