@@ -123,6 +123,21 @@ object StandingStore {
     require(targetBytes > 0, "targetBytes must be positive")
     val fs = fsOf(spark, root)
     val l = layout(spark, root)
+    // finish any INTERRUPTED cleanup first: a crash after a base publish
+    // leaves the previous base and its folded deltas on disk — invisible
+    // to readers (version/marker rules) but dead weight; without this
+    // sweep a store whose newest fold left nothing further to fold would
+    // carry them forever (the early return below)
+    l.base.foreach { case (_, v, ft) =>
+      fs.listStatus(new Path(root)).filter(_.isDirectory).map(_.getPath)
+        .foreach { p =>
+          p.getName match {
+            case BaseRe(bv) if bv.toLong < v => fs.delete(p, true)
+            case DeltaRe(id) if id.toLong <= ft => fs.delete(p, true)
+            case _ => ()
+          }
+        }
+    }
     if (l.deltas.isEmpty) return
     val maxId = l.deltas.map(_._2).max
     val fold = l.deltas.filter(_._2 <= maxId - keepLast)
