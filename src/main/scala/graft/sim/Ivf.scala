@@ -227,6 +227,32 @@ object Ivf {
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
   }
 
+  /** Streaming ANN serving: each micro-batch of query vectors runs
+    * [[prunedSearch]] against the standing cell store
+    * ([[IvfStore.cellPartitioned]] layout) — the online lookup loop.
+    * Stateless per trigger (the STORE is the state, maintained
+    * out-of-band by [[IvfStore.append]] day-2 batches), so the store is
+    * re-resolved per batch and queries issued after an append see the
+    * grown index (IvfSpec pins exactly that: results track the store
+    * across an append between triggers). Each trigger reads only the
+    * probed cell directories — the serving cost is per-REQUEST, never
+    * per-corpus.
+    */
+  def servingStream(queryStream: DataFrame, cellStorePath: String,
+                    model: IvfModel, checkpointDir: String,
+                    k: Int = 10, nProbe: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+                   (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val store = b.sparkSession.read.parquet(cellStorePath)
+        sink(prunedSearch(store, b, model, k, nProbe, idCol, vecCol), id)
+      }
+      .start()
+
   /** Bucketed kNN-GRAPH construction — [[search]] with queries = corpus,
     * but with the final ranking consumed map-side by the bounded
     * [[Similarity.TopKByScore]] Aggregator instead of a window rank.

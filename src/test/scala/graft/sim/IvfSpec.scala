@@ -371,4 +371,47 @@ class IvfSpec extends SparkSpec {
         s"no dynamically pruned scan after append:\n${pruned.queryExecution.executedPlan}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("servingStream: per-trigger lookups track the live store across an append") {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val model = Ivf.trainOrLoad(emb, nCentroids = 16, dim = 64, iters = 1,
+      modelPath = s"${sys.props("java.io.tmpdir")}/graft_ivf_prune_spec_" +
+        s"${graft.ops.Materialize.codeFingerprint.take(8)}_" +
+        new java.io.File(sfDir).getName)
+    val base = java.nio.file.Files.createTempDirectory("ivf_serving")
+    val storePath = base.resolve("cells").toString
+    val standing = emb.filter(col("vec_id") % 17 =!= 0)
+    IvfStore.writeCells(standing, model, storePath, "overwrite")
+    def queryRows(ids: Seq[Long]) = emb.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val results = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Double, Int)]]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])](spark)
+    val q = Ivf.servingStream(input.toDF().toDF("vec_id", "embedding"),
+        storePath, model, s"$base/ckpt", k = 5, nProbe = 2) { (res, id) =>
+      results(id) = res.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    }
+    def expect(ids: Seq[Long]) = Ivf.prunedSearch(
+        spark.read.parquet(storePath),
+        emb.filter(col("vec_id").isin(ids: _*)), model, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    try {
+      input.addData(queryRows(Seq(3L, 77L))); q.processAllAvailable()
+      val want0 = expect(Seq(3L, 77L))
+      assert(results(0L) == want0 && want0.nonEmpty)
+      // the index grows BETWEEN triggers; the next lookup must see it
+      IvfStore.append(emb.filter(col("vec_id") % 17 === 0), model, storePath)
+      input.addData(queryRows(Seq(3L, 240L))); q.processAllAvailable()
+      val want1 = expect(Seq(3L, 240L))
+      assert(results(1L) == want1, "post-append lookup served the stale index")
+      assert(results(1L) != results(0L))
+      // and the grown store now answers like the full raw corpus
+      assert(want1 == Ivf.search(emb, emb.filter(col("vec_id").isin(3L, 240L)),
+        model, k = 5, nProbe = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet)
+    } finally q.stop()
+  }
 }
