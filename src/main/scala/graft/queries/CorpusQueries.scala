@@ -2379,6 +2379,56 @@ object CorpusQueries {
         .orderBy(col("n_probe"))
     },
 
+    // Per-cell index HEALTH — the monitoring table a day-2 vector store
+    // watches while appends grow it against frozen centroids: standing
+    // population, batch arrivals, and the batch's min/max cosine to its
+    // assigned centroid per cell (a sagging min-cosine = the cell is
+    // drifting from its centroid — retrain/split before recall decays).
+    // Every output is an order-independent aggregate (counts, MIN, MAX —
+    // deliberately no float SUM), so the report hash-checks bit-for-bit;
+    // the seeded-centroid model and the ‖v−c‖² assignment replay exactly
+    // as in ann_ivf_incremental_assign.
+    Q("ann_cell_health",
+      """WITH c AS (SELECT vec_id AS cluster, embedding AS c_emb,
+             list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) AS n2
+           FROM embeddings WHERE vec_id < 16),
+         asg AS (SELECT vec_id, cluster FROM (
+             SELECT e.vec_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 c.n2 - 2.0 * list_sum(list_transform(range(len(e.embedding)),
+                   i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.c_emb[i+1] AS DOUBLE))),
+                 c.cluster) AS rn
+             FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         s AS (SELECT cluster, COUNT(*) AS n_standing FROM asg
+           WHERE vec_id % 17 <> 0 GROUP BY cluster),
+         b AS (SELECT a.cluster, COUNT(*) AS n_batch,
+             MIN(list_sum(list_transform(range(len(e.embedding)),
+                 i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.c_emb[i+1] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(c.n2))) AS min_cos,
+             MAX(list_sum(list_transform(range(len(e.embedding)),
+                 i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.c_emb[i+1] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x)))
+                  * sqrt(c.n2))) AS max_cos
+           FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+           JOIN c ON c.cluster = a.cluster
+           WHERE a.vec_id % 17 = 0 GROUP BY a.cluster)
+         SELECT CAST(COALESCE(s.cluster, b.cluster) AS INT) AS cluster,
+           CAST(COALESCE(n_standing, 0) AS BIGINT) AS n_standing,
+           CAST(COALESCE(n_batch, 0) AS BIGINT) AS n_batch,
+           min_cos, max_cos
+         FROM s FULL OUTER JOIN b ON s.cluster = b.cluster
+         ORDER BY cluster""") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      graft.sim.Ivf.cellHealth(
+        standing = emb.filter(col("vec_id") % 17 =!= 0),
+        batch = emb.filter(col("vec_id") % 17 === 0),
+        model = graft.sim.Ivf.IvfModel(cents))
+    },
+
     // IVF serving with PHYSICAL cell pruning — the layout half of ANN
     // that ann_ivf_topk's logical bucket join can't show: the corpus
     // lives cluster-PARTITIONED on disk (IvfStore.cellPartitioned, one

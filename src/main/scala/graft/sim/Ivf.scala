@@ -227,6 +227,53 @@ object Ivf {
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
   }
 
+  /** Per-cell index HEALTH report — the monitoring table a day-2 vector
+    * store watches while [[assign]]/[[IvfStore.append]] grow it against
+    * frozen centroids: for every cell, the standing population, the new
+    * batch's arrivals, and the min/max cosine of batch vectors to their
+    * assigned centroid. A cell whose batch arrivals spike or whose
+    * min-cosine sags is drifting away from its centroid — the signal to
+    * retrain/split before recall decays. Every output is an
+    * order-independent aggregate (counts, min, max — no float SUM), so
+    * the report hash-checks against the oracle bit-for-bit.
+    *
+    * Scale shape: two fused assignment scans (standing, batch) feeding
+    * map-side-combined aggregates keyed by cell — ≤ k rows per map task
+    * on each shuffle; the centroid matrix rides the closure exactly as
+    * in [[search]] (k·dim doubles).
+    */
+  def cellHealth(standing: DataFrame, batch: DataFrame, model: IvfModel,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val flat = model.flat
+    val centroids = {
+      val spark = standing.sparkSession
+      import spark.implicits._
+      model.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cluster", "__centroid")
+    }
+    val standingCounts = assign(standing, model, idCol, vecCol)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_standing"))
+    val batchStats = assign(batch.select(col(idCol), col(vecCol)), model,
+        idCol, vecCol)
+      .join(batch.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(centroids), Seq("cluster"))
+      .select(col("cluster"),
+        (Similarity.dot(col(vecCol), col("__centroid")) /
+          (Similarity.l2Norm(col(vecCol)) *
+            Similarity.l2Norm(col("__centroid")))).as("cos"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_batch"),
+        min(col("cos")).as("min_cos"), max(col("cos")).as("max_cos"))
+    standingCounts.join(batchStats, Seq("cluster"), "full_outer")
+      .select(col("cluster").cast("int").as("cluster"),
+        coalesce(col("n_standing"), lit(0L)).as("n_standing"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        col("min_cos"), col("max_cos"))
+      .orderBy(col("cluster"))
+  }
+
   /** Streaming ANN serving: each micro-batch of query vectors runs
     * [[prunedSearch]] against the standing cell store
     * ([[IvfStore.cellPartitioned]] layout) — the online lookup loop.

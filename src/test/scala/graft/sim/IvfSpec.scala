@@ -372,6 +372,30 @@ class IvfSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("cellHealth: populations partition the corpus; a centroid-self batch maxes its cell") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val model = Ivf.IvfModel(
+      emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble)))
+    val health = Ivf.cellHealth(emb.filter(col("vec_id") % 17 =!= 0),
+        emb.filter(col("vec_id") % 17 === 0), model)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    assert(health.map(h => h._2 + h._3).sum == emb.count(),
+      "cell populations do not partition the corpus")
+    health.filter(_._3 > 0).foreach { h =>
+      assert(h._4 <= h._5 && h._5 <= 1.0 + 1e-12, h.toString)
+    }
+    // a batch containing centroid 0 ITSELF lands in cell 0 at cosine 1
+    val self = Ivf.cellHealth(emb.filter(col("vec_id") >= 16),
+        emb.filter(col("vec_id") === 0), model)
+      .filter(col("cluster") === 0).collect().head
+    assert(self.getLong(2) == 1L && math.abs(self.getDouble(4) - 1.0) < 1e-12,
+      self.toString)
+  }
+
   test("servingStream: per-trigger lookups track the live store across an append") {
     import spark.implicits._
     val emb = Tables(spark, sfDir, "embeddings")
