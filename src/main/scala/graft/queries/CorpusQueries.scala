@@ -113,6 +113,21 @@ object CorpusQueries {
         blockCols = Seq("lang", "source"), threshold = 0.8)
     }
 
+  /** Materialized CROSS-SOURCE near-dup pair graph: lang-only blocking,
+    * so pairs REACH ACROSS sources — the relation source-attribution
+    * reporting needs (the within-source graph above can only ever see
+    * the diagonal). Same determinism/fingerprint contract as
+    * [[jaccardPairGraph]]; bigger blocks (|lang| instead of
+    * |lang × source|), same lossless PPJoin prefix filter.
+    */
+  private def crossSourcePairGraph(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): org.apache.spark.sql.DataFrame =
+    graft.ops.Materialize.cached(s, "jaccard_pairs|lang|0.8",
+        Seq(new java.io.File(dir, "documents.parquet"))) {
+      Dedup.prefixJaccardPairs(Tables(s, dir, "documents"),
+        blockCols = Seq("lang"), threshold = 0.8)
+    }
+
   /** Materialized Zipf-corpus near-dup pair graph — shared by
     * `doc_jaccard_pairs_zipf` (emits it) and `doc_dup_triangles_zipf`
     * (audits it), the realistic-corpus twins of the pair above. Same
@@ -209,6 +224,7 @@ object CorpusQueries {
     Seq(
       t("zipf_corpus") { graft.gen.ZipfCorpus.materialized(s, dir).count() },
       t("jaccard_pair_graph") { jaccardPairGraph(s, dir).count() },
+      t("xsource_pair_graph") { crossSourcePairGraph(s, dir).count() },
       t("zipf_pair_graph") { zipfPairGraph(s, dir).count() },
       t("dup_group_labels") { dupGroupLabels(s, dir).count() }) ++
     ivfConfigs.map { case (k, it) =>
@@ -1612,6 +1628,36 @@ object CorpusQueries {
       Dedup.curationFunnelIncremental(docs.filter(col("doc_id") % 3 === 0),
         standingFps, docs.filter(col("doc_id") < 3),
         minTokens = 20, w = 3, fingerprint = norm)
+    },
+
+    // Cross-source duplication ATTRIBUTION — which sources copy which:
+    // near-dup pairs under lang-only blocking (so pairs reach ACROSS
+    // sources, which the within-source graph can't see by construction)
+    // grouped into a (source_lo, source_hi) matrix. The report a
+    // curation run uses to decide which feed to dedup against which.
+    // Pairs come from the materialized cross-source PPJoin graph (built
+    // once, reused by every consumer — the Materialize economics); the
+    // source join-backs carry (id, source) only, and the matrix
+    // aggregation is map-side-combined over ≤ |sources|² keys.
+    Q("doc_dup_source_matrix",
+      """WITH d AS (SELECT doc_id, lang, source,
+           list_distinct(regexp_split_to_array(text, '\s+')) AS w FROM documents),
+         p AS (SELECT a.source AS sa, b.source AS sb
+           FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.w, b.w)) /
+               (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8)
+         SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+           COUNT(*) AS n_pairs
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      crossSourcePairGraph(s, dir).select(col("a_id"), col("b_id"))
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
     },
 
     // Mixture WATERFILLING: turn the dataset card's per-source token
