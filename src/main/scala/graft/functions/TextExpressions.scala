@@ -213,6 +213,78 @@ object TextExpressions {
   def wordNgrams(toks: Column, w: Int, emitShort: Boolean): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(toks), w, emitShort))
 
+  /** BPE merge APPLICATION per text row — the encode half of the
+    * tokenizer whose merge table [[graft.text.Text.bpeMerges]] learns.
+    * Split on whitespace (the `Text.tokens` contract, empties dropped),
+    * start each word as its code-point symbols, and apply the merge
+    * list IN RANK ORDER, each merge replacing its leftmost-
+    * non-overlapping occurrences — exactly the training fold's own
+    * word-table evolution, so encoding the training corpus reproduces
+    * the trainer's final word table symbol-for-symbol (and the DuckDB
+    * oracle can replay it as the learned recurrence's last word table).
+    * Heap-style min-rank encoders differ only when one symbol string is
+    * producible by two distinct merges — a corner the rank-order
+    * semantics resolves deterministically either way.
+    *
+    * One JVM loop per row (CodegenFallback, like every kernel here)
+    * with a per-instance distinct-word memo: corpus words repeat
+    * heavily, and re-folding M merges over a word seen a million times
+    * is pure waste. The memo is CAPPED (cleared at 64k entries), so
+    * executor memory stays bounded on an open vocabulary.
+    */
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "bpe_encode"
+
+    @transient private lazy val memo =
+      new java.util.HashMap[String, Array[UTF8String]]()
+
+    private def encodeWord(w: String): Array[UTF8String] = {
+      var syms: Array[String] =
+        w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      merges.foreach { case (a, b) =>
+        if (syms.length >= 2) {
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toArray
+        }
+      }
+      syms.map(UTF8String.fromString)
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val words = v.asInstanceOf[UTF8String].toString.split("\\s+")
+      val out = new scala.collection.mutable.ArrayBuffer[Any]()
+      var i = 0
+      while (i < words.length) {
+        val w = words(i)
+        if (w.nonEmpty) {
+          var enc = memo.get(w)
+          if (enc == null) {
+            if (memo.size() >= 65536) memo.clear()
+            enc = encodeWord(w)
+            memo.put(w, enc)
+          }
+          var j = 0
+          while (j < enc.length) { out += enc(j); j += 1 }
+        }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(text), merges))
+
   /** Deletion-neighborhood signature (FastSS / Mor–Fraenkel candidate
     * generation for bounded edit distance): the set of 64-bit hashes of
     * every string obtainable by deleting ≤ `d` code points, deduplicated.

@@ -65,8 +65,8 @@ object ZipfCorpus {
     * `_SUCCESS` gates against a torn previous write.
     */
   def materialized(s: SparkSession, dir: String): DataFrame = {
-    val f = new java.io.File(dir, "documents.parquet")
-    val tag = s"$dir|${f.length}|${f.lastModified}"
+    val (fLen, fMtime) = graft.ops.Materialize.inputStamp(s, s"$dir/documents.parquet")
+    val tag = s"$dir|$fLen|$fMtime"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val path = new java.io.File(

@@ -132,7 +132,13 @@ object Cdc {
     */
   def vacuumTombstones(compacted: DataFrame, isDelete: Column,
                        expired: Column): DataFrame =
-    compacted.filter(!isDelete || !expired)
+    // NULL-safe on both predicates: a row whose delete flag or expiry is
+    // undecidable (NULL ordering/ts column) must be RETAINED — a plain
+    // `!isDelete || !expired` evaluates to NULL on such a row and the
+    // filter drops it, GC'ing the tombstone before its lateness bound
+    // (a late in-retention change would then resurrect the deleted key)
+    compacted.filter(!coalesce(isDelete, lit(false)) ||
+      !coalesce(expired, lit(false)))
 
   /** One micro-batch step of STREAMING changelog compaction — the
     * exactly-once MERGE INTO loop: read the predecessor state

@@ -91,10 +91,10 @@ object Compact {
     // key folds in the fixture file's (size, mtime) — matching
     // ZipfCorpus.materialized — so a regenerated events.parquet
     // re-materializes instead of serving a stale compacted copy
-    val src = new File(dir, "events.parquet")
+    val (srcLen, srcMtime) = Materialize.inputStamp(spark, s"$dir/events.parquet")
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest((s"$dir|compacted_events|$fragFiles|$targetBytes|" +
-        s"${src.length}|${src.lastModified}").getBytes("UTF-8"))
+        s"$srcLen|$srcMtime").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val root = new File(sys.props("java.io.tmpdir"), "graft_compacted")
     val frag = new File(root, s"frag_${key}_${Materialize.codeFingerprint.take(8)}")

@@ -80,16 +80,50 @@ object Materialize {
     md5(fp)
   }
 
+  /** (length, mtime) stamp of one input path, resolved through Hadoop's
+    * `FileSystem` by the path's own scheme — the shared probe for the
+    * sibling stores (IVF cell layout, PQ model memo, Zipf corpus,
+    * compaction fixtures) that key on fixture files but keep their own
+    * memo layout. Directories stamp their recursive content length.
+    * Throws on an absent input (see [[pathFor]]).
+    */
+  def inputStamp(spark: SparkSession, path: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"store fingerprint input does not exist: $path")
+    val st = fs.getFileStatus(p)
+    val len = if (st.isDirectory) fs.getContentSummary(p).getLength
+              else st.getLen
+    (len, st.getModificationTime)
+  }
+
   /** The store path for (tag, inputs, code version) — exposed for tests.
-    * Throws if any fingerprint file is absent: an absent input silently
+    * Throws if any fingerprint input is absent: an absent input silently
     * hashed as missing would alias with a differently-absent input and
     * serve the wrong relation.
+    *
+    * Inputs resolve through Hadoop's `FileSystem` by each path's OWN
+    * scheme (the [[StandingStore]] rationale): at deployment scale the
+    * fixture inputs live on HDFS/S3, and a `java.io.File` probe (the
+    * round-11 shape) would report them absent — here that means a THROW
+    * per query instead of a served store, still the wrong behavior
+    * class. A directory input (multi-file parquet) fingerprints its
+    * recursive content length, so appending a file invalidates the key
+    * even when the directory entry's own mtime lags.
     */
-  def pathFor(tag: String, fingerprintFiles: Seq[File]): File = {
-    val fp = fingerprintFiles.map { f =>
-      require(f.exists(),
-        s"Materialize fingerprint input does not exist: ${f.getPath} (tag=$tag)")
-      s"${f.getPath}|${f.length}|${f.lastModified}"
+  def pathFor(spark: SparkSession, tag: String,
+              fingerprintPaths: Seq[String]): File = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fp = fingerprintPaths.map { s =>
+      val p = new org.apache.hadoop.fs.Path(s)
+      val fs = p.getFileSystem(conf)
+      require(fs.exists(p),
+        s"Materialize fingerprint input does not exist: $s (tag=$tag)")
+      val st = fs.getFileStatus(p)
+      val len = if (st.isDirectory) fs.getContentSummary(p).getLength
+                else st.getLen
+      s"$s|$len|${st.getModificationTime}"
     }
     new File(storeDir, md5((tag +: codeFingerprint +: fp).mkString("‖")))
   }
@@ -105,9 +139,9 @@ object Materialize {
     * staging copy and reads the winner's; readers can never observe a
     * half-written store.
     */
-  def cached(spark: SparkSession, tag: String, fingerprintFiles: Seq[File])
+  def cached(spark: SparkSession, tag: String, fingerprintPaths: Seq[String])
             (build: => DataFrame): DataFrame = {
-    val path = pathFor(tag, fingerprintFiles)
+    val path = pathFor(spark, tag, fingerprintPaths)
     def complete = new File(path, "_SUCCESS").exists()
     def rm(f: File): Unit = {
       Option(f.listFiles()).iterator.flatten.foreach(rm); f.delete()

@@ -31,14 +31,18 @@ import org.apache.spark.sql.functions.col
   *    root/__batch=43/
   *    }}}
   *
-  *    Readers take the highest complete base version and ignore both
-  *    stale bases and delta partitions at-or-below its marker, so every
-  *    crash window degrades to "compaction didn't happen yet":
-  *    a crash before the rename leaves only a `.staging` dir (invisible
-  *    to the layout regexes); a crash after the rename but before
-  *    cleanup leaves folded deltas and the previous base on disk, both
-  *    excluded by the marker/version rules, and re-running [[compact]]
-  *    finishes the cleanup. Exactly-once redelivery survives because
+  *    Readers take the highest COMPLETE base version (marker present)
+  *    and ignore both stale bases and delta partitions at-or-below its
+  *    marker, so every crash window degrades to "compaction didn't
+  *    happen yet": a crash before the rename leaves only a `.staging`
+  *    dir (invisible to the layout regexes); a crash DURING a
+  *    non-atomic rename (S3A renames are copy+delete) leaves a partial
+  *    base dir with no marker — the marker is created only AFTER the
+  *    move completes, so readers skip the partial copy and the next
+  *    [[compact]] clears and retries it; a crash after the marker but
+  *    before cleanup leaves folded deltas and the previous base on
+  *    disk, both excluded by the marker/version rules, and re-running
+  *    [[compact]] finishes the cleanup. Exactly-once redelivery survives because
   *    only the LATEST batch is ever redelivered (the foreachBatch
   *    replay contract) and `keepLast ≥ 1` keeps it out of every fold.
   */
@@ -68,17 +72,20 @@ object StandingStore {
     val rootPath = new Path(root)
     if (!fs.exists(rootPath)) return Layout(None, Nil)
     val dirs = fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+    // the marker is created only AFTER the staging→target move (see
+    // compact), so a base without one is a partial copy from a crashed
+    // NON-ATOMIC rename (S3A): skip it — readers fall back to the
+    // previous complete base + its deltas, i.e. "compaction didn't
+    // happen yet", never a partial base plus already-folded deltas
     val base = dirs.flatMap { p =>
       p.getName match {
-        case BaseRe(v) => Some((p, v.toLong))
+        case BaseRe(v) =>
+          fs.listStatus(p).map(_.getPath.getName).collectFirst {
+            case MarkerRe(id) => (p, v.toLong, id.toLong)
+          }
         case _ => None
       }
-    }.sortBy(-_._2).headOption.map { case (p, v) =>
-      val marker = fs.listStatus(p).map(_.getPath.getName).collectFirst {
-        case MarkerRe(id) => id.toLong
-      }.getOrElse(-1L)
-      (p, v, marker)
-    }
+    }.sortBy(-_._2).headOption
     val ft = base.map(_._3).getOrElse(-1L)
     val deltas = dirs.flatMap { p =>
       p.getName match {
@@ -133,6 +140,13 @@ object StandingStore {
         .foreach { p =>
           p.getName match {
             case BaseRe(bv) if bv.toLong < v => fs.delete(p, true)
+            // a base at-or-above the winner without a marker is a
+            // partial copy from a crashed rename (layout skipped it);
+            // remove it so its version number is free for the next
+            // publish (single-writer contract: nobody else owns it)
+            case BaseRe(bv) if bv.toLong >= v &&
+              !fs.listStatus(p).map(_.getPath.getName)
+                .exists(MarkerRe.matches) => fs.delete(p, true)
             case DeltaRe(id) if id.toLong <= ft => fs.delete(p, true)
             case _ => ()
           }
@@ -148,20 +162,30 @@ object StandingStore {
     val bytes = sources.map(p => fs.getContentSummary(p).getLength).sum
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val target = new Path(root, s"__base_v$newV")
+    // a markerless dir already at this version is a partial copy from a
+    // crashed non-atomic rename (single-writer contract: nobody else
+    // owns it) — clear it so the version number is reusable
+    if (fs.exists(target) &&
+        !fs.listStatus(target).map(_.getPath.getName).exists(MarkerRe.matches))
+      fs.delete(target, true)
     val staging = new Path(root,
       s"__base_v$newV.staging.${java.lang.ProcessHandle.current().pid()}")
     spark.read.parquet(sources.map(_.toString): _*)
       .repartition(nFiles)
       .write.mode("overwrite").parquet(staging.toString)
-    fs.create(new Path(staging, s"_folded_through_$newFt"), true).close()
     if (!fs.rename(staging, target)) {
-      // lost a publish race or the move failed: ours is discarded; if no
-      // winner exists either, surface the failure instead of returning a
-      // store that silently kept its small files (the Compact rationale)
+      // single-writer: a failed move means the publish did not happen —
+      // surface it rather than silently keeping the small files (the
+      // Compact rationale). The folded sources are untouched, so the
+      // store still reads correctly and a re-run retries the fold.
       fs.delete(staging, true)
-      if (!fs.exists(target))
-        throw new java.io.IOException(s"standing-store publish failed: $target")
+      throw new java.io.IOException(s"standing-store publish failed: $target")
     }
+    // completeness gate, created only after the whole move landed: on a
+    // copy+delete "rename" (S3A) a crash mid-move leaves a markerless
+    // partial dir that layout() skips — readers degrade to the previous
+    // base + unfolded deltas, never a partial base
+    fs.create(new Path(target, s"_folded_through_$newFt"), true).close()
     // best-effort cleanup; leftovers are invisible to layout() and a
     // re-run finishes the job
     (l.base.map(_._1).toSeq ++ fold.map(_._1)).foreach(fs.delete(_, true))

@@ -19,29 +19,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    republishes identical content, and the existing-version publish is
   *    a no-op.
   *  - crash windows: a crash before rename leaves only a `.staging` dir
-  *    (invisible to the version regex); after rename but before cleanup,
-  *    stale old versions linger and are ignored (highest-below wins);
-  *    cleanup keeps the newest `keepVersions` so the redelivery read
-  *    always has its predecessor.
+  *    (invisible to the version regex); a crash DURING a non-atomic
+  *    rename (S3A renames are copy+delete) leaves a partial version dir
+  *    with no `_PUBLISHED` marker — the marker is created only AFTER
+  *    the move completes, so readers never see the partial copy and the
+  *    redelivered batch deletes and republishes it; after the marker
+  *    but before cleanup, stale old versions linger and are ignored
+  *    (highest-below wins); cleanup keeps the newest `keepVersions` so
+  *    the redelivery read always has its predecessor.
   *
   * All FS resolution is Hadoop-scheme-correct (HDFS/S3 at deployment
-  * scale), same as [[StandingStore]].
+  * scale), same as [[StandingStore]]. Single writer per root (the
+  * streaming-query contract — one foreachBatch owns the state).
   */
 object VersionedState {
 
   private val VerRe = """__state_v(\d+)""".r
+  // no "=" in the marker name — see StandingStore.MarkerRe
+  private[ops] val Marker = "_PUBLISHED"
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (dir, version) pairs present under `root`, ascending by version. */
+  /** (dir, version) pairs of COMPLETE versions under `root` (marker
+    * present — partial non-atomic-rename copies are invisible),
+    * ascending by version.
+    */
   def versions(spark: SparkSession, root: String): Seq[(Path, Long)] = {
     val fs = fsOf(spark, root)
     val rootPath = new Path(root)
     if (!fs.exists(rootPath)) return Nil
     fs.listStatus(rootPath).filter(_.isDirectory).flatMap { st =>
       st.getPath.getName match {
-        case VerRe(v) => Some((st.getPath, v.toLong))
+        case VerRe(v) if fs.exists(new Path(st.getPath, Marker)) =>
+          Some((st.getPath, v.toLong))
         case _ => None
       }
     }.sortBy(_._2).toIndexedSeq
@@ -66,15 +77,22 @@ object VersionedState {
     val spark = df.sparkSession
     val fs = fsOf(spark, root)
     val target = new Path(root, s"__state_v$version")
-    if (!fs.exists(target)) {
+    val marker = new Path(target, Marker)
+    if (!fs.exists(marker)) {
+      // a markerless target is a partial copy from a crashed non-atomic
+      // rename (single-writer contract: no concurrent publisher owns it)
+      if (fs.exists(target)) fs.delete(target, true)
       val staging = new Path(root,
         s"__state_v$version.staging.${java.lang.ProcessHandle.current().pid()}")
       df.write.mode("overwrite").parquet(staging.toString)
       if (!fs.rename(staging, target)) {
         fs.delete(staging, true)
-        if (!fs.exists(target))
+        if (!fs.exists(marker))
           throw new java.io.IOException(s"state publish failed: $target")
       }
+      // completeness gate: created only after the whole move landed, so
+      // versions() can never serve a partially copied state
+      else fs.create(marker, true).close()
     }
     versions(spark, root).dropRight(keepVersions)
       .foreach { case (p, _) => fs.delete(p, true) }

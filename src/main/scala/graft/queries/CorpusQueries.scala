@@ -24,8 +24,8 @@ object CorpusQueries {
     */
   private def ivfModel(s: org.apache.spark.sql.SparkSession, dir: String,
                        nCentroids: Int, dim: Int, iters: Int): graft.sim.Ivf.IvfModel = {
-    val f = new java.io.File(dir, "embeddings.parquet")
-    val tag = s"$dir|${f.length}|${f.lastModified}|$nCentroids|$dim|$iters"
+    val (fLen, fMtime) = graft.ops.Materialize.inputStamp(s, s"$dir/embeddings.parquet")
+    val tag = s"$dir|$fLen|$fMtime|$nCentroids|$dim|$iters"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val path = new java.io.File(
@@ -39,8 +39,8 @@ object CorpusQueries {
     * (fixture, config), reused by every consumer in the session. */
   private def pqModel(s: org.apache.spark.sql.SparkSession, dir: String,
                       m: Int, ksub: Int, dim: Int, iters: Int): graft.sim.Pq.PqModel = {
-    val f = new java.io.File(dir, "embeddings.parquet")
-    val tag = s"pq|$dir|${f.length}|${f.lastModified}|$m|$ksub|$dim|$iters"
+    val (fLen, fMtime) = graft.ops.Materialize.inputStamp(s, s"$dir/embeddings.parquet")
+    val tag = s"pq|$dir|$fLen|$fMtime|$m|$ksub|$dim|$iters"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val path = new java.io.File(
@@ -65,6 +65,22 @@ object CorpusQueries {
     * the production path, not a twin.
     */
   private def bpeMergesOracle(nMerges: Int): String = {
+    val out = (1 to nMerges).map(k =>
+      s"""SELECT CAST($k AS INT) AS rank, a AS "left", b AS "right",
+          n AS pair_count FROM m$k""").mkString("\n         UNION ALL ")
+    s"""WITH ${bpeCtes(nMerges)}
+       SELECT * FROM ($out) ORDER BY rank"""
+  }
+
+  /** The shared CTE chain of the BPE oracles: w0 = the distinct-word
+    * symbol table (carrying the word string, so the ENCODE oracle can
+    * join documents back to their encoded form), then per round k the
+    * pair counts (p_k), the argmax merge (m_k), and the merged word
+    * table (w_k). `w<nMerges>` is therefore each distinct word encoded
+    * under the full learned table — rank-order application IS the
+    * training recurrence.
+    */
+  private def bpeCtes(nMerges: Int): String = {
     val steps = (1 to nMerges).map { k =>
       s"""p$k AS MATERIALIZED (SELECT s.syms[i] AS a, s.syms[i + 1] AS b,
              CAST(SUM(s.cnt) AS BIGINT) AS n
@@ -72,25 +88,42 @@ object CorpusQueries {
                  FROM w${k - 1}) s
            GROUP BY 1, 2),
          m$k AS MATERIALIZED (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
-         w$k AS MATERIALIZED (SELECT CASE WHEN len(syms) < 2 THEN syms ELSE
+         w$k AS MATERIALIZED (SELECT w, CASE WHEN len(syms) < 2 THEN syms ELSE
              list_reduce(list_transform(syms, s -> [s]),
                (acc, x) -> CASE WHEN acc[-1] = m.a AND x[1] = m.b
                  THEN list_append(acc[1:len(acc) - 1], m.a || m.b)
                  ELSE list_concat(acc, x) END)
            END AS syms, cnt FROM w${k - 1}, m$k m)"""
     }.mkString(",\n       ")
-    val out = (1 to nMerges).map(k =>
-      s"""SELECT CAST($k AS INT) AS rank, a AS "left", b AS "right",
-          n AS pair_count FROM m$k""").mkString("\n         UNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
-         SELECT list_transform(range(length(w)), i -> substr(w, i + 1, 1)) AS syms,
+    s"""w0 AS MATERIALIZED (
+         SELECT w, list_transform(range(length(w)), i -> substr(w, i + 1, 1)) AS syms,
            CAST(COUNT(*) AS BIGINT) AS cnt
          FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
                FROM documents)
          WHERE length(w) > 0 GROUP BY w),
-       $steps
-       SELECT * FROM ($out) ORDER BY rank"""
+       $steps"""
   }
+
+  /** DuckDB oracle for `doc_bpe_encoded`: re-learn the merge table via
+    * the [[bpeCtes]] recurrence, whose LAST word table (`w<n>`) is each
+    * distinct word already encoded under rank-order merge application —
+    * the operator's defined semantics. Documents join their words back
+    * positionally (two parallel unnests zip in DuckDB), and the per-doc
+    * token count + md5 of the space-joined token sequence replays the
+    * engine's exact output, so the full encoding of every document is
+    * hash-checked without materializing token instances.
+    */
+  private def bpeEncodeOracle(nMerges: Int): String =
+    s"""WITH ${bpeCtes(nMerges)},
+       dw AS (SELECT doc_id, unnest(range(len(ws))) AS pos, unnest(ws) AS w
+              FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+                    FROM documents)),
+       enc AS (SELECT dw.doc_id, dw.pos, wn.syms
+               FROM dw JOIN w$nMerges wn ON dw.w = wn.w
+               WHERE length(dw.w) > 0)
+       SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+         md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)) AS tokens_md5
+       FROM enc GROUP BY doc_id ORDER BY doc_id"""
 
   /** Materialized near-dup pair graph per fixture dir (the registered
     * 0.8-Jaccard / (lang, source)-blocked configuration): FOUR registered
@@ -108,7 +141,7 @@ object CorpusQueries {
   private def jaccardPairGraph(s: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame =
     graft.ops.Materialize.cached(s, "jaccard_pairs|lang,source|0.8",
-        Seq(new java.io.File(dir, "documents.parquet"))) {
+        Seq(s"$dir/documents.parquet")) {
       Dedup.prefixJaccardPairs(Tables(s, dir, "documents"),
         blockCols = Seq("lang", "source"), threshold = 0.8)
     }
@@ -123,7 +156,7 @@ object CorpusQueries {
   private def crossSourcePairGraph(s: org.apache.spark.sql.SparkSession,
                                    dir: String): org.apache.spark.sql.DataFrame =
     graft.ops.Materialize.cached(s, "jaccard_pairs|lang|0.8",
-        Seq(new java.io.File(dir, "documents.parquet"))) {
+        Seq(s"$dir/documents.parquet")) {
       Dedup.prefixJaccardPairs(Tables(s, dir, "documents"),
         blockCols = Seq("lang"), threshold = 0.8)
     }
@@ -137,7 +170,7 @@ object CorpusQueries {
   private def zipfPairGraph(s: org.apache.spark.sql.SparkSession,
                             dir: String): org.apache.spark.sql.DataFrame =
     graft.ops.Materialize.cached(s, "jaccard_pairs|zipf|0.8",
-        Seq(new java.io.File(dir, "documents.parquet"))) {
+        Seq(s"$dir/documents.parquet")) {
       Dedup.prefixJaccardPairs(graft.gen.ZipfCorpus.materialized(s, dir),
         blockCols = Seq.empty, threshold = 0.8)
     }
@@ -195,7 +228,7 @@ object CorpusQueries {
   private def dupGroupLabels(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame =
     graft.ops.Materialize.cached(s, "dup_groups|jaccard|lang,source|0.8",
-        Seq(new java.io.File(dir, "documents.parquet"))) {
+        Seq(s"$dir/documents.parquet")) {
       Dedup.dupGroups(Tables(s, dir, "documents"), jaccardPairGraph(s, dir))
     }
 
@@ -1758,6 +1791,24 @@ object CorpusQueries {
     Q("doc_bpe_merges", bpeMergesOracle(20)) { (s, dir) =>
       Text.bpeMerges(docsKernel(s, dir), nMerges = 20)
         .orderBy(col("rank"))
+    },
+
+    // Distributed BPE ENCODE — the inference half doc_bpe_merges was
+    // missing: the learned 20-merge table applied to tokenize the whole
+    // corpus (rank-order, leftmost-non-overlapping — the training
+    // fold's own evolution). Output is n-docs-sized (token count + md5
+    // of the space-joined token sequence), so every document's full
+    // encoding is hash-checked WITHOUT the token-instance output tax;
+    // trainers consume the kernel column directly. The oracle re-learns
+    // the table via the shared recurrence and reads its final word
+    // table — each distinct word already encoded — joined back to the
+    // documents positionally.
+    Q("doc_bpe_encoded", bpeEncodeOracle(20)) { (s, dir) =>
+      val docs = docsKernel(s, dir)
+      val merges = Text.bpeMerges(docs, nMerges = 20).orderBy(col("rank"))
+        .select(col("left"), col("right")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      Text.bpeEncoded(docs, merges).orderBy(col("doc_id"))
     },
 
     // Corpus trigram novelty (distinct/total gram instances — Lee et al.

@@ -284,6 +284,14 @@ object Ivf {
     * across an append between triggers). Each trigger reads only the
     * probed cell directories — the serving cost is per-REQUEST, never
     * per-corpus.
+    *
+    * Store-coordination contract: appends/splits run QUIESCED relative
+    * to triggers (the [[IvfStore]] single-writer contract) — a trigger
+    * listing files concurrently with an in-flight publish could observe
+    * a partial task-file set (neither the old nor the new index). At
+    * deployment scale, version the cell store like
+    * [[graft.ops.VersionedState]] (publish `__store_vN`, triggers read
+    * the newest complete version) if maintenance must overlap serving.
     */
   def servingStream(queryStream: DataFrame, cellStorePath: String,
                     model: IvfModel, checkpointDir: String,

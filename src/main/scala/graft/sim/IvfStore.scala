@@ -2,6 +2,7 @@ package graft.sim
 
 import java.io.File
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,6 +20,21 @@ import graft.functions.VectorExpressions
   * query-side assignment, so pruning is injected dynamically from the
   * broadcast probe frame).
   *
+  * Layout: `path/cluster=<cell>/__batch=<id>/part-*.parquet` — the batch
+  * sub-partition is the redelivery discipline ([[graft.ops.StandingStore]]'s
+  * `__batch` idiom applied to the cell store): [[append]] publishes with
+  * DYNAMIC partition overwrite keyed by the batch id, so a redelivered
+  * day-2 batch overwrites exactly its own `(cell, batch)` directories
+  * instead of blind-appending duplicate vectors (which would surface as
+  * duplicate `n_id` rows in every top-k). Readers see `__batch` as one
+  * more partition column and ignore it; `cluster` stays the top-level
+  * pruning key.
+  *
+  * Maintenance is SINGLE-WRITER and serving-quiesced: [[append]] and
+  * [[splitCell]] assume no concurrent writer and that a trigger of
+  * [[Ivf.servingStream]] does not list files mid-publish (the
+  * [[Ivf.servingStream]] scaladoc carries the same contract).
+  *
   * Like the other derived stores, the partitioned copy is written once per
   * (fixture, model tag, code version) under java.io.tmpdir (fixture dirs
   * are read-only) with an atomic-move publish; at deployment scale this is
@@ -28,20 +44,24 @@ object IvfStore {
 
   private val lock = new Object
 
-  /** Write `df` into the cell layout at `path`: assignment computed
-    * scan-side, one file per touched cell directory (repartition by the
-    * partition column — the compacted serving layout). `mode` is
-    * "overwrite" for an initial build, "append" for day-2 batches.
+  /** Write `df` into the cell layout at `path` as batch `batchId`:
+    * assignment computed scan-side, one file per touched
+    * `(cell, batch)` directory (repartition by the partition columns —
+    * the compacted serving layout). `mode` is "overwrite" for an
+    * initial build (static: replaces the whole store), "append" for
+    * raw day-2 batches without redelivery discipline — streaming
+    * callers use [[append]] instead.
     */
   def writeCells(df: DataFrame, model: Ivf.IvfModel, path: String,
-                 mode: String,
+                 mode: String, batchId: Long = 0L,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): Unit =
     df.withColumn("cluster",
         element_at(VectorExpressions.nearestCentroids(
           col(vecCol), model.flat, model.k, model.dim, 1), 1))
+      .withColumn("__batch", lit(batchId))
       .repartition(col("cluster"))
-      .write.partitionBy("cluster").mode(mode)
+      .write.partitionBy("cluster", "__batch").mode(mode)
       .parquet(path)
 
   /** Day-2 index maintenance, the physical half of [[Ivf.assign]]: a
@@ -50,11 +70,117 @@ object IvfStore {
     * directories never rewritten. [[Ivf.prunedSearch]] over the grown
     * store stays row-identical to a raw-table search over the grown
     * corpus, and partition pruning keeps working (IvfSpec pins both).
+    *
+    * Exactly-once under redelivery: the write is a DYNAMIC partition
+    * overwrite keyed by `(cluster, __batch=batchId)` — a re-applied
+    * batch replaces its own directories with identical content (the
+    * assignment is deterministic), so double application cannot
+    * duplicate vectors (IvfSpec pins append-twice ≡ append-once).
+    * Callers must pass a stable per-batch id (the foreachBatch batch id).
     */
   def append(batch: DataFrame, model: Ivf.IvfModel, path: String,
+             batchId: Long = 1L,
              idCol: String = "vec_id",
              vecCol: String = "embedding"): Unit =
-    writeCells(batch, model, path, "append", idCol, vecCol)
+    batch.withColumn("cluster",
+        element_at(VectorExpressions.nearestCentroids(
+          col(vecCol), model.flat, model.k, model.dim, 1), 1))
+      .withColumn("__batch", lit(batchId))
+      .repartition(col("cluster"))
+      .write.partitionBy("cluster", "__batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Cell REPAIR — the maintenance operator [[Ivf.cellHealth]]'s report
+    * calls for when a cell's min-cosine sags (vectors drifting away
+    * from their centroid) or its population outgrows its neighbors:
+    * split the cell in two, touching ONLY that cell's directory.
+    *
+    * The split rule consumes the health signal directly: pole A is the
+    * cell's existing centroid, pole B is the member vector with the
+    * LOWEST cosine to it (the drifted pole — exactly the vector behind
+    * the report's sagging `min_cos`; ties on ascending id). Members
+    * re-assign to the nearer pole through the same fused
+    * `nearestCentroids` kernel as every other assignment (||c||²−2·v·c,
+    * ties to the lower index, i.e. the old centroid), so the split is
+    * deterministic and — under a seed-vector model — SQL-replayable
+    * (the `ann_cell_split` oracle). Optional `iters` Lloyd rounds
+    * within the cell refine the two poles for production use (not
+    * SQL-replayable; off by default).
+    *
+    * Physical contract: stage the two new cell directories, then swap —
+    * delete `cluster=<cell>`, move `cluster=<cell>` and
+    * `cluster=<k>` (the new cell takes the next free id) into place.
+    * Every other cell directory is untouched (IvfSpec asserts the
+    * files-touched set), so a 100 TB store pays |cell|, not |corpus|.
+    * Single-writer, serving quiesced during the swap (object scaladoc).
+    *
+    * Returns the grown model: old centroids with `cell` unchanged
+    * (pole A keeps its list) plus pole B appended as centroid `k` —
+    * callers republish it via [[Ivf.save]] so serving probes both
+    * halves.
+    */
+  def splitCell(spark: SparkSession, path: String, model: Ivf.IvfModel,
+                cell: Int, iters: Int = 0,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): Ivf.IvfModel = {
+    require(cell >= 0 && cell < model.k, s"no such cell: $cell")
+    val members = spark.read.parquet(path)
+      .filter(col("cluster") === cell)
+      .select(col(idCol), col(vecCol), col("__batch"))
+    val centroid = model.centroids(cell)
+    val cLit = {
+      val s = spark
+      import s.implicits._
+      Seq(centroid.toSeq).toDF("__c")
+    }
+    // the drifted pole: ONE bounded collect (arg-min cosine, ties id
+    // asc) — the IVF-centroid class of driver-side state
+    val pole = members.crossJoin(broadcast(cLit))
+      .select(col(idCol), col(vecCol),
+        (Similarity.dot(col(vecCol), col("__c")) /
+          (Similarity.l2Norm(col(vecCol)) * Similarity.l2Norm(col("__c"))))
+          .as("cos"))
+      .orderBy(col("cos"), col(idCol)).limit(1)
+      .select(col(vecCol)).collect()
+      .headOption.map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .getOrElse(throw new IllegalStateException(s"cell $cell is empty"))
+    var poles = Array(centroid, pole)
+    if (iters > 0) {
+      // in-cell Lloyd refinement: |cell|-sized scans, never the corpus
+      val sub = Ivf.train(members.select(col(idCol), col(vecCol)), 2,
+        model.dim, iters, idCol, vecCol)
+      // keep pole order stable (old centroid's successor first) so the
+      // retained cell id keeps the list nearer the old centroid
+      poles = sub.centroids
+    }
+    val reassigned = members.withColumn("cluster",
+        when(element_at(VectorExpressions.nearestCentroids(
+          col(vecCol), poles.flatten, 2, model.dim, 1), 1) === 0,
+          lit(cell)).otherwise(lit(model.k)))
+      .repartition(col("cluster"))
+    // stage → swap: the staging write is a complete copy of BOTH halves;
+    // the swap window (delete old dir, move two dirs in) is the
+    // single-writer/quiesced-serving contract from the object scaladoc
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(path,
+      s".split_$cell.staging.${java.lang.ProcessHandle.current().pid()}")
+    reassigned.write.partitionBy("cluster", "__batch")
+      .mode("overwrite").parquet(staging.toString)
+    val oldDir = new Path(path, s"cluster=$cell")
+    val newDir = new Path(path, s"cluster=${model.k}")
+    fs.delete(oldDir, true)
+    fs.delete(newDir, true)
+    val stagedOld = new Path(staging, s"cluster=$cell")
+    val stagedNew = new Path(staging, s"cluster=${model.k}")
+    if (fs.exists(stagedOld) && !fs.rename(stagedOld, oldDir))
+      throw new java.io.IOException(s"cell-split publish failed: $oldDir")
+    if (fs.exists(stagedNew) && !fs.rename(stagedNew, newDir))
+      throw new java.io.IOException(s"cell-split publish failed: $newDir")
+    fs.delete(staging, true)
+    Ivf.IvfModel(model.centroids :+ poles(1))
+  }
 
   /** Ensure a cluster-partitioned copy of the embeddings table exists
     * under `model`'s assignment; returns its path. One file per cell
@@ -65,9 +191,10 @@ object IvfStore {
                       tag: String,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): String = lock.synchronized {
-    val src = new File(dir, "embeddings.parquet")
+    val (srcLen, srcMtime) = graft.ops.Materialize.inputStamp(
+      spark, s"$dir/embeddings.parquet")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((s"$dir|ivf_cells|$tag|${src.length}|${src.lastModified}")
+      .digest((s"$dir|ivf_cells|$tag|$srcLen|$srcMtime")
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val path = new File(
@@ -77,7 +204,7 @@ object IvfStore {
       val staging = new File(path.getPath + ".staging." +
         java.lang.ProcessHandle.current().pid())
       writeCells(graft.source.Tables(spark, dir, "embeddings"), model,
-        staging.getAbsolutePath, "overwrite", idCol, vecCol)
+        staging.getAbsolutePath, "overwrite", 0L, idCol, vecCol)
       try java.nio.file.Files.move(staging.toPath, path.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileAlreadyExistsException |

@@ -813,24 +813,44 @@ object Dedup {
       (col(idCol).as("id") +: blockCols.map(col)) :+
         array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
       .withColumn("nw", size(col("w")))
-    val cand = prefixCandidates(d, blockCols, threshold, commonVocab, hotBucketCap)
-    // The payload sides MUST come back via a shuffle join on the id: they
-    // are corpus-sized, and their parquet-bytes estimate is tiny (token
-    // arrays compress ~1000:1 against their in-memory UnsafeRow form), so
-    // the planner would otherwise pick a broadcast build measured at
-    // 4.8 GiB for 50k docs — unbuildable at any real corpus size.
-    // SHUFFLE_HASH keeps the payload the per-partition build side against
-    // the larger IDs-only candidate stream.
-    val aSide = d.select(col("id").as("a_id"), col("w").as("a_w"), col("nw").as("a_nw"))
-      .hint("SHUFFLE_HASH")
-    val bSide = d.select(col("id").as("b_id"), col("w").as("b_w"), col("nw").as("b_nw"))
-      .hint("SHUFFLE_HASH")
-    cand.join(aSide, "a_id").join(bSide, "b_id")
-      .withColumn("inter",
-        HashExpressions.sortedIntersectSize(col("a_w"), col("b_w")))
-      .select(col("a_id"), col("b_id"),
-        (col("inter") / (col("a_nw") + col("b_nw") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    val ranks = tokenRanks(d, commonVocab)
+    exactMaskFromRanks(ranks, commonVocab) match {
+      case mask @ Some(_) =>
+        // BOUNDED-DICTIONARY FAST PATH (the containmentScored treatment
+        // applied to the symmetric join): with ≤ 64 distinct tokens the
+        // 8-byte signature riding the candidate join IS the exact token
+        // set, |A∩B| = bit_count(a&b) is computable on the join output,
+        // and the pre-verify pair-dedup shuffle plus BOTH payload
+        // join-backs plus the per-pair merge-walk disappear — only
+        // threshold-PASSING pairs reach the one remaining dedup. This is
+        // what makes the lang-only-blocked cross-source graph build
+        // tractable on a degenerate dense corpus, where candidate volume
+        // is ∝ the (quadratic) true-pair count and the verify machinery
+        // was ~2× the total cost (measured: SCALE.md round-12 entry).
+        prefixCandidates(d, blockCols, threshold, commonVocab,
+            hotBucketCap, Some(ranks), mask)
+          .dropDuplicates("a_id", "b_id")
+      case None =>
+        val cand = prefixCandidates(d, blockCols, threshold, commonVocab,
+          hotBucketCap, Some(ranks), None)
+        // The payload sides MUST come back via a shuffle join on the id: they
+        // are corpus-sized, and their parquet-bytes estimate is tiny (token
+        // arrays compress ~1000:1 against their in-memory UnsafeRow form), so
+        // the planner would otherwise pick a broadcast build measured at
+        // 4.8 GiB for 50k docs — unbuildable at any real corpus size.
+        // SHUFFLE_HASH keeps the payload the per-partition build side against
+        // the larger IDs-only candidate stream.
+        val aSide = d.select(col("id").as("a_id"), col("w").as("a_w"), col("nw").as("a_nw"))
+          .hint("SHUFFLE_HASH")
+        val bSide = d.select(col("id").as("b_id"), col("w").as("b_w"), col("nw").as("b_nw"))
+          .hint("SHUFFLE_HASH")
+        cand.join(aSide, "a_id").join(bSide, "b_id")
+          .withColumn("inter",
+            HashExpressions.sortedIntersectSize(col("a_w"), col("b_w")))
+          .select(col("a_id"), col("b_id"),
+            (col("inter") / (col("a_nw") + col("b_nw") - col("inter"))).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+    }
   }
 
   /** INCREMENTAL Jaccard near-dup pairs — the day-over-day shape of
@@ -868,18 +888,28 @@ object Dedup {
     val dNew = prep(batch)
     val dAll = dNew.unionByName(prep(existing))
     val ranks = tokenRanks(dAll, commonVocab)
-    val cand = prefixCandidatesAB(dNew, dAll, ranks, blockCols, threshold,
-      hotBucketCap)
-    val aSide = dAll.select(col("id").as("a_id"), col("w").as("a_w"),
-      col("nw").as("a_nw")).hint("SHUFFLE_HASH")
-    val bSide = dAll.select(col("id").as("b_id"), col("w").as("b_w"),
-      col("nw").as("b_nw")).hint("SHUFFLE_HASH")
-    cand.join(aSide, "a_id").join(bSide, "b_id")
-      .withColumn("inter",
-        HashExpressions.sortedIntersectSize(col("a_w"), col("b_w")))
-      .select(col("a_id"), col("b_id"),
-        (col("inter") / (col("a_nw") + col("b_nw") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    exactMaskFromRanks(ranks, commonVocab) match {
+      case mask @ Some(_) =>
+        // bounded-dictionary fast path — see prefixJaccardPairs; one
+        // shared rank map over the union keeps the mask bijective for
+        // both sides
+        prefixCandidatesAB(dNew, dAll, ranks, blockCols, threshold,
+            hotBucketCap, mask)
+          .dropDuplicates("a_id", "b_id")
+      case None =>
+        val cand = prefixCandidatesAB(dNew, dAll, ranks, blockCols, threshold,
+          hotBucketCap)
+        val aSide = dAll.select(col("id").as("a_id"), col("w").as("a_w"),
+          col("nw").as("a_nw")).hint("SHUFFLE_HASH")
+        val bSide = dAll.select(col("id").as("b_id"), col("w").as("b_w"),
+          col("nw").as("b_nw")).hint("SHUFFLE_HASH")
+        cand.join(aSide, "a_id").join(bSide, "b_id")
+          .withColumn("inter",
+            HashExpressions.sortedIntersectSize(col("a_w"), col("b_w")))
+          .select(col("a_id"), col("b_id"),
+            (col("inter") / (col("a_nw") + col("b_nw") - col("inter"))).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+    }
   }
 
   /** Two-sided prefix-candidate core for [[prefixJaccardPairsIncremental]]:
@@ -894,12 +924,22 @@ object Dedup {
                                        ranks: Map[String, Int],
                                        blockCols: Seq[String],
                                        threshold: Double,
-                                       hotBucketCap: Int): DataFrame = {
-    def prefixes(d: DataFrame, role: String): DataFrame =
-      d.select((col("id") +: blockCols.map(col)) :+ col("nw") :+
-        posexplode(HashExpressions.prefixTokens(col("w"), ranks, threshold)): _*)
-        .withColumnRenamed("col", "token")
-        .toDF(s"${role}_id" +: blockCols :+ s"${role}_nw" :+ s"${role}_pos" :+ "token": _*)
+                                       hotBucketCap: Int,
+                                       exactMask: Option[Column] = None): DataFrame = {
+    def prefixes(d: DataFrame, role: String): DataFrame = exactMask match {
+      case Some(m) =>
+        d.withColumn("sig", m)
+          .select((col("id") +: blockCols.map(col)) :+ col("nw") :+ col("sig") :+
+            posexplode(HashExpressions.prefixTokens(col("w"), ranks, threshold)): _*)
+          .withColumnRenamed("col", "token")
+          .toDF(s"${role}_id" +: blockCols ++: s"${role}_nw" +: s"${role}_sig" +:
+            Seq(s"${role}_pos", "token"): _*)
+      case None =>
+        d.select((col("id") +: blockCols.map(col)) :+ col("nw") :+
+          posexplode(HashExpressions.prefixTokens(col("w"), ranks, threshold)): _*)
+          .withColumnRenamed("col", "token")
+          .toDF(s"${role}_id" +: blockCols :+ s"${role}_nw" :+ s"${role}_pos" :+ "token": _*)
+    }
     // never broadcast a corpus-proportional exploded index (see
     // prefixCandidates)
     val a = prefixes(dA, "a").hint("SHUFFLE_HASH")
@@ -930,15 +970,28 @@ object Dedup {
       }
     val eps = 1e-9
     val alpha = ceil((lit(threshold) / (1 + threshold)) * (col("a_nw") + col("b_nw")) - eps)
-    joined
+    val filtered = joined
       .filter(col("a_id") =!= col("b_id"))
       .filter(col("a_nw") >= lit(threshold) * col("b_nw") - eps &&
         col("b_nw") >= lit(threshold) * col("a_nw") - eps)
       .filter(lit(1) + least(col("a_nw") - col("a_pos") - 1,
         col("b_nw") - col("b_pos") - 1) >= alpha)
-      .select(least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"))
-      .dropDuplicates("a_id", "b_id")
+    exactMask match {
+      case Some(_) =>
+        // jaccard is orientation-symmetric, so scoring happens before the
+        // (least, greatest) canonicalization — see prefixCandidates
+        val inter = bit_count(col("a_sig").bitwiseAND(col("b_sig")))
+        filtered
+          .select(least(col("a_id"), col("b_id")).as("a_id"),
+            greatest(col("a_id"), col("b_id")).as("b_id"),
+            (inter / (col("a_nw") + col("b_nw") - inter)).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+      case None =>
+        filtered
+          .select(least(col("a_id"), col("b_id")).as("a_id"),
+            greatest(col("a_id"), col("b_id")).as("b_id"))
+          .dropDuplicates("a_id", "b_id")
+    }
   }
 
   /** The canonical token order both AllPairs pipelines sort by: document
@@ -977,21 +1030,39 @@ object Dedup {
     */
   private[text] def prefixCandidates(d: DataFrame, blockCols: Seq[String],
                                      threshold: Double, commonVocab: Int,
-                                     hotBucketCap: Int): DataFrame = {
-    val ranks = tokenRanks(d, commonVocab)
+                                     hotBucketCap: Int,
+                                     ranksOpt: Option[Map[String, Int]] = None,
+                                     exactMask: Option[Column] = None): DataFrame = {
+    val ranks = ranksOpt.getOrElse(tokenRanks(d, commonVocab))
+    // Under `exactMask` (≤64-token bounded dictionary, see
+    // containmentCandidatesAB) each index row carries the collision-free
+    // 8-byte token bitset, |A∩B| is exact on the join output, and the
+    // output is the SCORED threshold-passing pre-dedup stream
+    // (a_id, b_id, jaccard) — no verify join-back. Without it: the
+    // distinct (a_id, b_id) pair set, as before.
     // posexplode: the index within the prefix array equals the token's
     // position in the full canonical sort — PPJoin's positional filter
     // needs it.
-    val prefixes = d.select((col("id") +: blockCols.map(col)) :+ col("nw") :+
-      posexplode(HashExpressions.prefixTokens(col("w"), ranks, threshold)): _*)
-      .withColumnRenamed("col", "token")
+    val prefixes = exactMask match {
+      case Some(m) =>
+        d.withColumn("sig", m)
+          .select((col("id") +: blockCols.map(col)) :+ col("nw") :+ col("sig") :+
+            posexplode(HashExpressions.prefixTokens(col("w"), ranks, threshold)): _*)
+          .withColumnRenamed("col", "token")
+      case None =>
+        d.select((col("id") +: blockCols.map(col)) :+ col("nw") :+
+          posexplode(HashExpressions.prefixTokens(col("w"), ranks, threshold)): _*)
+          .withColumnRenamed("col", "token")
+    }
+    val sigA = if (exactMask.isDefined) Seq("a_sig") else Seq.empty[String]
+    val sigB = if (exactMask.isDefined) Seq("b_sig") else Seq.empty[String]
     // Both sides are corpus-proportional exploded indexes whose byte
     // estimate descends from one compact parquet scan — never let the
     // planner broadcast one (see containmentCandidates, where the same
     // mis-estimate built a 4.8 GiB relation at sf1).
-    val a = prefixes.toDF("a_id" +: blockCols :+ "a_nw" :+ "a_pos" :+ "token": _*)
+    val a = prefixes.toDF("a_id" +: blockCols ++: "a_nw" +: sigA ++: Seq("a_pos", "token"): _*)
       .hint("SHUFFLE_HASH")
-    val b = prefixes.toDF("b_id" +: blockCols :+ "b_nw" :+ "b_pos" :+ "token": _*)
+    val b = prefixes.toDF("b_id" +: blockCols ++: "b_nw" +: sigB ++: Seq("b_pos", "token"): _*)
     // Hot buckets: tokens whose prefix occurrence count exceeds the cap.
     // The degenerate case is a handful of tokens by construction (prefixes
     // prefer RARE tokens), so the driver-side set is tiny; limit(64) keeps
@@ -1029,13 +1100,25 @@ object Dedup {
     // The 1e-9 slack loosens the FP products/ceil only ever toward keeping.
     val eps = 1e-9
     val alpha = ceil((lit(threshold) / (1 + threshold)) * (col("a_nw") + col("b_nw")) - eps)
-    joined
+    val filtered = joined
       .filter(col("a_id") < col("b_id"))
       .filter(col("a_nw") >= lit(threshold) * col("b_nw") - eps &&
         col("b_nw") >= lit(threshold) * col("a_nw") - eps)
       .filter(lit(1) + least(col("a_nw") - col("a_pos") - 1,
         col("b_nw") - col("b_pos") - 1) >= alpha)
-      .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    exactMask match {
+      case Some(_) =>
+        // |A∩B| exact on the join row (collision-free bitsets); the
+        // jaccard arithmetic is identical to the verify kernel's
+        // (int intersect / int union), so values hash-match the oracle
+        val inter = bit_count(col("a_sig").bitwiseAND(col("b_sig")))
+        filtered
+          .select(col("a_id"), col("b_id"),
+            (inter / (col("a_nw") + col("b_nw") - inter)).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+      case None =>
+        filtered.select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+    }
   }
 
   /** Word w-grams as strings (space-joined runs; short texts yield their

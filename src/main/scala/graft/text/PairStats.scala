@@ -32,7 +32,11 @@ object PairStats {
     if (args.headOption.exists(_.startsWith("--containment")))
       return containmentStats(args)
     val zipf = args.headOption.contains("--zipf")
-    val rest = if (zipf) args.drop(1) else args
+    // `--xsource <sfDir> [threshold]`: the CROSS-SOURCE regime — lang-only
+    // blocking, the `crossSourcePairGraph` store build. Same measurement,
+    // 20× bigger blocks; the attribution datapoint for its sf1 build cost.
+    val xsource = args.headOption.contains("--xsource")
+    val rest = if (zipf || xsource) args.drop(1) else args
     val dir = rest(0)
     val threshold = if (rest.length > 1) rest(1).toDouble else 0.8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,19 +50,26 @@ object PairStats {
 
     val docs = if (zipf) graft.gen.ZipfCorpus(spark, dir)
                else Tables(spark, dir, "documents")
-    val blockCols = if (zipf) Seq.empty[String] else Seq("lang", "source")
+    val blockCols = if (zipf) Seq.empty[String]
+                    else if (xsource) Seq("lang")
+                    else Seq("lang", "source")
     val d = docs.select(
       (col("doc_id").as("id") +: blockCols.map(col)) :+
         array_sort(array_distinct(split(col("text"), "\\s+"))).as("w"): _*)
       .withColumn("nw", size(col("w")))
     val nDocs = d.count()
+    val t0 = System.nanoTime()
     val candidates = Dedup.prefixCandidates(
       d, blockCols, threshold, commonVocab = 10000, hotBucketCap = 100000).count()
+    val tCand = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
     val results = Dedup.prefixJaccardPairs(
       docs, blockCols, threshold).count()
+    val tRes = (System.nanoTime() - t1) / 1e9
     val amp = if (results > 0) candidates.toDouble / results else Double.NaN
     println(f"[pairstats] docs=$nDocs candidates=$candidates " +
-      f"results=$results candidates_per_result=$amp%.1f threshold=$threshold")
+      f"results=$results candidates_per_result=$amp%.1f threshold=$threshold " +
+      f"cand_sec=$tCand%.1f build_sec=$tRes%.1f")
     spark.stop()
   }
 

@@ -861,6 +861,38 @@ object Text {
       .toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Distributed BPE ENCODE — the inference half of the tokenizer story
+    * ([[bpeMerges]] learns the merge table; this applies it to tokenize
+    * the corpus): per document, every whitespace word starts as its
+    * code-point symbols and the merges apply in rank order, each
+    * leftmost-non-overlapping (the [[graft.functions.TextExpressions.BpeEncode]]
+    * kernel — one scan-side JVM loop per row with a capped distinct-word
+    * memo, matching the training fold's own word-table evolution
+    * symbol-for-symbol).
+    *
+    * Scale shape: the merge table is tokenizer-sized (bounded — it rides
+    * the closure like the IVF centroid matrix), the encode is
+    * embarrassingly parallel with NO shuffle before the final per-doc
+    * projection, and the output is n-docs-sized: token COUNT plus an
+    * md5 fingerprint of the space-joined token sequence instead of the
+    * exploded (doc, pos, token) instances — the full encoding is still
+    * hash-checked end-to-end (the oracle recomputes the same md5), but
+    * a 100 TB corpus never pays the token-instance output tax for the
+    * verification relation. Downstream trainers consume
+    * [[graft.functions.TextExpressions.bpeEncode]] directly as a column.
+    * Documents with no tokens (empty text) have no encoding and are
+    * dropped, mirroring the oracle's word join.
+    */
+  def bpeEncoded(docs: org.apache.spark.sql.DataFrame,
+                 merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val toks = graft.functions.TextExpressions.bpeEncode(col("text"), merges)
+    docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        md5(array_join(col("toks"), " ")).as("tokens_md5"))
+  }
+
   /** Corpus n-gram novelty: total w-gram instances, distinct w-grams, and
     * their ratio — the repetition-at-corpus-granularity number dataset
     * cards report (a low ratio means the corpus re-says the same things;

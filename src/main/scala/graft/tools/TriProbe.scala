@@ -15,7 +15,7 @@ object TriProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val edges = graft.ops.Materialize.cached(spark, "jaccard_pairs|lang,source|0.8",
-        Seq(new java.io.File(dir, "documents.parquet"))) {
+        Seq(s"$dir/documents.parquet")) {
       graft.text.Dedup.prefixJaccardPairs(
         graft.source.Tables(spark, dir, "documents"),
         blockCols = Seq("lang", "source"), threshold = 0.8)

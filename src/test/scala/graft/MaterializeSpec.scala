@@ -19,7 +19,7 @@ class MaterializeSpec extends SparkSpec {
   test("cached builds once and serves identical rows afterwards") {
     val in = tmpInput()
     var builds = 0
-    def get() = Materialize.cached(spark, s"spec|${in.getName}", Seq(in)) {
+    def get() = Materialize.cached(spark, s"spec|${in.getName}", Seq(in.getPath)) {
       builds += 1
       Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     }
@@ -31,16 +31,16 @@ class MaterializeSpec extends SparkSpec {
 
   test("store key changes when the input file fingerprint changes") {
     val in = tmpInput()
-    val p1 = Materialize.pathFor("spec|fp", Seq(in))
+    val p1 = Materialize.pathFor(spark, "spec|fp", Seq(in.getPath))
     assert(in.setLastModified(in.lastModified() + 73000))
-    val p2 = Materialize.pathFor("spec|fp", Seq(in))
+    val p2 = Materialize.pathFor(spark, "spec|fp", Seq(in.getPath))
     assert(p1 != p2, "regenerated input must map to a fresh store path")
   }
 
   test("missing fingerprint input fails loudly instead of hashing as absent") {
     val ghost = new File("/tmp/definitely_not_here_" + System.nanoTime())
     val e = intercept[IllegalArgumentException] {
-      Materialize.pathFor("spec|missing", Seq(ghost))
+      Materialize.pathFor(spark, "spec|missing", Seq(ghost.getPath))
     }
     assert(e.getMessage.contains(ghost.getPath))
   }
@@ -53,16 +53,16 @@ class MaterializeSpec extends SparkSpec {
     // path embeds a hash over (tag, codeFingerprint, fingerprints), so a
     // differing tag proves the hash covers its inputs at all
     val in = tmpInput()
-    assert(Materialize.pathFor("a", Seq(in)) != Materialize.pathFor("b", Seq(in)))
+    assert(Materialize.pathFor(spark, "a", Seq(in.getPath)) != Materialize.pathFor(spark, "b", Seq(in.getPath)))
   }
 
   test("a complete store published by another process is served, not rebuilt") {
     val in = tmpInput()
     val tag = s"spec|race|${in.getName}"
-    val path = Materialize.pathFor(tag, Seq(in))
+    val path = Materialize.pathFor(spark, tag, Seq(in.getPath))
     Seq((9L, "winner")).toDF("id", "v")
       .write.mode("overwrite").parquet(path.getAbsolutePath)
-    val served = Materialize.cached(spark, tag, Seq(in)) {
+    val served = Materialize.cached(spark, tag, Seq(in.getPath)) {
       fail("builder must not run when a complete store exists")
     }
     assert(served.select("v").as[String].collect().toSeq == Seq("winner"))
@@ -71,12 +71,12 @@ class MaterializeSpec extends SparkSpec {
   test("a half-written store (no _SUCCESS) is rebuilt, never served") {
     val in = tmpInput()
     val tag = s"spec|corrupt|${in.getName}"
-    val path = Materialize.pathFor(tag, Seq(in))
+    val path = Materialize.pathFor(spark, tag, Seq(in.getPath))
     // simulate a pre-atomic remnant: data present, no _SUCCESS marker
     Seq((9L, "stale")).toDF("id", "v")
       .write.mode("overwrite").parquet(path.getAbsolutePath)
     assert(new File(path, "_SUCCESS").delete())
-    val served = Materialize.cached(spark, tag, Seq(in)) {
+    val served = Materialize.cached(spark, tag, Seq(in.getPath)) {
       Seq((1L, "fresh")).toDF("id", "v")
     }
     assert(served.select("v").as[String].collect().toSeq == Seq("fresh"))

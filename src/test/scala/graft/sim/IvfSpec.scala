@@ -438,4 +438,103 @@ class IvfSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet)
     } finally q.stop()
   }
+
+  test("IvfStore.append: redelivered batch is idempotent (dynamic overwrite by __batch)") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val model = Ivf.trainOrLoad(emb, nCentroids = 16, dim = 64, iters = 1,
+      modelPath = s"${sys.props("java.io.tmpdir")}/graft_ivf_prune_spec_" +
+        s"${graft.ops.Materialize.codeFingerprint.take(8)}_" +
+        new java.io.File(sfDir).getName)
+    val path = java.nio.file.Files.createTempDirectory("ivf_redeliver")
+      .resolve("cells").toString
+    IvfStore.writeCells(emb.filter(col("vec_id") % 17 =!= 0), model,
+      path, "overwrite")
+    val batch = emb.filter(col("vec_id") % 17 === 0)
+    IvfStore.append(batch, model, path, batchId = 1L)
+    val once = spark.read.parquet(path).select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    // the redelivery: the same batch id re-applied must overwrite its own
+    // (cell, batch) partitions, not blind-append duplicate vectors
+    IvfStore.append(batch, model, path, batchId = 1L)
+    val twice = spark.read.parquet(path).select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(twice == once, "re-applied batch duplicated vectors")
+    assert(once.distinct == once && once.length == emb.count(),
+      "append lost rows or duplicated within one application")
+  }
+
+  test("IvfStore.splitCell: only the split cell rewritten; membership by pole; all-probe serving stays exact") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    // the seed-vector model (ann_cell_health / ann_ivf_pruned_topk idiom)
+    val model = Ivf.IvfModel(
+      emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble)))
+    val path = java.nio.file.Files.createTempDirectory("ivf_split")
+      .resolve("cells").toString
+    IvfStore.writeCells(emb, model, path, "overwrite")
+    // the overfull cell (max population, ties to the lower id) — the
+    // health-report trigger
+    val cell = spark.read.parquet(path).groupBy("cluster").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (c, n) => (-n, c) }.head._1
+    def listFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = listFiles()
+    val preMembers = spark.read.parquet(path)
+      .filter(col("cluster") === cell).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val grown = IvfStore.splitCell(spark, path, model, cell)
+    assert(grown.k == model.k + 1)
+    assert(grown.centroids.take(model.k).map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq,
+      "split must not move any other centroid")
+    // files-touched: every directory except cluster=<cell> (rewritten)
+    // and cluster=<k> (created) is byte-identical
+    val after = listFiles()
+    val touched = (before.keySet ++ after.keySet).filter { p =>
+      before.get(p) != after.get(p)
+    }
+    assert(touched.forall(p =>
+      p.contains(s"cluster=$cell/") || p.contains(s"cluster=${model.k}/")),
+      s"split touched foreign cells: ${touched.filterNot(p =>
+        p.contains(s"cluster=$cell/") || p.contains(s"cluster=${model.k}/"))}")
+    // membership: the two halves partition the old cell, and each member
+    // sits with its nearer pole (ties to the old centroid)
+    val store = spark.read.parquet(path)
+    val halves = store.filter(col("cluster").isin(cell, model.k))
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(halves.keySet == preMembers, "split lost or imported members")
+    assert(halves.values.toSet == Set(cell, model.k),
+      "split produced an empty half (degenerate pole)")
+    val pole = grown.centroids.last
+    val old = model.centroids(cell)
+    val vecs = emb.filter(col("vec_id").isin(preMembers.toSeq.map(Long.box): _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    vecs.foreach { case (id, v) =>
+      def score(c: Array[Double]): Double = {
+        var n2 = 0.0; var dot = 0.0; var j = 0
+        while (j < c.length) { n2 += c(j) * c(j); dot += v(j) * c(j); j += 1 }
+        n2 - 2.0 * dot
+      }
+      val want = if (score(old) <= score(pole)) cell else model.k
+      assert(halves(id) == want, s"member $id on the wrong side of the split")
+    }
+    // store count unchanged; serving with every cell probed is still the
+    // exact brute-force answer — the split moved bytes, never semantics
+    assert(store.count() == emb.count())
+    val queries = emb.filter(col("vec_id").isin(3L, 77L, 240L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(Ivf.prunedSearch(store, queries, grown, k = 10,
+        nProbe = grown.k)) ==
+      rows(Similarity.bruteForceTopK(emb, queries, k = 10)),
+      "all-probe search over the split store diverged from brute force")
+  }
 }

@@ -177,6 +177,37 @@ class DedupSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("bounded-dictionary fast path ≡ general verify path (ids AND scores)") {
+    // the fixture corpus speaks ≤ 64 tokens, so the default call takes the
+    // exact-mask fast path (no verify join-back); truncating the rank
+    // dictionary below the vocabulary disables the mask gate and forces
+    // the general SortedIntersectSize path — any consistent token order
+    // is lossless, so both must emit identical (a_id, b_id, jaccard)
+    // rows, doubles exact (both divide the same ints)
+    val d = graft.source.Tables(spark, sfDir, "documents")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val masked = Dedup.prefixJaccardPairs(d, Seq("lang"), threshold = 0.8)
+      .collect().map(key).toSet
+    val general = Dedup.prefixJaccardPairs(d, Seq("lang"), threshold = 0.8,
+        commonVocab = 4)
+      .collect().map(key).toSet
+    assert(masked == general,
+      s"missing=${(general -- masked).take(3)} extra=${(masked -- general).take(3)}")
+    assert(masked.nonEmpty)
+    // and the incremental family agrees with its own general path
+    val batch = d.filter(col("doc_id") % 5 === 0)
+    val standing = d.filter(col("doc_id") % 5 =!= 0)
+    val incMasked = Dedup.prefixJaccardPairsIncremental(batch, standing,
+        Seq("lang"), threshold = 0.8)
+      .collect().map(key).toSet
+    val incGeneral = Dedup.prefixJaccardPairsIncremental(batch, standing,
+        Seq("lang"), threshold = 0.8, commonVocab = 4)
+      .collect().map(key).toSet
+    assert(incMasked == incGeneral,
+      s"missing=${(incGeneral -- incMasked).take(3)} extra=${(incMasked -- incGeneral).take(3)}")
+  }
+
   test("containmentPairs finds the directed subset relation Jaccard misses") {
     import spark.implicits._
     // doc 1's 8 tokens all appear in 24-token doc 2: containment(1→2)=1.0

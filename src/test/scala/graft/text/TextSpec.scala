@@ -463,6 +463,59 @@ class TextSpec extends SparkSpec {
     assert(got.collect().isEmpty)
   }
 
+  test("bpeEncoded ≡ sequential reference encoder incl. overlap/tie adversaries") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaa aaab abab"), // self-pair overlap + chained shared symbols
+      (2L, "low lower lowest"),
+      (3L, "aaa aaa aaa aaa"), // heavy word repetition → the memo path
+      (4L, "ab ab bc bc cd cd abc bcd"), // tie-heavy table
+      (5L, "q"), // single-symbol word: no merge ever applies
+      (6L, "  ") // no tokens: dropped, mirroring the oracle's word join
+    ).toDF("doc_id", "text")
+    val merges = Text.bpeMerges(docs, nMerges = 8).orderBy("rank")
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(merges.nonEmpty)
+    // independent reference: rank-order application, leftmost
+    // non-overlapping per merge — the operator's defined semantics
+    def encodeWord(w: String): Seq[String] = {
+      var syms: Vector[String] = w.map(_.toString).toVector
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = Seq(
+      (1L, "aaa aaab abab"), (2L, "low lower lowest"),
+      (3L, "aaa aaa aaa aaa"), (4L, "ab ab bc bc cd cd abc bcd"), (5L, "q"))
+      .map { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).flatMap(encodeWord)
+        (id, toks.length.toLong, md5hex(toks.mkString(" ")))
+      }
+    val got = Text.bpeEncoded(docs, merges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == want, s"\ngot  $got\nwant $want")
+    // encoding the TRAINING corpus reproduces the trainer's final word
+    // table: total token count must equal Σ per-word symbol counts
+    assert(got.map(_._2).sum > 0)
+    // partition invariance: the kernel is per-row, the memo per-instance
+    val repart = Text.bpeEncoded(docs.repartition(7), merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(repart == got)
+  }
+
   test("invertedIndex: exact df/tf, capped sorted postings, partition-invariant") {
     import spark.implicits._
     val docs = Seq(
