@@ -35,6 +35,46 @@ object CorpusQueries {
       nCentroids, dim, iters, path)
   }
 
+  /** Built-then-SPLIT cell store behind `ann_cell_split`: a PRIVATE cell
+    * layout of the embeddings table under the seed-16 model (the shared
+    * [[graft.sim.IvfStore.cellPartitioned]] store must never be mutated
+    * — other queries read it), with the fullest cell split by the real
+    * [[graft.sim.IvfStore.splitCell]] physical operator during the
+    * build. Memoized per (fixture, code version) like every derived
+    * store; returns (store path, the split cell id). The cell census is
+    * one fused assignment scan collecting k rows — the bounded class.
+    */
+  private def splitCellStore(s: org.apache.spark.sql.SparkSession, dir: String,
+                             model: graft.sim.Ivf.IvfModel): (String, Int) = {
+    val emb = Tables(s, dir, "embeddings")
+    val cell = graft.sim.Ivf.assign(emb, model)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (c, n) => (-n, c) }.head._1
+    val (len, mtime) = graft.ops.Materialize.inputStamp(s, s"$dir/embeddings.parquet")
+    val tag = s"$dir|ivf_cells_split|seed16|$cell|$len|$mtime"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_partitioned"),
+      s"ivf_split_${key}_${graft.ops.Materialize.codeFingerprint.take(8)}")
+    if (!path.exists()) {
+      val staging = new java.io.File(path.getPath + ".staging." +
+        java.lang.ProcessHandle.current().pid())
+      graft.sim.IvfStore.writeCells(emb, model, staging.getAbsolutePath,
+        "overwrite")
+      graft.sim.IvfStore.splitCell(s, staging.getAbsolutePath, model, cell)
+      try java.nio.file.Files.move(staging.toPath, path.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.FileSystemException =>
+        org.apache.commons.io.FileUtils.deleteQuietly(staging)
+        require(path.exists(), s"split-store publish failed: $path")
+      }
+    }
+    (path.getAbsolutePath, cell)
+  }
+
   /** Persisted-PQ-model counterpart of [[ivfModel]]: one train per
     * (fixture, config), reused by every consumer in the session. */
   private def pqModel(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -1738,6 +1778,73 @@ object CorpusQueries {
       graft.text.Text.mixtureWaterfill(perSource, budget = totAvail * 3 / 5)
     },
 
+    // The dataset-card chain CLOSED: funnel → waterfill → mixture sample
+    // as ONE registered plan — the allocation drives an actual sample
+    // instead of stopping at a report. Survivors (minlen → exact-dedup
+    // under the 'dup'-stripping normalization → decontaminated) supply
+    // per-source available tokens; the waterfill spreads a 3/5 budget
+    // across name-derived weights; each survivor keeps with probability
+    // allocated/avail through the md5 ppm bucket, decided by an
+    // INTEGER-exact cross-multiplication (bucket·avail·(totW−wSat) <
+    // (B−aSat)·w·10⁶ — no float picks a row, so both engines sample
+    // identically). The oracle recomputes all three stages relationally;
+    // hash-equality pins the COMPOSITION (allocation computed over the
+    // survivor set, sample drawn from the survivor set at the
+    // allocation's rates), not just each stage alone.
+    Q("doc_e2e_mixture",
+      """WITH d AS (SELECT doc_id, source,
+           len(regexp_split_to_array(text, '\s+')) AS ntok,
+           md5(array_to_string(list_filter(regexp_split_to_array(text, '\s+'),
+             t -> t <> 'dup'), ' ')) AS fp FROM documents),
+         f0 AS (SELECT *, ntok >= 20 AS pass2 FROM d),
+         canon AS (SELECT fp, MIN(doc_id) AS canon_id FROM f0
+           WHERE pass2 GROUP BY fp),
+         g AS (SELECT doc_id,
+           unnest(list_transform(range(0, greatest(len(regexp_split_to_array(text, '\s+')) - 3, 0) + 1),
+             i -> array_to_string(list_slice(regexp_split_to_array(text, '\s+'), i + 1, i + 3), ' '))) AS g
+           FROM documents),
+         bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 3),
+         bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (g)),
+         surv AS (SELECT f0.doc_id, f0.source, f0.ntok
+           FROM f0 LEFT JOIN canon ON canon.fp = f0.fp
+           WHERE f0.pass2 AND f0.doc_id = canon.canon_id
+             AND f0.doc_id NOT IN (SELECT doc_id FROM bad)),
+         s AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS avail,
+             CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) + 1 AS w
+           FROM surv GROUP BY source),
+         t AS (SELECT CAST(SUM(avail) AS BIGINT) AS tot_avail,
+             CAST(SUM(w) AS BIGINT) AS tot_w FROM s),
+         o AS (SELECT s.*, t.tot_w, t.tot_avail * 3 // 5 AS budget,
+             SUM(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / w, source
+               ROWS UNBOUNDED PRECEDING) - avail AS a_prev,
+             SUM(w) OVER (ORDER BY CAST(avail AS DOUBLE) / w, source
+               ROWS UNBOUNDED PRECEDING) AS w_thru
+           FROM s CROSS JOIN t),
+         f AS (SELECT *, avail * (tot_w - w_thru + w)
+             < (budget - a_prev) * w AS saturated FROM o),
+         k AS (SELECT COALESCE(CAST(SUM(avail) FILTER (WHERE saturated) AS BIGINT), 0) AS a_sat,
+             COALESCE(CAST(SUM(w) FILTER (WHERE saturated) AS BIGINT), 0) AS w_sat
+           FROM f)
+         SELECT sv.doc_id, sv.source, CAST(sv.ntok AS INT) AS ntok
+         FROM surv sv JOIN f ON f.source = sv.source CROSS JOIN k
+         WHERE f.saturated OR
+           (list_reduce(list_transform(range(8),
+               i -> CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(sv.doc_id AS VARCHAR)), i + 1, 1)) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) % 1000000)
+             * f.avail * (f.tot_w - k.w_sat)
+           < (f.budget - k.a_sat) * f.w * 1000000
+         ORDER BY sv.doc_id""") { (s, dir) =>
+      val docs = docsKernel(s, dir)
+      Dedup.curatedMixtureSample(docs, docs.filter(col("doc_id") < 3),
+          weight = regexp_extract(col("source"), "(\\d+)", 1).cast("long") + 1L,
+          budgetNum = 3L, budgetDen = 5L,
+          minTokens = 20, w = 3,
+          fingerprint = md5(concat_ws(" ",
+            filter(split(col("text"), "\\s+"), t => t =!= "dup"))))
+        .orderBy(col("doc_id"))
+    },
+
     // Tokenizer-training vocabulary export: top tokens by corpus frequency
     // with cumulative coverage — frequency agg (map-side combined),
     // distributed top-N, then a running sum over only the ≤ topN winners.
@@ -2586,6 +2693,71 @@ object CorpusQueries {
           emb.filter(col("vec_id").isin(101L, 211L, 307L)), model,
           k = 10, nProbe = 2)
         .orderBy(col("q_id"), col("rnk"))
+    },
+
+    // HEALTH-THEN-SPLIT — the repair loop closed: ann_cell_health
+    // monitors drift, this row ACTS on it. The fullest cell under the
+    // seed-16 model (ties to the lower id — the overfull-cell trigger)
+    // is split by IvfStore.splitCell on a real cell-partitioned store:
+    // pole A keeps the old centroid, pole B is the member with the
+    // LOWEST cosine to it (the exact vector behind the health report's
+    // sagging min_cos), members re-assign to the nearer pole through
+    // the same fused ||c||²−2·v·c kernel as every other assignment
+    // (ties to the old cell). Only the split cell's directory is
+    // rewritten and all-probe serving over the split store stays exact
+    // (IvfSpec pins both); the emitted relation is the post-split
+    // membership of the two halves, read back FROM the store — so the
+    // oracle hash-checks the physical operator's output, replaying
+    // cell choice, pole choice, and every re-assignment bit-for-bit.
+    Q("ann_cell_split",
+      """WITH c AS (SELECT vec_id AS cluster, embedding AS c_emb,
+             list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) AS n2
+           FROM embeddings WHERE vec_id < 16),
+         asg AS (SELECT vec_id, cluster FROM (
+             SELECT e.vec_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 c.n2 - 2.0 * list_sum(list_transform(range(len(e.embedding)),
+                   i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.c_emb[i+1] AS DOUBLE))),
+                 c.cluster) AS rn
+             FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         target AS (SELECT cluster FROM asg GROUP BY cluster
+           ORDER BY COUNT(*) DESC, cluster LIMIT 1),
+         members AS (SELECT a.vec_id, e.embedding FROM asg a
+           JOIN embeddings e USING (vec_id)
+           JOIN target t ON a.cluster = t.cluster),
+         cent AS (SELECT c.c_emb, c.n2 FROM c JOIN target t ON c.cluster = t.cluster),
+         pole AS (SELECT m.vec_id, m.embedding FROM members m, cent
+           ORDER BY list_sum(list_transform(range(len(m.embedding)),
+               i -> CAST(m.embedding[i+1] AS DOUBLE) * CAST(cent.c_emb[i+1] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(m.embedding, x -> CAST(x AS DOUBLE) * x)))
+                * sqrt(cent.n2)),
+             m.vec_id
+           LIMIT 1),
+         poles AS (SELECT 0 AS idx, c_emb AS p_emb, n2 FROM cent
+           UNION ALL
+           SELECT 1 AS idx, embedding AS p_emb,
+             list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) AS n2
+           FROM pole),
+         re AS (SELECT m.vec_id, p.idx,
+             p.n2 - 2.0 * list_sum(list_transform(range(len(m.embedding)),
+               i -> CAST(m.embedding[i+1] AS DOUBLE) * CAST(p.p_emb[i+1] AS DOUBLE))) AS score
+           FROM members m CROSS JOIN poles p)
+         SELECT vec_id,
+           CAST(CASE WHEN idx = 0 THEN (SELECT cluster FROM target)
+                ELSE 16 END AS INT) AS cluster
+         FROM (SELECT vec_id, idx,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, idx) AS rn
+           FROM re) WHERE rn = 1 ORDER BY vec_id""") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val model = graft.sim.Ivf.IvfModel(cents)
+      val (path, cell) = splitCellStore(s, dir, model)
+      s.read.parquet(path)
+        .filter(col("cluster").isin(cell, model.k))
+        .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+        .orderBy(col("vec_id"))
     },
 
     // Incremental IVF index MAINTENANCE under the oracle: a "day-2"

@@ -1907,7 +1907,33 @@ object Dedup {
                      minTokens: Int = 20, w: Int = 3,
                      textCol: String = "text", idCol: String = "doc_id",
                      srcCol: String = "source",
-                     fingerprint: Column = null): DataFrame = {
+                     fingerprint: Column = null): DataFrame =
+    curationFlags(docs, benchmark, minTokens, w, textCol, idCol, srcCol,
+        fingerprint)
+      .selectExpr(srcCol, "ntok",
+        "stack(4, '1_raw', true, '2_minlen', pass2, " +
+          "'3_exact_dedup', pass3, '4_decontaminated', pass4) as (stage, pass)")
+      .filter(col("pass"))
+      .groupBy(col("stage"), col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok").cast("long")).as("n_tokens"))
+      .orderBy(col("stage"), col(srcCol))
+
+  /** Per-document stage flags behind [[curationFunnel]] — exposed so the
+    * e2e chain ([[curatedMixtureSample]]) can CONSUME the survivor set
+    * the report describes, instead of re-deriving the stages: returns
+    * `(idCol, srcCol, ntok, pass2, pass3, pass4)`, cumulative flags for
+    * minlen → exact-dedup survivor → decontaminated. Same plan shape as
+    * the report: one corpus scan computes ntok/fingerprint (text never
+    * on a keyed exchange), the canonical map joins back by fingerprint,
+    * the contamination flag rides [[decontaminate]]'s broadcast gram
+    * join.
+    */
+  def curationFlags(docs: DataFrame, benchmark: DataFrame,
+                    minTokens: Int = 20, w: Int = 3,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    srcCol: String = "source",
+                    fingerprint: Column = null): DataFrame = {
     // the dedup key is caller-normalizable (real pipelines normalize
     // BEFORE dedup — lowercase, strip boilerplate markers — so content
     // twins that differ only in the normalized-away part collapse);
@@ -1927,14 +1953,71 @@ object Dedup {
       .join(clean, Seq(idCol), "left")
       .withColumn("pass3", col("pass2") && col(idCol) === col("__canon"))
       .withColumn("pass4", col("pass3") && col("__clean").isNotNull)
-      .selectExpr(srcCol, "ntok",
-        "stack(4, '1_raw', true, '2_minlen', pass2, " +
-          "'3_exact_dedup', pass3, '4_decontaminated', pass4) as (stage, pass)")
-      .filter(col("pass"))
-      .groupBy(col("stage"), col(srcCol))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("ntok").cast("long")).as("n_tokens"))
-      .orderBy(col("stage"), col(srcCol))
+      .select(col(idCol), col(srcCol), col("ntok"),
+        col("pass2"), col("pass3"), col("pass4"))
+  }
+
+  /** The dataset-card chain CLOSED end-to-end: funnel → waterfill →
+    * mixture sample as ONE plan, so the allocation actually DRIVES a
+    * sample instead of stopping at a report. Stages:
+    *
+    *  1. '''Curate''' ([[curationFlags]]): survivors = documents passing
+    *     minlen → exact-dedup → decontamination.
+    *  2. '''Allocate''' ([[graft.text.Text.mixtureWaterfill]]): the
+    *     surviving per-source token totals + caller weights waterfill a
+    *     budget of `totAvail·budgetNum/budgetDen` tokens.
+    *  3. '''Sample''': each survivor keeps with probability
+    *     `allocated_src/avail_src` through the deterministic md5 ppm
+    *     bucket — saturated sources keep everything, unsaturated ones
+    *     keep at the water level. The keep decision is INTEGER-exact
+    *     (cross-multiplied longs: `bucket·avail·(totW−wSat) <
+    *     (B−aSat)·w·10⁶`), so both engines pick the identical sample —
+    *     no float ever decides a row.
+    *
+    * Scale shape: text is read once and never rides a keyed exchange
+    * (the funnel contract); the survivor frame is slim (id, source,
+    * ntok) and localCheckpoint'ed because three downstream jobs consume
+    * it (per-source totals, the waterfill's bounded aggregates, the
+    * final keep join); the allocation table is source-cardinality and
+    * broadcasts. Driver state: three 1-row/`|sources|`-row collects —
+    * the bounded class.
+    */
+  def curatedMixtureSample(docs: DataFrame, benchmark: DataFrame,
+                           weight: Column,
+                           budgetNum: Long, budgetDen: Long,
+                           minTokens: Int = 20, w: Int = 3,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           srcCol: String = "source",
+                           fingerprint: Column = null): DataFrame = {
+    require(budgetDen > 0 && budgetNum >= 0 && budgetNum <= budgetDen,
+      "budget fraction must sit in [0, 1]")
+    val surv = curationFlags(docs, benchmark, minTokens, w, textCol, idCol,
+        srcCol, fingerprint)
+      .filter(col("pass4"))
+      .select(col(idCol), col(srcCol), col("ntok"))
+      .localCheckpoint()
+    val perSource = surv.groupBy(col(srcCol))
+      .agg(sum(col("ntok").cast("long")).as("avail_tokens"))
+      .withColumn("weight", weight)
+    val totAvail = perSource
+      .agg(coalesce(sum(col("avail_tokens")), lit(0L))).head().getLong(0)
+    val budget = totAvail * budgetNum / budgetDen
+    val alloc = graft.text.Text.mixtureWaterfill(perSource, budget,
+      srcCol, "avail_tokens", "weight")
+    val satRow = alloc.agg(
+      coalesce(sum(when(col("saturated"), col("avail_tokens"))), lit(0L)),
+      coalesce(sum(when(col("saturated"), col("weight"))), lit(0L)),
+      coalesce(sum(col("weight")), lit(0L))).head()
+    val num = budget - satRow.getLong(0)
+    val den = satRow.getLong(2) - satRow.getLong(1)
+    surv
+      .join(broadcast(alloc.select(col("source").as(srcCol),
+        col("avail_tokens"), col("weight"), col("saturated"))), srcCol)
+      .filter(col("saturated") ||
+        graft.text.Text.hashModBucket(col(idCol), 1000000) *
+          col("avail_tokens") * lit(den) <
+          lit(num) * col("weight") * lit(1000000L))
+      .select(col(idCol), col(srcCol), col("ntok"))
   }
 
   /** Day-2 [[curationFunnel]]: the funnel is ALGEBRAIC over batches

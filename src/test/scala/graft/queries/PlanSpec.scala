@@ -247,6 +247,15 @@ class PlanSpec extends SparkSpec {
     assert(lines.exists(_.contains("BroadcastHashJoin")), "gram join not broadcast")
   }
 
+  test("doc_e2e_mixture: the full chain keeps text off every keyed exchange") {
+    val (offenders, lines) = textCarryingExchanges("doc_e2e_mixture")
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+    // the allocation table is source-cardinality: the final keep join
+    // must broadcast it, never shuffle the survivor frame against it
+    assert(lines.exists(_.contains("BroadcastHashJoin")),
+      "allocation join not broadcast")
+  }
+
   test("emb_semdedup: the replicated salted exchange is IDs-only (no a_vec/a_norm)") {
     val offenders = saltedVecOffenders("emb_semdedup")
     assert(offenders.isEmpty, offenders.mkString("\n"))
