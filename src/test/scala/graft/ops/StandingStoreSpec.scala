@@ -77,6 +77,46 @@ class StandingStoreSpec extends SparkSpec {
     assert(ids(root) == before)
   }
 
+  test("a markerless (partial-copy) base or state version is never served") {
+    // an S3A "rename" is copy+delete: a crash mid-move leaves a real dir
+    // with real files but NO completeness marker — readers must skip it
+    // and the next maintenance/publish pass must clear and retry it
+    val root = Files.createTempDirectory("ss_partial").resolve("store").toString
+    writeBatches(root, 4)
+    val before = ids(root)
+    StandingStore.compact(spark, root, keepLast = 1) // → __base_v0 complete
+    // plant a PARTIAL __base_v1: wrong rows, no _folded_through marker
+    Seq((999L, "partial copy")).toDF("doc_id", "text")
+      .write.parquet(new File(root, "__base_v1").toString)
+    val l = StandingStore.layout(spark, root)
+    assert(l.base.map(_._2).contains(0L),
+      s"markerless base v1 was treated as complete: $l")
+    assert(ids(root) == before, "partial base leaked into reads")
+    // the next compact clears the partial dir (version number reusable)
+    StandingStore.compact(spark, root, keepLast = 1)
+    assert(!new File(root, "__base_v1").exists(), "partial base not cleared")
+    assert(ids(root) == before)
+
+    // VersionedState: same window — a markerless version is invisible,
+    // and the redelivered publish clears and republishes it
+    val vroot = Files.createTempDirectory("vs_partial").resolve("state").toString
+    val s0 = Seq((1L, "a")).toDF("k", "v")
+    val s1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    VersionedState.publish(s0, vroot, version = 0)
+    Seq((777L, "partial")).toDF("k", "v")
+      .write.parquet(new File(vroot, "__state_v1").toString)
+    assert(VersionedState.versions(spark, vroot).map(_._2) == Seq(0L),
+      "markerless state version listed as complete")
+    assert(VersionedState.latestBelow(spark, vroot, below = 2)
+      .map(_.collect().map(_.getLong(0)).toSet).contains(Set(1L)),
+      "reader served the partial copy")
+    VersionedState.publish(s1, vroot, version = 1)
+    assert(VersionedState.versions(spark, vroot).map(_._2) == Seq(0L, 1L))
+    assert(VersionedState.latestBelow(spark, vroot, below = 2)
+      .map(_.collect().map(_.getLong(0)).toSet).contains(Set(1L, 2L)),
+      "republish did not replace the partial copy")
+  }
+
   test("VersionedState: publish is idempotent, latestBelow hides own/failed versions") {
     val root = Files.createTempDirectory("vs_spec").resolve("state").toString
     val s0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
