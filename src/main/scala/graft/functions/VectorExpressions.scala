@@ -262,4 +262,107 @@ object VectorExpressions {
   def nearestCentroids(vec: Column, centroids: Array[Double], nCentroids: Int,
                        dim: Int, nProbe: Int): Column =
     ColumnBridge.column(NearestCentroids(expr(vec), centroids, nCentroids, dim, nProbe))
+
+  /** CELL-LOCAL SemDeDup dominance — the whole within-cell pass as one
+    * kernel over a cell's collected members, so the pairwise volume
+    * (Σ|cell|² at corpus level) is TASK-LOCAL COMPUTE instead of
+    * shuffled candidate rows. The previous join formulation moved every
+    * candidate pair across an exchange carrying a vector payload —
+    * measured at the sf10 ladder point (200k × 64-dim, √n cells) that
+    * shuffle exceeded 76 GB of local spill and could not complete on
+    * one box, while the total vector payload is 51 MB; this kernel
+    * shuffles each vector exactly once (the cluster groupBy) and does
+    * the |cell|²/2 dot products in the cell's own task with early exit
+    * at the first dominator.
+    *
+    * Input: `array<struct<id: bigint, standing: boolean, vec:
+    * array<float>>>` in ANY order (collect_list order is
+    * partition-dependent; the kernel sorts internally — standing
+    * members first, then by ascending id — so output is
+    * partition-invariant). A member is DOMINATED when some member
+    * earlier in that order clears `cos ≥ tau`: standing members
+    * dominate every batch member regardless of id (they are already in
+    * the corpus), batch members dominate larger-id batch members, and a
+    * dominator need not itself survive — exactly the
+    * [[graft.sim.Ivf.semDeDup]] / `semDeDupIncremental` rule. Cosine
+    * arithmetic mirrors [[DotProduct]] / `Similarity.cosine` bit-form:
+    * double accumulation in index order, `dot / (sqrt(n2a) · sqrt(n2b))`
+    * — so oracle replays are unchanged.
+    *
+    * Output: `array<struct<id: bigint, kept: boolean>>` for the
+    * NON-standing members only, ascending id. Per-task state is the
+    * cell's vectors as doubles (|cell|·dim·8 B — megabytes under a
+    * √n-adaptive nlist); a pathologically hot cell is one task's
+    * compute, which is what [[graft.sim.IvfStore.splitCell]] (fed by
+    * `cellHealth`) exists to repair.
+    */
+  case class CellDominance(child: Expression, tau: Double)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("kept", BooleanType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "cell_dominance"
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val ids = new Array[Long](n)
+      val standing = new Array[Boolean](n)
+      val vecs = new Array[Array[Double]](n)
+      val norms = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val row = arr.getStruct(i, 3)
+        ids(i) = row.getLong(0)
+        standing(i) = row.getBoolean(1)
+        val fa = row.getArray(2)
+        val d = fa.numElements()
+        val dv = new Array[Double](d)
+        var j = 0
+        var n2 = 0.0
+        while (j < d) {
+          val x = fa.getFloat(j).toDouble
+          dv(j) = x
+          n2 += x * x
+          j += 1
+        }
+        vecs(i) = dv
+        norms(i) = math.sqrt(n2)
+        i += 1
+      }
+      // dominance order: standing first, then ascending id — the prefix
+      // of each member is exactly its admissible dominator set
+      val order = Array.range(0, n).sortBy(k => (!standing(k), ids(k)))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var p = 0
+      while (p < n) {
+        val j = order(p)
+        if (!standing(j)) {
+          var dominated = false
+          var q = 0
+          while (q < p && !dominated) {
+            val k = order(q)
+            val a = vecs(k); val b = vecs(j)
+            val d = math.min(a.length, b.length)
+            var s = 0.0
+            var t = 0
+            while (t < d) { s += a(t) * b(t); t += 1 }
+            if (s / (norms(k) * norms(j)) >= tau) dominated = true
+            q += 1
+          }
+          out += org.apache.spark.sql.catalyst.InternalRow(ids(j), !dominated)
+        }
+        p += 1
+      }
+      // batch members were visited in ascending id order already
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def cellDominance(members: Column, tau: Double): Column =
+    ColumnBridge.column(CellDominance(ColumnBridge.expression(members), tau))
 }

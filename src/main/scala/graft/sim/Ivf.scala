@@ -421,56 +421,36 @@ object Ivf {
     * per similar group; any fixed total order is an admissible choice and
     * id order is the auditable one).
     *
-    * Scale shape: the pair join keys on (cell, salt) — the [[knnGraph]]
-    * grid treatment, so an O(n²/k) hot cell spreads over `saltG` tasks
-    * instead of pinning one reducer — and the REPLICATED side carries
-    * IDs + cluster ONLY (the [[knnGraph]] idiom): the a-side explodes
-    * `saltG` ways as (a_id, cluster, salt) rows, never replicating the
-    * embedding payload, and a_vec/a_norm join back by id AFTER the
-    * candidate join (shuffle-hash, not broadcast — the payload side is
-    * corpus-sized however small its parquet-bytes estimate looks). The
-    * UNREPLICATED b-side keeps its vector on the salted join
-    * deliberately: it crosses that exchange exactly once (salt =
-    * pmod(b_id) — no explode), so carrying b_vec there costs the same
-    * n vector rows a join-back would move by b_id anyway, while saving
-    * the second shuffle of the whole candidate stream (same-session
-    * sf0.1 pair vs the two-join-back form: incremental 2.14 → 1.46 s;
-    * SCALE.md r11 carries the three-variant comparison).
-    * Dominated ids collapse to ≤ n rows before the one distinct
-    * shuffle, and the verdict join back to the assignment is id-only.
-    * At 100 TB the cell count comes from [[train]]'s scale-adaptive
-    * nlist (∝ √n), keeping Σ|cell|² ≈ n^1.5 — never all-pairs.
+    * Scale shape — CELL-LOCAL since round 12: each vector crosses
+    * exactly ONE exchange (the cluster groupBy, n·dim bytes corpus-wide)
+    * and the Σ|cell|² pairwise volume is task-local compute inside
+    * [[VectorExpressions.CellDominance]] (early exit at the first
+    * dominator), never a shuffled candidate stream. The previous
+    * (cell, salt)-keyed join formulation moved every candidate pair
+    * across an exchange with a vector payload: at the sf10 ladder point
+    * (200k × 64-dim, √n cells ⇒ ~4.5·10⁷ candidate pairs) that shuffle
+    * exceeded 76 GB of local spill and could not finish, while the
+    * corpus' entire vector payload is 51 MB. Per-cell task state is
+    * |cell|·dim doubles (megabytes under [[train]]'s √n-adaptive
+    * nlist); a pathologically hot cell is one task's compute — the
+    * repair for that is [[IvfStore.splitCell]] fed by [[cellHealth]],
+    * not a shuffle.
     *
     * Output: one row per corpus vector — (id, cluster, kept).
     */
   def semDeDup(corpus: DataFrame, model: IvfModel, tau: Double,
-               idCol: String = "vec_id", vecCol: String = "embedding",
-               saltG: Int = 8): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val flat = model.flat
-    val a = corpus.select(col(idCol).as("a_id"),
-        element_at(VectorExpressions.nearestCentroids(
-          col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"))
-      .withColumn("salt", explode(sequence(lit(0), lit(saltG - 1))))
-    val b = corpus.select(col(idCol).as("b_id"),
+    corpus.select(
         element_at(VectorExpressions.nearestCentroids(
           col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"),
-        col(vecCol).as("b_vec"),
-        Similarity.l2Norm(col(vecCol)).as("b_norm"))
-      .withColumn("salt", pmod(col("b_id"), lit(saltG)).cast("int"))
-    val aVecs = corpus.select(col(idCol).as("a_id"),
-        col(vecCol).as("a_vec"),
-        Similarity.l2Norm(col(vecCol)).as("a_norm"))
-      .hint("SHUFFLE_HASH")
-    val dominated = a.join(b, Seq("cluster", "salt"))
-      .filter(col("a_id") < col("b_id"))
-      .join(aVecs, "a_id")
-      .filter(Similarity.dot(col("a_vec"), col("b_vec")) /
-        (col("a_norm") * col("b_norm")) >= tau)
-      .select(col("b_id").as(idCol)).distinct()
-    assign(corpus, model, idCol, vecCol)
-      .join(dominated.withColumn("__dom", lit(true)), Seq(idCol), "left")
-      .select(col(idCol), col("cluster").cast("int").as("cluster"),
-        col("__dom").isNull.as("kept"))
+        struct(col(idCol).cast("long").as("id"),
+          lit(false).as("standing"), col(vecCol).as("vec")).as("m"))
+      .groupBy(col("cluster"))
+      .agg(collect_list(col("m")).as("members"))
+      .select(col("cluster").cast("int").as("cluster"),
+        explode(VectorExpressions.cellDominance(col("members"), tau)).as("r"))
+      .select(col("r.id").as(idCol), col("cluster"), col("r.kept").as("kept"))
   }
 
   /** Incremental [[semDeDup]] — the day-2 shape: a batch of NEW vectors
@@ -483,54 +463,38 @@ object Ivf {
     * dominator need not itself survive). Standing DROPPED vectors never
     * dominate — their survivor represents them.
     *
-    * Scale shape: both joins key on (cell, salt) exactly as [[semDeDup]]
-    * — the replicated a-side (standing kept / batch) is IDs-only with an
-    * id-keyed shuffle-hash a_vec join-back after the candidate join,
-    * while the unreplicated batch probe side carries its vector across
-    * the salted exchange once (see [[semDeDup]]'s rationale); the
-    * standing×batch probe is |kept|·|batch|/k pairs and the batch×batch
-    * half |batch|²/k — each grid-salted, dominated ids collapse before
-    * one distinct shuffle. `standingKept` is the (id, vector) view of
-    * the previous pass's kept rows — the state a store would keep
-    * bucketed by cell.
+    * Scale shape — cell-local, as [[semDeDup]]: standing kept and batch
+    * vectors union, each crossing ONE exchange (the cluster groupBy)
+    * into its cell's task, where [[VectorExpressions.CellDominance]]
+    * runs the |kept|·|batch|/k + |batch|²/k dot products locally and
+    * emits verdicts for the batch members only (standing members sort
+    * first in the dominance order — they win regardless of id — and
+    * never appear in the output). No candidate pair ever rides an
+    * exchange. `standingKept` is the (id, vector) view of the previous
+    * pass's kept rows — the state a store keeps BUCKETED BY CELL at
+    * warehouse scale, making its side of the exchange free
+    * ([[graft.ops.Bucketed]], the `mergeCompactedStationary` idiom).
     *
     * Output: one row per BATCH vector — (id, cluster, kept).
     */
   def semDeDupIncremental(standingKept: DataFrame, batch: DataFrame,
                           model: IvfModel, tau: Double,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding",
-                          saltG: Int = 8): DataFrame = {
+                          vecCol: String = "embedding"): DataFrame = {
     val flat = model.flat
-    val bSalted = batch.select(col(idCol).as("b_id"),
+    def side(df: DataFrame, isStanding: Boolean): DataFrame =
+      df.select(
         element_at(VectorExpressions.nearestCentroids(
           col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"),
-        col(vecCol).as("b_vec"),
-        Similarity.l2Norm(col(vecCol)).as("b_norm"))
-      .withColumn("salt", pmod(col("b_id"), lit(saltG)).cast("int"))
-    def dominatedBy(src: DataFrame, extra: Column): DataFrame = {
-      val aIds = src.select(col(idCol).as("a_id"),
-          element_at(VectorExpressions.nearestCentroids(
-            col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"))
-        .withColumn("salt", explode(sequence(lit(0), lit(saltG - 1))))
-      val aVecs = src.select(col(idCol).as("a_id"),
-          col(vecCol).as("a_vec"),
-          Similarity.l2Norm(col(vecCol)).as("a_norm"))
-        .hint("SHUFFLE_HASH")
-      aIds.join(bSalted, Seq("cluster", "salt"))
-        .filter(extra)
-        .join(aVecs, "a_id")
-        .filter(Similarity.dot(col("a_vec"), col("b_vec")) /
-          (col("a_norm") * col("b_norm")) >= tau)
-        .select(col("b_id").as(idCol))
-    }
-    val dominated = dominatedBy(standingKept, lit(true))
-      .unionByName(dominatedBy(batch, col("a_id") < col("b_id")))
-      .distinct()
-    assign(batch, model, idCol, vecCol)
-      .join(dominated.withColumn("__dom", lit(true)), Seq(idCol), "left")
-      .select(col(idCol), col("cluster").cast("int").as("cluster"),
-        col("__dom").isNull.as("kept"))
+        struct(col(idCol).cast("long").as("id"),
+          lit(isStanding).as("standing"), col(vecCol).as("vec")).as("m"))
+    side(standingKept, isStanding = true)
+      .unionByName(side(batch, isStanding = false))
+      .groupBy(col("cluster"))
+      .agg(collect_list(col("m")).as("members"))
+      .select(col("cluster").cast("int").as("cluster"),
+        explode(VectorExpressions.cellDominance(col("members"), tau)).as("r"))
+      .select(col("r.id").as(idCol), col("cluster"), col("r.kept").as("kept"))
   }
 
   /** One micro-batch step of STREAMING SemDeDup over a batch-partitioned

@@ -814,6 +814,9 @@ object Dedup {
         array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
       .withColumn("nw", size(col("w")))
     val ranks = tokenRanks(d, commonVocab)
+    // spill-aware exchange sizing for the hinted SHJ joins below — one
+    // scan-free bytes gate, 0 (plan unchanged) at every sf ≤ 1 scale
+    val parts = candJoinParts(tokenVolume(docs, textCol))
     exactMaskFromRanks(ranks, commonVocab) match {
       case mask @ Some(_) =>
         // BOUNDED-DICTIONARY FAST PATH (the containmentScored treatment
@@ -828,22 +831,25 @@ object Dedup {
         // is ∝ the (quadratic) true-pair count and the verify machinery
         // was ~2× the total cost (measured: SCALE.md round-12 entry).
         prefixCandidates(d, blockCols, threshold, commonVocab,
-            hotBucketCap, Some(ranks), mask)
+            hotBucketCap, Some(ranks), mask, parts)
           .dropDuplicates("a_id", "b_id")
       case None =>
         val cand = prefixCandidates(d, blockCols, threshold, commonVocab,
-          hotBucketCap, Some(ranks), None)
+          hotBucketCap, Some(ranks), None, parts)
         // The payload sides MUST come back via a shuffle join on the id: they
         // are corpus-sized, and their parquet-bytes estimate is tiny (token
         // arrays compress ~1000:1 against their in-memory UnsafeRow form), so
         // the planner would otherwise pick a broadcast build measured at
         // 4.8 GiB for 50k docs — unbuildable at any real corpus size.
         // SHUFFLE_HASH keeps the payload the per-partition build side against
-        // the larger IDs-only candidate stream.
-        val aSide = d.select(col("id").as("a_id"), col("w").as("a_w"), col("nw").as("a_nw"))
-          .hint("SHUFFLE_HASH")
-        val bSide = d.select(col("id").as("b_id"), col("w").as("b_w"), col("nw").as("b_nw"))
-          .hint("SHUFFLE_HASH")
+        // the larger IDs-only candidate stream (pre-partitioned on the id
+        // above the volume gate, so each build map fits).
+        def sizedBy(df: DataFrame, key: String): DataFrame =
+          if (parts > 0) df.repartition(parts, col(key)) else df
+        val aSide = sizedBy(d.select(col("id").as("a_id"), col("w").as("a_w"),
+          col("nw").as("a_nw")), "a_id").hint("SHUFFLE_HASH")
+        val bSide = sizedBy(d.select(col("id").as("b_id"), col("w").as("b_w"),
+          col("nw").as("b_nw")), "b_id").hint("SHUFFLE_HASH")
         cand.join(aSide, "a_id").join(bSide, "b_id")
           .withColumn("inter",
             HashExpressions.sortedIntersectSize(col("a_w"), col("b_w")))
@@ -888,21 +894,28 @@ object Dedup {
     val dNew = prep(batch)
     val dAll = dNew.unionByName(prep(existing))
     val ranks = tokenRanks(dAll, commonVocab)
+    // spill-aware sizing: one cheap aggregate over the CHECKPOINTED
+    // union (no kernel re-run) prices the exploded index volume
+    val parts = candJoinParts(Option(
+      dAll.agg(sum(col("nw").cast("long"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L))
     exactMaskFromRanks(ranks, commonVocab) match {
       case mask @ Some(_) =>
         // bounded-dictionary fast path — see prefixJaccardPairs; one
         // shared rank map over the union keeps the mask bijective for
         // both sides
         prefixCandidatesAB(dNew, dAll, ranks, blockCols, threshold,
-            hotBucketCap, mask)
+            hotBucketCap, mask, parts)
           .dropDuplicates("a_id", "b_id")
       case None =>
         val cand = prefixCandidatesAB(dNew, dAll, ranks, blockCols, threshold,
-          hotBucketCap)
-        val aSide = dAll.select(col("id").as("a_id"), col("w").as("a_w"),
-          col("nw").as("a_nw")).hint("SHUFFLE_HASH")
-        val bSide = dAll.select(col("id").as("b_id"), col("w").as("b_w"),
-          col("nw").as("b_nw")).hint("SHUFFLE_HASH")
+          hotBucketCap, None, parts)
+        def sizedBy(df: DataFrame, key: String): DataFrame =
+          if (parts > 0) df.repartition(parts, col(key)) else df
+        val aSide = sizedBy(dAll.select(col("id").as("a_id"), col("w").as("a_w"),
+          col("nw").as("a_nw")), "a_id").hint("SHUFFLE_HASH")
+        val bSide = sizedBy(dAll.select(col("id").as("b_id"), col("w").as("b_w"),
+          col("nw").as("b_nw")), "b_id").hint("SHUFFLE_HASH")
         cand.join(aSide, "a_id").join(bSide, "b_id")
           .withColumn("inter",
             HashExpressions.sortedIntersectSize(col("a_w"), col("b_w")))
@@ -925,7 +938,8 @@ object Dedup {
                                        blockCols: Seq[String],
                                        threshold: Double,
                                        hotBucketCap: Int,
-                                       exactMask: Option[Column] = None): DataFrame = {
+                                       exactMask: Option[Column] = None,
+                                       sizeParts: Int = 0): DataFrame = {
     def prefixes(d: DataFrame, role: String): DataFrame = exactMask match {
       case Some(m) =>
         d.withColumn("sig", m)
@@ -941,9 +955,14 @@ object Dedup {
           .toDF(s"${role}_id" +: blockCols :+ s"${role}_nw" :+ s"${role}_pos" :+ "token": _*)
     }
     // never broadcast a corpus-proportional exploded index (see
-    // prefixCandidates)
-    val a = prefixes(dA, "a").hint("SHUFFLE_HASH")
-    val b = prefixes(dB, "b")
+    // prefixCandidates); above the volume gate pre-partition both sides
+    // on the join keys so each shuffled-hash build map fits
+    def sized(df: DataFrame): DataFrame =
+      if (sizeParts > 0)
+        df.repartition(sizeParts, (blockCols :+ "token").map(col): _*)
+      else df
+    val a = sized(prefixes(dA, "a")).hint("SHUFFLE_HASH")
+    val b = sized(prefixes(dB, "b"))
     val aCnt = a.groupBy(col("token")).agg(count(lit(1)).as("na"))
     val bCnt = b.groupBy(col("token")).agg(count(lit(1)).as("nb"))
     val hotRows = aCnt.join(bCnt, "token")
@@ -956,16 +975,24 @@ object Dedup {
         val maxProd = hotRows.map(r => r.getLong(1) * r.getLong(2)).max
         val grid = math.min(32L,
           math.ceil(math.sqrt(maxProd.toDouble / hotBucketCap)).toLong).toInt
+        // the hot path replicates both sides grid× — size its exchange
+        // from the census (hotGridParts; non-spilling SHJ builds)
+        val hotParts = hotGridParts(
+          hotRows.map(r => math.max(r.getLong(1), r.getLong(2))).sum * grid)
+        val hotKeys = blockCols ++ Seq("token", "g1", "g2")
+        def sizedHot(df: DataFrame): DataFrame =
+          if (hotParts > 0) df.repartition(hotParts, hotKeys.map(col): _*)
+          else df
         val cold = a.filter(!col("token").isin(hot: _*))
           .join(b.filter(!col("token").isin(hot: _*)), blockCols :+ "token")
-        val aHot = a.filter(col("token").isin(hot: _*))
+        val aHot = sizedHot(a.filter(col("token").isin(hot: _*))
           .withColumn("g1", pmod(xxhash64(col("a_id")), lit(grid.toLong)))
-          .withColumn("g2", explode(sequence(lit(0L), lit(grid - 1L))))
-        val bHot = b.filter(col("token").isin(hot: _*))
+          .withColumn("g2", explode(sequence(lit(0L), lit(grid - 1L)))))
+        val bHot = sizedHot(b.filter(col("token").isin(hot: _*))
           .withColumn("g2", pmod(xxhash64(col("b_id")), lit(grid.toLong)))
-          .withColumn("g1", explode(sequence(lit(0L), lit(grid - 1L))))
+          .withColumn("g1", explode(sequence(lit(0L), lit(grid - 1L)))))
         cold.unionByName(
-          aHot.join(bHot, blockCols ++ Seq("token", "g1", "g2"))
+          aHot.join(bHot, hotKeys)
             .drop("g1", "g2"))
       }
     val eps = 1e-9
@@ -992,6 +1019,59 @@ object Dedup {
             greatest(col("a_id"), col("b_id")).as("b_id"))
           .dropDuplicates("a_id", "b_id")
     }
+  }
+
+  /** SPILL-AWARE partition count for the hinted shuffled-hash joins of
+    * the AllPairs pipelines: a shuffled-hash build does NOT spill —
+    * every per-partition map must FIT in task memory — and the exploded
+    * index volume is invisible to the planner (size stats come from the
+    * pre-explode scan), so above the gate the exchange is sized here.
+    * `tokenInstances` is any honest over-estimate of the bigger join
+    * side's rows; returns 0 ("default layout, no extra exchange")
+    * below 32 M. The sf10 ladder forced this: 500 k docs' prefix/full
+    * token indexes over the default 32 partitions OOM'd the build
+    * ("not enough memory to build hash map") while every smaller gate
+    * scale keeps its plan byte-identical.
+    */
+  private[text] def candJoinParts(tokenInstances: Long): Int =
+    if (tokenInstances < 32L * 1000 * 1000) 0
+    else math.min(16384L, tokenInstances / 500000L + 1).toInt
+
+  /** Hot-GRID exchange sizing: the grid-salted hot path REPLICATES its
+    * inputs `grid`× by construction, so its build volume is exactly
+    * `hot-census rows × grid` — measured, not estimated (the census is
+    * already on the driver). A 30-token degenerate corpus sends nearly
+    * every bucket hot, and at the sf10 ladder point the replicated
+    * build (≈ 32 M rows over 32 partitions) OOM'd the non-spilling
+    * shuffled-hash maps while the INPUT volume sat below every gate.
+    * ~250 k rows per map — sized for the per-task execution share of a
+    * worker running tens of concurrent tasks (unified memory / tasks,
+    * not the whole heap); 0 = keep the default layout.
+    */
+  private[text] def hotGridParts(replicatedRows: Long): Int =
+    if (replicatedRows < 8L * 1000 * 1000) 0
+    else math.min(16384L, replicatedRows / 250000L + 1).toInt
+
+  /** Token-instance volume of a corpus for [[candJoinParts]], measured
+    * ONLY when the input's file bytes clear 30 MB (one scan-free file
+    * listing; below the gate — every sf ≤ 1 fixture — the answer is 0
+    * and no extra job runs). The measurement itself is a narrow
+    * split+size scan: no sort, no distinct, no explode. Non-file inputs
+    * (streaming micro-batches, literal frames) report 0 — their
+    * volumes are batch-sized by construction.
+    */
+  private[text] def tokenVolume(docs: DataFrame, textCol: String): Long = {
+    val spark = docs.sparkSession
+    val bytes = try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      docs.inputFiles.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+    if (bytes < 30L * 1024 * 1024) 0L
+    else Option(docs.agg(sum(size(split(col(textCol), "\\s+")).cast("long")))
+      .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
   }
 
   /** The canonical token order both AllPairs pipelines sort by: document
@@ -1032,8 +1112,11 @@ object Dedup {
                                      threshold: Double, commonVocab: Int,
                                      hotBucketCap: Int,
                                      ranksOpt: Option[Map[String, Int]] = None,
-                                     exactMask: Option[Column] = None): DataFrame = {
+                                     exactMask: Option[Column] = None,
+                                     sizeParts: Int = 0): DataFrame = {
     val ranks = ranksOpt.getOrElse(tokenRanks(d, commonVocab))
+    def sized(df: DataFrame, keys: Seq[String]): DataFrame =
+      if (sizeParts > 0) df.repartition(sizeParts, keys.map(col): _*) else df
     // Under `exactMask` (≤64-token bounded dictionary, see
     // containmentCandidatesAB) each index row carries the collision-free
     // 8-byte token bitset, |A∩B| is exact on the join output, and the
@@ -1059,10 +1142,17 @@ object Dedup {
     // Both sides are corpus-proportional exploded indexes whose byte
     // estimate descends from one compact parquet scan — never let the
     // planner broadcast one (see containmentCandidates, where the same
-    // mis-estimate built a 4.8 GiB relation at sf1).
-    val a = prefixes.toDF("a_id" +: blockCols ++: "a_nw" +: sigA ++: Seq("a_pos", "token"): _*)
+    // mis-estimate built a 4.8 GiB relation at sf1). Above the volume
+    // gate the join inputs are pre-partitioned on the join keys so each
+    // shuffled-hash build map fits (candJoinParts — SHJ does not spill).
+    val joinKeys = blockCols :+ "token"
+    val a = sized(prefixes.toDF(
+        "a_id" +: blockCols ++: "a_nw" +: sigA ++: Seq("a_pos", "token"): _*),
+        joinKeys)
       .hint("SHUFFLE_HASH")
-    val b = prefixes.toDF("b_id" +: blockCols ++: "b_nw" +: sigB ++: Seq("b_pos", "token"): _*)
+    val b = sized(prefixes.toDF(
+      "b_id" +: blockCols ++: "b_nw" +: sigB ++: Seq("b_pos", "token"): _*),
+      joinKeys)
     // Hot buckets: tokens whose prefix occurrence count exceeds the cap.
     // The degenerate case is a handful of tokens by construction (prefixes
     // prefer RARE tokens), so the driver-side set is tiny; limit(64) keeps
@@ -1077,16 +1167,23 @@ object Dedup {
         val hot = hotRows.map(_.getString(0)).toSeq
         val maxN = hotRows.map(_.getLong(1)).max
         val grid = math.min(32L, (maxN + hotBucketCap - 1) / hotBucketCap).toInt
+        // the hot path replicates both sides grid× — size its exchange
+        // from the census (hotGridParts; non-spilling SHJ builds)
+        val hotParts = hotGridParts(hotRows.map(_.getLong(1)).sum * grid)
+        val hotKeys = blockCols ++ Seq("token", "g1", "g2")
+        def sizedHot(df: DataFrame): DataFrame =
+          if (hotParts > 0) df.repartition(hotParts, hotKeys.map(col): _*)
+          else df
         val cold = a.filter(!col("token").isin(hot: _*))
           .join(b.filter(!col("token").isin(hot: _*)), blockCols :+ "token")
-        val aHot = a.filter(col("token").isin(hot: _*))
+        val aHot = sizedHot(a.filter(col("token").isin(hot: _*))
           .withColumn("g1", pmod(xxhash64(col("a_id")), lit(grid.toLong)))
-          .withColumn("g2", explode(sequence(lit(0L), lit(grid - 1L))))
-        val bHot = b.filter(col("token").isin(hot: _*))
+          .withColumn("g2", explode(sequence(lit(0L), lit(grid - 1L)))))
+        val bHot = sizedHot(b.filter(col("token").isin(hot: _*))
           .withColumn("g2", pmod(xxhash64(col("b_id")), lit(grid.toLong)))
-          .withColumn("g1", explode(sequence(lit(0L), lit(grid - 1L))))
+          .withColumn("g1", explode(sequence(lit(0L), lit(grid - 1L)))))
         cold.unionByName(
-          aHot.join(bHot, blockCols ++ Seq("token", "g1", "g2"))
+          aHot.join(bHot, hotKeys)
             .drop("g1", "g2"))
       }
     // Candidate pruning, both lossless (PPJoin, Xiao et al. WWW'08):
@@ -1385,22 +1482,26 @@ object Dedup {
         array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
       .withColumn("nw", size(col("w")))
     val ranks = tokenRanks(d, commonVocab)
+    // spill-aware exchange sizing (see candJoinParts) — 0 below the gate
+    val parts = candJoinParts(tokenVolume(docs, textCol))
     exactMaskFromRanks(ranks, commonVocab) match {
       case mask @ Some(_) =>
         val scored = containmentCandidatesAB(d, d, ranks, blockCols,
-            threshold, hotBucketCap, mask)
+            threshold, hotBucketCap, mask, parts)
           .filter(col("containment") >= threshold)
         (scored, true)
       case None =>
       val cand = containmentCandidatesAB(d, d, ranks, blockCols,
-        threshold, hotBucketCap, None)
+        threshold, hotBucketCap, None, parts)
       // Shuffle-join the corpus-sized payload back by id — see the same
       // treatment in prefixJaccardPairs (a byte-estimate-driven broadcast
       // of the token arrays measured 4.8 GiB at sf1).
-      val aSide = d.select(col("id").as("a_id"), col("w").as("a_w"), col("nw").as("a_nw"))
-        .hint("SHUFFLE_HASH")
-      val bSide = d.select(col("id").as("b_id"), col("w").as("b_w"), col("nw").as("b_nw"))
-        .hint("SHUFFLE_HASH")
+      def sizedBy(df: DataFrame, key: String): DataFrame =
+        if (parts > 0) df.repartition(parts, col(key)) else df
+      val aSide = sizedBy(d.select(col("id").as("a_id"), col("w").as("a_w"),
+        col("nw").as("a_nw")), "a_id").hint("SHUFFLE_HASH")
+      val bSide = sizedBy(d.select(col("id").as("b_id"), col("w").as("b_w"),
+        col("nw").as("b_nw")), "b_id").hint("SHUFFLE_HASH")
       val scored = cand.join(aSide, "a_id").join(bSide, "b_id")
         .withColumn("inter",
           HashExpressions.sortedIntersectSize(col("a_w"), col("b_w")))
@@ -1497,22 +1598,28 @@ object Dedup {
     val dAll = dNew.unionByName(dOld)
     val ranks = tokenRanks(dAll, commonVocab)
     val maskOpt = exactMaskFromRanks(ranks, commonVocab)
+    // spill-aware sizing from the checkpointed union (no kernel re-run)
+    val parts = candJoinParts(Option(
+      dAll.agg(sum(col("nw").cast("long"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L))
     if (maskOpt.isDefined) {
       containmentCandidatesAB(dNew, dAll, ranks, blockCols, threshold,
-          hotBucketCap, maskOpt)
+          hotBucketCap, maskOpt, parts)
         .unionByName(containmentCandidatesAB(dOld, dNew, ranks, blockCols,
-          threshold, hotBucketCap, maskOpt))
+          threshold, hotBucketCap, maskOpt, parts))
         .filter(col("containment") >= threshold)
         .dropDuplicates("a_id", "b_id")
     } else {
       val cand = containmentCandidatesAB(dNew, dAll, ranks, blockCols,
-          threshold, hotBucketCap, None)
+          threshold, hotBucketCap, None, parts)
         .unionByName(containmentCandidatesAB(dOld, dNew, ranks, blockCols,
-          threshold, hotBucketCap, None))
-      val aSide = dAll.select(col("id").as("a_id"), col("w").as("a_w"),
-        col("nw").as("a_nw")).hint("SHUFFLE_HASH")
-      val bSide = dAll.select(col("id").as("b_id"), col("w").as("b_w"))
-        .hint("SHUFFLE_HASH")
+          threshold, hotBucketCap, None, parts))
+      def sizedBy(df: DataFrame, key: String): DataFrame =
+        if (parts > 0) df.repartition(parts, col(key)) else df
+      val aSide = sizedBy(dAll.select(col("id").as("a_id"), col("w").as("a_w"),
+        col("nw").as("a_nw")), "a_id").hint("SHUFFLE_HASH")
+      val bSide = sizedBy(dAll.select(col("id").as("b_id"), col("w").as("b_w")),
+        "b_id").hint("SHUFFLE_HASH")
       cand.join(aSide, "a_id").join(bSide, "b_id")
         .select(col("a_id"), col("b_id"),
           (HashExpressions.sortedIntersectSize(col("a_w"), col("b_w")) /
@@ -1570,7 +1677,8 @@ object Dedup {
                                             blockCols: Seq[String],
                                             threshold: Double,
                                             hotBucketCap: Int,
-                                            exactMask: Option[Column]): DataFrame = {
+                                            exactMask: Option[Column],
+                                            sizeParts: Int = 0): DataFrame = {
     // 64-bit token BLOOM per document, carried on every index row (8
     // bytes): a bit set in a_sig & ~b_sig witnesses ≥1 distinct A-token
     // absent from B, so bit_count(a_sig & ~b_sig) ≤ |A| − α is a
@@ -1626,26 +1734,40 @@ object Dedup {
     // byte-size estimate descends from one compact parquet scan, so the
     // planner would broadcast it (measured 4.8 GiB built at sf1, growing
     // with the corpus). Force the shuffle join, building from the
-    // smaller prefix index.
-    val aPrefH = aPref.hint("SHUFFLE_HASH")
+    // smaller prefix index; above the volume gate pre-partition both
+    // sides on the join keys so each build map fits (candJoinParts).
+    def sizedIdx(df: DataFrame): DataFrame =
+      if (sizeParts > 0)
+        df.repartition(sizeParts, (blockCols :+ "token").map(col): _*)
+      else df
+    val bAllS = sizedIdx(bAll)
+    val aPrefH = sizedIdx(aPref).hint("SHUFFLE_HASH")
     val joined =
-      if (hotRows.isEmpty) aPrefH.join(bAll, blockCols :+ "token")
+      if (hotRows.isEmpty) aPrefH.join(bAllS, blockCols :+ "token")
       else {
         val hot = hotRows.map(_.getString(0)).toSeq
         val maxProd = hotRows.map(r => r.getLong(1) * r.getLong(2)).max
         // G² cells shrink a product-P bucket to ~P/G² per cell
         val grid = math.min(32L,
           math.ceil(math.sqrt(maxProd.toDouble / hotBucketCap)).toLong).toInt
+        // the hot path replicates BOTH sides grid× — size its exchange
+        // from the census (hotGridParts; non-spilling SHJ builds)
+        val hotParts = hotGridParts(
+          hotRows.map(r => math.max(r.getLong(1), r.getLong(2))).sum * grid)
+        val hotKeys = blockCols ++ Seq("token", "g1", "g2")
+        def sizedHot(df: DataFrame): DataFrame =
+          if (hotParts > 0) df.repartition(hotParts, hotKeys.map(col): _*)
+          else df
         val cold = aPrefH.filter(!col("token").isin(hot: _*))
-          .join(bAll.filter(!col("token").isin(hot: _*)), blockCols :+ "token")
-        val aHot = aPrefH.filter(col("token").isin(hot: _*))
+          .join(bAllS.filter(!col("token").isin(hot: _*)), blockCols :+ "token")
+        val aHot = sizedHot(aPrefH.filter(col("token").isin(hot: _*))
           .withColumn("g1", pmod(xxhash64(col("a_id")), lit(grid.toLong)))
-          .withColumn("g2", explode(sequence(lit(0L), lit(grid - 1L))))
-        val bHot = bAll.filter(col("token").isin(hot: _*))
+          .withColumn("g2", explode(sequence(lit(0L), lit(grid - 1L)))))
+        val bHot = sizedHot(bAllS.filter(col("token").isin(hot: _*))
           .withColumn("g2", pmod(xxhash64(col("b_id")), lit(grid.toLong)))
-          .withColumn("g1", explode(sequence(lit(0L), lit(grid - 1L))))
+          .withColumn("g1", explode(sequence(lit(0L), lit(grid - 1L)))))
         cold.unionByName(
-          aHot.join(bHot, blockCols ++ Seq("token", "g1", "g2"))
+          aHot.join(bHot, hotKeys)
             .drop("g1", "g2"))
       }
     val eps = 1e-9

@@ -161,9 +161,15 @@ object Entity {
             .deletionNeighborhood(col("s"), maxDist)).as("vh")): _*)
     }
     // SHUFFLE_HASH: the variant explode's inflation is invisible to
-    // size stats (the editDistancePairs rationale)
-    val cands = variants(sNew, "a").hint("SHUFFLE_HASH")
-      .join(variants(sAll, "b"), blockCols :+ "vh")
+    // size stats (the editDistancePairs rationale); above the volume
+    // gate the exchange is sized so each per-partition build map fits
+    // (see variantJoinParts — shuffled-hash builds do not spill)
+    val keys = blockCols :+ "vh"
+    val nParts = variantJoinParts(sAll, maxDist)
+    def sized(df: DataFrame): DataFrame =
+      if (nParts > 0) df.repartition(nParts, keys.map(col): _*) else df
+    val cands = sized(variants(sNew, "a")).hint("SHUFFLE_HASH")
+      .join(sized(variants(sAll, "b")), keys)
       .filter(col("a_id") =!= col("b_id"))
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
@@ -176,6 +182,34 @@ object Entity {
         .editDistanceWithin(col("a_s"), col("b_s"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
+  /** SPILL-AWARE partition count for the variant join: a shuffled-hash
+    * build does NOT spill — every per-partition map must FIT in task
+    * memory — and the explode's volume is invisible to the planner
+    * (size stats come from the pre-explode scan), so the exchange is
+    * sized HERE from the arithmetic variant-count bound
+    * Σ (1 + len + C(len, 2)) — one lengths-only scan, no kernel run.
+    * Returns 0 ("keep the default layout, no extra exchange") below
+    * 32 M estimated build rows, else enough partitions for ~1 M rows
+    * per map. The sf10 ladder forced this: 1.5 M names × ~170 variants
+    * = 255 M build rows over the default 32 partitions OOM'd every
+    * task ("not enough memory to build hash map"), while sf0.1/sf1
+    * volumes stay under the gate and keep their plans byte-identical.
+    */
+  private def variantJoinParts(slim: DataFrame, maxDist: Int): Int = {
+    val l = length(col("s")).cast("long")
+    val est = maxDist match {
+      case 0 => lit(1L)
+      case 1 => lit(1L) + l
+      // d = 2 closed form; deletionNeighborhood dedups, so this is an
+      // upper bound for any d ≤ 2 (the require below the callers)
+      case _ => lit(1L) + l + l * (l - 1L) / 2L // Column `/` divides as double
+    }
+    val total = slim.agg(coalesce(sum(est.cast("long")), lit(0L)))
+      .head().getLong(0)
+    if (total < 32L * 1000 * 1000) 0
+    else math.min(16384L, total / 1000000L + 1).toInt
   }
 
   /** Deletion-neighborhood candidate generation + DP verify (see
@@ -191,8 +225,12 @@ object Entity {
       (col("id") +: blockCols.map(col) :+
         explode(graft.functions.TextExpressions
           .deletionNeighborhood(col("s"), maxDist)).as("vh")): _*)
-    val va = variants.toDF(("a_id" +: blockCols :+ "vh"): _*)
-    val vb = variants.toDF(("b_id" +: blockCols :+ "vh"): _*)
+    val keys = blockCols :+ "vh"
+    val nParts = variantJoinParts(slim, maxDist)
+    def sized(df: DataFrame): DataFrame =
+      if (nParts > 0) df.repartition(nParts, keys.map(col): _*) else df
+    val va = sized(variants.toDF(("a_id" +: blockCols :+ "vh"): _*))
+    val vb = sized(variants.toDF(("b_id" +: blockCols :+ "vh"): _*))
     // near pairs share MANY variants (every deletion avoiding their
     // differing positions) — distinct before the verify so each pair
     // pays one DP. IDs-only rows on this exchange. The SHUFFLE_HASH
@@ -201,8 +239,10 @@ object Entity {
     // scan), so Spark otherwise picks a BroadcastHashJoin and builds a
     // single-threaded multi-hundred-MB HashedRelation on the driver —
     // measured 17 s of the sf1 query's 23 s. A shuffled hash join
-    // builds per-partition maps in parallel.
-    val cands = va.hint("SHUFFLE_HASH").join(vb, blockCols :+ "vh")
+    // builds per-partition maps in parallel; above the volume gate the
+    // explicit key repartition satisfies the join's distribution (no
+    // second exchange) while shrinking each map to ~1 M rows.
+    val cands = va.hint("SHUFFLE_HASH").join(vb, keys)
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
     cands

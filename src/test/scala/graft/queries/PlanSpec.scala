@@ -218,26 +218,19 @@ class PlanSpec extends SparkSpec {
     assert(dataExchanges <= 3, s"$dataExchanges exchanges:\n" + p.take(800))
   }
 
-  /** Exchanges that carry BOTH a salt key and the REPLICATED side's
-    * vector/norm — the semDeDup grid join's a-side explodes `saltG`
-    * ways, so it must move (a_id, cluster, salt) rows only, with
-    * a_vec/a_norm joining back by id after the candidate join (the
-    * knnGraph idiom): a vector on the replicated exchange ships the
-    * dominant payload `saltG`× for no information gain. The
-    * UNREPLICATED b-side carries b_vec across its salted exchange BY
-    * DESIGN — it crosses exactly once, the same n vector rows a
-    * join-back would move, minus a whole candidate-stream shuffle.
+  /** The cell-local semDeDup plan contract (round 12): vectors cross
+    * exactly ONE exchange — the cluster groupBy that collects each
+    * cell's members — and no candidate pair ever rides an exchange, so
+    * the plan contains NO join at all. (The previous salted-join
+    * formulation shuffled every candidate pair with a vector payload:
+    * >76 GB of spill at the sf10 ladder point for a 51 MB corpus.)
+    * Returns (join operators found, vector-carrying exchange count).
     */
-  private def saltedVecOffenders(name: String): Seq[String] = {
+  private def cellLocalShape(name: String): (Seq[String], String) = {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    val lines = df.queryExecution.explainString(
+    val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      .linesIterator.toSeq
-    lines.zipWithIndex.collect {
-      case (l, i) if l.matches("""\(\d+\) (Exchange|BroadcastExchange).*""") =>
-        lines.slice(i + 1, i + 4).find(_.startsWith("Input"))
-    }.flatten.filter(in => in.contains("salt#") &&
-      (in.contains("a_vec#") || in.contains("a_norm#")))
+    (p.linesIterator.filter(_.matches("""\(\d+\) .*Join.*""")).toSeq, p)
   }
 
   test("doc_curation_funnel: text consumed scan-side — no keyed exchange carries it") {
@@ -256,13 +249,27 @@ class PlanSpec extends SparkSpec {
       "allocation join not broadcast")
   }
 
-  test("emb_semdedup: the replicated salted exchange is IDs-only (no a_vec/a_norm)") {
-    val offenders = saltedVecOffenders("emb_semdedup")
-    assert(offenders.isEmpty, offenders.mkString("\n"))
+  test("emb_semdedup: cell-local — no join at all, dominance inside the cell task") {
+    val (joins, p) = cellLocalShape("emb_semdedup")
+    assert(joins.isEmpty, joins.mkString("\n"))
+    assert(p.contains("cell_dominance") && p.contains("collect_list"),
+      "cell-local kernel missing from the plan")
+    // collect_list partials combine map-side: the one exchange carries
+    // per-cell buffers, never candidate-pair rows
+    assert(p.contains("partial_collect_list") || p.contains("ObjectHashAggregate"),
+      "per-cell collection does not combine map-side")
+    assert(!p.contains("a_vec#") && !p.contains("salt#"),
+      "the retired salted candidate join resurfaced")
   }
 
-  test("emb_semdedup_incremental: both replicated salted exchanges are IDs-only") {
-    val offenders = saltedVecOffenders("emb_semdedup_incremental")
-    assert(offenders.isEmpty, offenders.mkString("\n"))
+  test("emb_semdedup_incremental: cell-local — only the standing-kept id join remains") {
+    val (joins, p) = cellLocalShape("emb_semdedup_incremental")
+    // the QUERY joins standing verdicts back to their vectors by id
+    // (the state a warehouse store keeps materialized); the OPERATOR
+    // itself must contribute no join and no salted candidate stream
+    assert(p.contains("cell_dominance"), "cell-local kernel missing")
+    assert(!p.contains("a_vec#") && !p.contains("salt#"),
+      "the retired salted candidate join resurfaced")
+    assert(joins.size <= 1, s"unexpected joins:\n${joins.mkString("\n")}")
   }
 }
