@@ -177,6 +177,27 @@ class DedupSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("spill-aware exchange sizing is result-invariant (forced sizeParts)") {
+    // the sf10 gates never fire at fixture scale — force the sized
+    // layout directly and pin candidate-set equality: repartitioning
+    // the join inputs on their own join keys must never change rows
+    val docs = graft.source.Tables(spark, sfDir, "documents")
+    val d = docs.select(
+        col("doc_id").as("id"), col("lang"),
+        array_sort(array_distinct(split(col("text"), "\\s+"))).as("w"))
+      .withColumn("nw", size(col("w")))
+    def pairs(parts: Int) = Dedup.prefixCandidates(d, Seq("lang"), 0.8,
+        commonVocab = 10000, hotBucketCap = 100000, sizeParts = parts)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = pairs(0)
+    assert(base.nonEmpty && pairs(7) == base)
+    // and through the hot-grid path (tiny cap sends every bucket hot)
+    def hotPairs(parts: Int) = Dedup.prefixCandidates(d, Seq("lang"), 0.8,
+        commonVocab = 10000, hotBucketCap = 50, sizeParts = parts)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hotPairs(5) == hotPairs(0) && hotPairs(0) == base)
+  }
+
   test("bounded-dictionary fast path ≡ general verify path (ids AND scores)") {
     // the fixture corpus speaks ≤ 64 tokens, so the default call takes the
     // exact-mask fast path (no verify join-back); truncating the rank
