@@ -365,4 +365,108 @@ object VectorExpressions {
 
   def cellDominance(members: Column, tau: Double): Column =
     ColumnBridge.column(CellDominance(ColumnBridge.expression(members), tau))
+
+  /** CELL-LOCAL partial top-k for the kNN graph — the [[CellDominance]]
+    * treatment applied to [[graft.sim.Ivf.knnGraph]]: the cell's task
+    * holds its MEMBERS (corpus vectors assigned here, `probe = false`)
+    * and its VISITORS (vectors probing this cell, `probe = true`) and
+    * emits each visitor's top-`k` members by (cos desc, id asc) —
+    * k·|visitors| rows out of |members|·|visitors| local dot products.
+    * The global top-k per query is the top-k of its ≤ nProbe·k partials
+    * under the SAME total order (any global winner beats every
+    * same-cell rival, so it survives its cell's cut), which the
+    * downstream `TopKByScore` aggregation computes — so the result is
+    * row-identical to the join formulation while NO candidate row ever
+    * rides an exchange: the previous shape shuffled the n^1.5-sized
+    * candidate id stream twice (the two payload join-backs) — 17 GB at
+    * the sf10 ladder point, petabyte-class at 10⁹ vectors — where the
+    * union frame here moves n·(1+nProbe) vector rows once.
+    *
+    * Input: `array<struct<id: bigint, probe: boolean, vec:
+    * array<float>>>` in any order (sorted internally — deterministic,
+    * partition-invariant). Self-pairs (visitor id = member id) are
+    * skipped. Cosine arithmetic mirrors [[DotProduct]] bit-form.
+    * Output: `array<struct<q_id: bigint, n_id: bigint, cos: double>>`.
+    */
+  case class CellTopK(child: Expression, k: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(k >= 1)
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("q_id", LongType, nullable = false),
+      StructField("n_id", LongType, nullable = false),
+      StructField("cos", DoubleType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "cell_topk"
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val ids = new Array[Long](n)
+      val probe = new Array[Boolean](n)
+      val vecs = new Array[Array[Double]](n)
+      val norms = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val row = arr.getStruct(i, 3)
+        ids(i) = row.getLong(0)
+        probe(i) = row.getBoolean(1)
+        val fa = row.getArray(2)
+        val d = fa.numElements()
+        val dv = new Array[Double](d)
+        var j = 0
+        var n2 = 0.0
+        while (j < d) {
+          val x = fa.getFloat(j).toDouble
+          dv(j) = x
+          n2 += x * x
+          j += 1
+        }
+        vecs(i) = dv
+        norms(i) = math.sqrt(n2)
+        i += 1
+      }
+      val members = Array.range(0, n).filter(!probe(_)).sortBy(ids(_))
+      val visitors = Array.range(0, n).filter(probe(_)).sortBy(ids(_))
+      val out = new scala.collection.mutable.ArrayBuffer[Any](visitors.length * k)
+      // bounded insertion top-k per visitor: (cos desc, id asc)
+      val topCos = new Array[Double](k)
+      val topId = new Array[Long](k)
+      visitors.foreach { q =>
+        var size = 0
+        members.foreach { m =>
+          if (ids(m) != ids(q)) {
+            val a = vecs(q); val b = vecs(m)
+            val d = math.min(a.length, b.length)
+            var s = 0.0
+            var t = 0
+            while (t < d) { s += a(t) * b(t); t += 1 }
+            val cos = s / (norms(q) * norms(m))
+            if (size < k || cos > topCos(size - 1) ||
+                (cos == topCos(size - 1) && ids(m) < topId(size - 1))) {
+              var p = math.min(size, k - 1)
+              while (p > 0 && (topCos(p - 1) < cos ||
+                     (topCos(p - 1) == cos && topId(p - 1) > ids(m)))) {
+                topCos(p) = topCos(p - 1); topId(p) = topId(p - 1); p -= 1
+              }
+              topCos(p) = cos; topId(p) = ids(m)
+              if (size < k) size += 1
+            }
+          }
+        }
+        var r = 0
+        while (r < size) {
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            ids(q), topId(r), topCos(r))
+          r += 1
+        }
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def cellTopK(members: Column, k: Int): Column =
+    ColumnBridge.column(CellTopK(ColumnBridge.expression(members), k))
 }

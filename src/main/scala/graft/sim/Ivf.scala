@@ -326,36 +326,37 @@ object Ivf {
     * [[Similarity.knnJoinExact]].
     */
   def knnGraph(corpus: DataFrame, model: IvfModel, k: Int = 5, nProbe: Int = 4,
-               idCol: String = "vec_id", vecCol: String = "embedding",
-               saltG: Int = 8): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val flat = model.flat
-    // The candidate join below keys on `cluster` — model.k distinct values,
-    // so with small payload sides auto-broadcast, the WHOLE per-pair
-    // scoring stage would run in the cluster-join's ≤ model.k reduce
-    // tasks. Grid-salt it (the dedup pipelines' standard treatment): the
-    // probe side keys on (cluster, q_id mod G), the n-sized assignment
-    // side replicates G ways — model.k·G effective keys for O(n·G) extra
-    // input rows, and the n² scoring work spreads regardless of cluster
-    // count or skew. No candidate row ever shuffles either way.
-    val assigned = corpus.select(col(idCol).as("n_id"),
-        element_at(VectorExpressions.nearestCentroids(
-          col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"))
-      .withColumn("salt", explode(sequence(lit(0), lit(saltG - 1))))
-    val probes = corpus.select(col(idCol).as("q_id"),
-        explode(VectorExpressions.nearestCentroids(
-          col(vecCol), flat, model.k, model.dim, nProbe)).as("cluster"))
-      .withColumn("salt", pmod(col("q_id"), lit(saltG)).cast("int"))
-    def side(role: String): DataFrame =
-      corpus.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"),
-        Similarity.l2Norm(col(vecCol)).as(s"${role}_norm"))
+    // CELL-LOCAL since round 12 (the semDeDup treatment): members
+    // (one cell each) and visitors (nProbe cells each) co-group on the
+    // cluster exchange — n·(1+nProbe) vector rows, each crossing ONCE —
+    // and CellTopK runs the |members|·|visitors| scoring inside the
+    // cell's task, emitting k-bounded partials. The final TopKByScore
+    // merge over ≤ nProbe·k partials per query reproduces the global
+    // (cos desc, id asc) selection row-identically (IvfSpec pins ≡
+    // search(corpus, corpus)). The previous join formulation moved the
+    // n^1.5-sized candidate ID stream across TWO exchanges (the payload
+    // join-backs) — 17 GB at the sf10 ladder point, petabyte-class at
+    // 10⁹ vectors; this shape moves 265 MB there. A hot cell is one
+    // task's compute — the repair is IvfStore.splitCell, not a shuffle.
+    def side(isProbe: Boolean): DataFrame = {
+      val cells =
+        if (isProbe) explode(VectorExpressions.nearestCentroids(
+          col(vecCol), flat, model.k, model.dim, nProbe))
+        else element_at(VectorExpressions.nearestCentroids(
+          col(vecCol), flat, model.k, model.dim, 1), 1)
+      corpus.select(cells.as("cluster"),
+        struct(col(idCol).cast("long").as("id"),
+          lit(isProbe).as("probe"), col(vecCol).as("vec")).as("m"))
+    }
     val topk = udaf(new Similarity.TopKByScore(k))
-    assigned.join(probes, Seq("cluster", "salt"))
-      .filter(col("q_id") =!= col("n_id"))
-      .join(side("q"), "q_id").join(side("n"), "n_id")
-      .select(col("q_id"),
-        (Similarity.dot(col("q_vec"), col("n_vec")) /
-          (col("q_norm") * col("n_norm"))).as("cos"),
-        col("n_id"))
+    side(isProbe = false).unionByName(side(isProbe = true))
+      .groupBy(col("cluster"))
+      .agg(collect_list(col("m")).as("ms"))
+      .select(explode(VectorExpressions.cellTopK(col("ms"), k)).as("r"))
+      .select(col("r.q_id").as("q_id"), col("r.cos").as("cos"),
+        col("r.n_id").as("n_id"))
       .groupBy(col("q_id"))
       .agg(topk(col("cos"), col("n_id")).as("nn"))
       .select(col("q_id"), posexplode(col("nn")))
