@@ -67,6 +67,13 @@ object Bench {
         Iterator.from(2).map(i => s"${base}_$i.json"))
         .find(p => !Files.exists(Paths.get(p))).get
     })
+    // Citability stamp (round-13 verdict ask #2): the r10 rule — a bench
+    // record is citable when the PRE-LAUNCH 1-min load is < 2 — must be
+    // auditable from the artifact itself, not from BASELINE.md prose.
+    // Read /proc/loadavg BEFORE SparkSession init (per-rep load_before
+    // readings come after the in-JVM build phase and self-report the
+    // bench's own 32-core work, ~3–9 depending on scale).
+    val preLaunchLoad = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -139,6 +146,7 @@ object Bench {
     }.mkString("[", ",", "]")
     val artifact =
       s"""{"metric":"total","value":$medianTotal,"unit":"sec","sf":"$sfDir","reps":$reps,
+         |"pre_launch_load":"$preLaunchLoad",
          |"build":${jmap(builds)},
          |"queries":${jmap(medians)},
          |"spread":${jmap(spreads)},

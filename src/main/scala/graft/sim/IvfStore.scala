@@ -76,10 +76,13 @@ object IvfStore {
     * batch replaces its own directories with identical content (the
     * assignment is deterministic), so double application cannot
     * duplicate vectors (IvfSpec pins append-twice ≡ append-once).
-    * Callers must pass a stable per-batch id (the foreachBatch batch id).
+    * Callers must pass a stable per-batch id (the foreachBatch batch id)
+    * — REQUIRED, no default: a defaulted id would make two successive
+    * day-2 appends silently share `__batch`, turning the second's
+    * dynamic overwrite into data loss of the first (ADVICE r12).
     */
   def append(batch: DataFrame, model: Ivf.IvfModel, path: String,
-             batchId: Long = 1L,
+             batchId: Long,
              idCol: String = "vec_id",
              vecCol: String = "embedding"): Unit =
     batch.withColumn("cluster",
@@ -116,10 +119,11 @@ object IvfStore {
     * files-touched set), so a 100 TB store pays |cell|, not |corpus|.
     * Single-writer, serving quiesced during the swap (object scaladoc).
     *
-    * Returns the grown model: old centroids with `cell` unchanged
-    * (pole A keeps its list) plus pole B appended as centroid `k` —
-    * callers republish it via [[Ivf.save]] so serving probes both
-    * halves.
+    * Returns the grown model: `cell` carries pole A (the old centroid
+    * when `iters = 0`; the refined pole nearer it otherwise) and pole B
+    * appends as centroid `k` — the poles the members were actually
+    * assigned to, so store layout and model always agree. Callers
+    * republish it via [[Ivf.save]] so serving probes both halves.
     */
   def splitCell(spark: SparkSession, path: String, model: Ivf.IvfModel,
                 cell: Int, iters: Int = 0,
@@ -151,9 +155,17 @@ object IvfStore {
       // in-cell Lloyd refinement: |cell|-sized scans, never the corpus
       val sub = Ivf.train(members.select(col(idCol), col(vecCol)), 2,
         model.dim, iters, idCol, vecCol)
-      // keep pole order stable (old centroid's successor first) so the
-      // retained cell id keeps the list nearer the old centroid
-      poles = sub.centroids
+      // Ivf.train makes no guarantee which refined pole lands at index 0,
+      // but the RETAINED cell id keeps the old centroid in the published
+      // model — so order the poles by distance to the old centroid
+      // (nearer first) or the store layout and the model would disagree
+      // and partial-probe recall silently degrades (ADVICE r12).
+      def d2(a: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - centroid(i); s += d * d; i += 1 }
+        s
+      }
+      poles = sub.centroids.sortBy(d2)
     }
     val reassigned = members.withColumn("cluster",
         when(element_at(VectorExpressions.nearestCentroids(
@@ -179,7 +191,13 @@ object IvfStore {
     if (fs.exists(stagedNew) && !fs.rename(stagedNew, newDir))
       throw new java.io.IOException(s"cell-split publish failed: $newDir")
     fs.delete(staging, true)
-    Ivf.IvfModel(model.centroids :+ poles(1))
+    // publish the poles the members were actually assigned to: with
+    // iters > 0 the retained cell's list sits around the REFINED pole
+    // (poles(0), the one nearer the old centroid), and publishing the
+    // stale centroid would degrade partial-probe recall (ADVICE r12);
+    // iters = 0 keeps poles(0) == centroid, so the oracle replay of the
+    // seed-pole split is bit-identical
+    Ivf.IvfModel(model.centroids.updated(cell, poles(0)) :+ poles(1))
   }
 
   /** Ensure a cluster-partitioned copy of the embeddings table exists

@@ -2091,10 +2091,15 @@ object Dedup {
     *  3. '''Sample''': each survivor keeps with probability
     *     `allocated_src/avail_src` through the deterministic md5 ppm
     *     bucket — saturated sources keep everything, unsaturated ones
-    *     keep at the water level. The keep decision is INTEGER-exact
-    *     (cross-multiplied longs: `bucket·avail·(totW−wSat) <
-    *     (B−aSat)·w·10⁶`), so both engines pick the identical sample —
-    *     no float ever decides a row.
+    *     keep at the water level. The keep decision is INTEGER-exact:
+    *     `bucket·avail·(totW−wSat) < (B−aSat)·w·10⁶`, realized as a
+    *     per-source bucket threshold `keep_lt = ⌈(B−aSat)·w·10⁶ /
+    *     (avail·(totW−wSat))⌉` cross-multiplied in BigInt on the
+    *     driver (the alloc table is source-cardinality — the bounded
+    *     collect class), so both engines pick the identical sample, no
+    *     float ever decides a row, and the arithmetic cannot overflow
+    *     at any corpus size (the in-plan Long form flips decisions
+    *     past ~10¹² tokens·10⁶·den — ADVICE r12).
     *
     * Scale shape: text is read once and never rides a keyed exchange
     * (the funnel contract); the survivor frame is slim (id, source,
@@ -2126,19 +2131,33 @@ object Dedup {
     val budget = totAvail * budgetNum / budgetDen
     val alloc = graft.text.Text.mixtureWaterfill(perSource, budget,
       srcCol, "avail_tokens", "weight")
-    val satRow = alloc.agg(
-      coalesce(sum(when(col("saturated"), col("avail_tokens"))), lit(0L)),
-      coalesce(sum(when(col("saturated"), col("weight"))), lit(0L)),
-      coalesce(sum(col("weight")), lit(0L))).head()
-    val num = budget - satRow.getLong(0)
-    val den = satRow.getLong(2) - satRow.getLong(1)
+    // alloc is |sources| rows — collect it and cross-multiply the keep
+    // threshold in BigInt: keep ⟺ bucket·avail·den < num·w·10⁶ ⟺
+    // bucket < ⌈num·w·10⁶ / (avail·den)⌉ (exact for integer buckets),
+    // clamped to [0, 10⁶] so it rides the plan as one small long
+    val allocRows = alloc
+      .select(col("source"), col("avail_tokens"), col("weight"),
+        col("saturated"))
+      .collect()
+    val num = BigInt(budget) -
+      allocRows.iterator.filter(_.getBoolean(3)).map(r => BigInt(r.getLong(1))).sum
+    val den = allocRows.iterator.map(r => BigInt(r.getLong(2))).sum -
+      allocRows.iterator.filter(_.getBoolean(3)).map(r => BigInt(r.getLong(2))).sum
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val thresholds = allocRows.toSeq.map { r =>
+      val a = BigInt(r.getLong(1)) * den
+      val n = num * BigInt(r.getLong(2)) * BigInt(1000000L)
+      val keepLt =
+        if (r.getBoolean(3)) 1000000L            // saturated: keep all
+        else if (n <= 0 || a <= 0) 0L            // zero weight/allocation
+        else ((n + a - 1) / a).min(BigInt(1000000L)).toLong
+      (r.getString(0), keepLt)
+    }.toDF(srcCol, "__keep_lt")
     surv
-      .join(broadcast(alloc.select(col("source").as(srcCol),
-        col("avail_tokens"), col("weight"), col("saturated"))), srcCol)
-      .filter(col("saturated") ||
-        graft.text.Text.hashModBucket(col(idCol), 1000000) *
-          col("avail_tokens") * lit(den) <
-          lit(num) * col("weight") * lit(1000000L))
+      .join(broadcast(thresholds), srcCol)
+      .filter(graft.text.Text.hashModBucket(col(idCol), 1000000) <
+        col("__keep_lt"))
       .select(col(idCol), col(srcCol), col("ntok"))
   }
 

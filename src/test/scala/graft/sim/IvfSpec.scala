@@ -352,7 +352,8 @@ class IvfSpec extends SparkSpec {
       // day 1: standing corpus builds the layout; day 2: batch appends
       IvfStore.writeCells(emb.filter(col("vec_id") % 17 =!= 0), model,
         path, "overwrite")
-      IvfStore.append(emb.filter(col("vec_id") % 17 === 0), model, path)
+      IvfStore.append(emb.filter(col("vec_id") % 17 === 0), model, path,
+        batchId = 1L)
       val store = spark.read.parquet(path)
       assert(store.count() == emb.count(), "append lost or duplicated rows")
       val queries = emb.filter(col("vec_id").isin(3L, 77L, 240L))
@@ -427,7 +428,8 @@ class IvfSpec extends SparkSpec {
       val want0 = expect(Seq(3L, 77L))
       assert(results(0L) == want0 && want0.nonEmpty)
       // the index grows BETWEEN triggers; the next lookup must see it
-      IvfStore.append(emb.filter(col("vec_id") % 17 === 0), model, storePath)
+      IvfStore.append(emb.filter(col("vec_id") % 17 === 0), model, storePath,
+        batchId = 1L)
       input.addData(queryRows(Seq(3L, 240L))); q.processAllAvailable()
       val want1 = expect(Seq(3L, 240L))
       assert(results(1L) == want1, "post-append lookup served the stale index")
