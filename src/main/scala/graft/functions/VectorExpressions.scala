@@ -366,6 +366,98 @@ object VectorExpressions {
   def cellDominance(members: Column, tau: Double): Column =
     ColumnBridge.column(CellDominance(ColumnBridge.expression(members), tau))
 
+  /** GRID-CELL partial of [[CellDominance]] — the hot-cell fallback of
+    * the cell-local dedup kernels ([[graft.sim.Ivf.semDeDup]]'s census
+    * guard): when an IVF cell outgrows the per-task bound, its members
+    * are grid-salted (the [[graft.text.Dedup]] hot-bucket idiom — row x
+    * with salt g rides the DOMINATOR role to grid rows (g, *) and, if
+    * non-standing, the CANDIDATE role to (*, g)), so each ordered pair
+    * meets in exactly ONE grid cell and this kernel scores only its
+    * |dominators|·|candidates| slice. A candidate j is dominated HERE
+    * when some dominator k admissible under the global order (standing,
+    * or smaller id — self excluded by strictness) clears `cos ≥ tau`;
+    * the global verdict is the OR of j's G partials, which the caller
+    * aggregates (`bool_or`) — OR over any partition of the dominator
+    * set is exactly the unsalted ∃, so the guard is lossless by
+    * construction. Early exit at the first dominator, as the full
+    * kernel.
+    *
+    * Input: `array<struct<id: bigint, standing: boolean, dom: boolean,
+    * vec: array<float>>>` in any order. Output: `array<struct<id:
+    * bigint, dominated: boolean>>` for the dom = false rows, ascending
+    * id. Per-task state is one grid cell's vectors — (|cell|/G)·dim·8 B
+    * per role side.
+    */
+  case class CellDominancePartial(child: Expression, tau: Double)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("dominated", BooleanType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "cell_dominance_partial"
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val ids = new Array[Long](n)
+      val standing = new Array[Boolean](n)
+      val isDom = new Array[Boolean](n)
+      val vecs = new Array[Array[Double]](n)
+      val norms = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val row = arr.getStruct(i, 4)
+        ids(i) = row.getLong(0)
+        standing(i) = row.getBoolean(1)
+        isDom(i) = row.getBoolean(2)
+        val fa = row.getArray(3)
+        val d = fa.numElements()
+        val dv = new Array[Double](d)
+        var j = 0
+        var n2 = 0.0
+        while (j < d) {
+          val x = fa.getFloat(j).toDouble
+          dv(j) = x
+          n2 += x * x
+          j += 1
+        }
+        vecs(i) = dv
+        norms(i) = math.sqrt(n2)
+        i += 1
+      }
+      val doms = Array.range(0, n).filter(isDom(_))
+      val cands = Array.range(0, n).filter(!isDom(_)).sortBy(ids(_))
+      val out = new scala.collection.mutable.ArrayBuffer[Any](cands.length)
+      cands.foreach { j =>
+        var dominated = false
+        var q = 0
+        while (q < doms.length && !dominated) {
+          val k = doms(q)
+          // admissible under the global dominance order: standing beats
+          // every batch member; batch beats strictly-larger batch ids
+          // (id equality = the member's own dominator-role copy: skip)
+          if (standing(k) || ids(k) < ids(j)) {
+            val a = vecs(k); val b = vecs(j)
+            val d = math.min(a.length, b.length)
+            var s = 0.0
+            var t = 0
+            while (t < d) { s += a(t) * b(t); t += 1 }
+            if (s / (norms(k) * norms(j)) >= tau) dominated = true
+          }
+          q += 1
+        }
+        out += org.apache.spark.sql.catalyst.InternalRow(ids(j), dominated)
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def cellDominancePartial(members: Column, tau: Double): Column =
+    ColumnBridge.column(CellDominancePartial(ColumnBridge.expression(members), tau))
+
   /** CELL-LOCAL partial top-k for the kNN graph — the [[CellDominance]]
     * treatment applied to [[graft.sim.Ivf.knnGraph]]: the cell's task
     * holds its MEMBERS (corpus vectors assigned here, `probe = false`)

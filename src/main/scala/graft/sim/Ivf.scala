@@ -21,11 +21,31 @@ import graft.functions.VectorExpressions
   */
 object Ivf {
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.sim.Ivf")
+
   final case class IvfModel(centroids: Array[Array[Double]]) {
     def k: Int = centroids.length
     def dim: Int = centroids.headOption.map(_.length).getOrElse(0)
     def flat: Array[Double] = centroids.flatten
   }
+
+  /** Default per-task member bound for the cell-local kernels
+    * ([[semDeDup]], [[semDeDupIncremental]], [[knnGraph]]): a cell above
+    * this population routes through the grid-salted fallback instead of
+    * one task. Arithmetic behind the number: a collected member struct
+    * is ≈ 4·dim + 40 B (float vec + id/flags/offsets), so 100 k members
+    * at dim 64 collect to ~30 MB — two orders under Spark's 2 GB
+    * single-array hard limit and comfortably inside a task's unified-
+    * memory share ([[graft.ops.ExchangeSizing]]); the task-local compute
+    * bound is cap² pair scorings (10¹⁰ dots at the default, minutes
+    * worst-case, early-exit typical — the straggler ceiling, not a
+    * failure). Cells NEVER reach this under a √n-adaptive nlist with
+    * healthy centroids; the guard exists for the pathological ones
+    * (skewed corpus, stale centroids) that previously meant an
+    * unbounded task or an array-limit crash.
+    */
+  val HotCellCap = 100000
 
   /** Distributed element-wise sum of float vectors (typed Aggregator →
     * UDAF). Buffer is one double[dim] per group per partition.
@@ -326,7 +346,8 @@ object Ivf {
     * [[Similarity.knnJoinExact]].
     */
   def knnGraph(corpus: DataFrame, model: IvfModel, k: Int = 5, nProbe: Int = 4,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               hotCellCap: Int = HotCellCap): DataFrame = {
     val flat = model.flat
     // CELL-LOCAL since round 12 (the semDeDup treatment): members
     // (one cell each) and visitors (nProbe cells each) co-group on the
@@ -338,8 +359,17 @@ object Ivf {
     // search(corpus, corpus)). The previous join formulation moved the
     // n^1.5-sized candidate ID stream across TWO exchanges (the payload
     // join-backs) — 17 GB at the sf10 ladder point, petabyte-class at
-    // 10⁹ vectors; this shape moves 265 MB there. A hot cell is one
-    // task's compute — the repair is IvfStore.splitCell, not a shuffle.
+    // 10⁹ vectors; this shape moves 265 MB there.
+    //
+    // HOT-CELL GUARD (round-13; the dominanceVerdicts rationale): a
+    // census over the union frame gates each cell's (members +
+    // visitors) population; hot cells grid-salt — member x to grid
+    // rows (*, salt(x)), visitor q to (salt(q), *), so each (q, m)
+    // pair meets in exactly ONE grid row — and CellTopK emits the
+    // slice's per-visitor top-k, which the SAME TopKByScore merge
+    // absorbs (top-k of per-slice top-k partials under one total
+    // order ≡ global top-k; the partial count just grows from
+    // nProbe·k to ≤ nProbe·G·k). Durable repair is IvfStore.splitCell.
     def side(isProbe: Boolean): DataFrame = {
       val cells =
         if (isProbe) explode(VectorExpressions.nearestCentroids(
@@ -350,13 +380,51 @@ object Ivf {
         struct(col(idCol).cast("long").as("id"),
           lit(isProbe).as("probe"), col(vecCol).as("vec")).as("m"))
     }
-    val topk = udaf(new Similarity.TopKByScore(k))
-    side(isProbe = false).unionByName(side(isProbe = true))
-      .groupBy(col("cluster"))
+    val union = side(isProbe = false).unionByName(side(isProbe = true))
+    val census: Array[(Int, Long)] =
+      if (hotCellCap <= 0) Array.empty
+      else union.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val hot = census.filter(_._2 > hotCellCap)
+    def partials(df: DataFrame, keys: Seq[String]): DataFrame = df
+      .groupBy(keys.map(col): _*)
       .agg(collect_list(col("m")).as("ms"))
       .select(explode(VectorExpressions.cellTopK(col("ms"), k)).as("r"))
       .select(col("r.q_id").as("q_id"), col("r.cos").as("cos"),
         col("r.n_id").as("n_id"))
+    val partialStream =
+      if (hot.isEmpty) partials(union, Seq("cluster"))
+      else {
+        log.warn(s"hot-cell guard engaged (knnGraph): ${hot.length} " +
+          s"cell(s) above $hotCellCap rows (worst ${hot.map(_._2).max}) — " +
+          s"grid-salting (cells ${hot.map(_._1).mkString(",")}); consider " +
+          "IvfStore.splitCell to repair the index")
+        val hotSet = hot.map(_._1).toSeq
+        val grid = hot.map { case (c, n) =>
+          c -> math.min(64L, (n + hotCellCap - 1) / hotCellCap).toInt
+        }.toMap
+        val g = element_at(typedlit(grid), col("cluster").cast("int"))
+        val hotDf = union.filter(col("cluster").isin(hotSet: _*))
+        // visitor q rides to grid rows (salt(q), *), member m to
+        // (*, salt(m)) — one explode per role axis, expressed as a
+        // conditional array (a generator cannot sit inside when())
+        val salted = hotDf
+          .select(col("cluster"), col("m"),
+            pmod(xxhash64(col("m.id")), g).cast("int").as("salt"),
+            explode(when(col("m.probe"),
+                array(pmod(xxhash64(col("m.id")), g).cast("int")))
+              .otherwise(sequence(lit(0), g - 1))).as("gq"))
+          .select(col("cluster"), col("m"), col("gq"),
+            explode(when(col("m.probe"), sequence(lit(0), g - 1))
+              .otherwise(array(col("salt")))).as("gm"))
+        val hotPartials = partials(salted, Seq("cluster", "gq", "gm"))
+        if (hot.length == census.length) hotPartials
+        else partials(union.filter(!col("cluster").isin(hotSet: _*)),
+            Seq("cluster"))
+          .unionByName(hotPartials)
+      }
+    val topk = udaf(new Similarity.TopKByScore(k))
+    partialStream
       .groupBy(col("q_id"))
       .agg(topk(col("cos"), col("n_id")).as("nn"))
       .select(col("q_id"), posexplode(col("nn")))
@@ -433,25 +501,103 @@ object Ivf {
     * exceeded 76 GB of local spill and could not finish, while the
     * corpus' entire vector payload is 51 MB. Per-cell task state is
     * |cell|·dim doubles (megabytes under [[train]]'s √n-adaptive
-    * nlist); a pathologically hot cell is one task's compute — the
-    * repair for that is [[IvfStore.splitCell]] fed by [[cellHealth]],
-    * not a shuffle.
+    * nlist); a pathologically hot cell routes through the census
+    * guard's grid-salted fallback (see [[dominanceVerdicts]] —
+    * bounded at `hotCellCap` members per task, lossless), and the
+    * durable repair is [[IvfStore.splitCell]] fed by [[cellHealth]].
     *
     * Output: one row per corpus vector — (id, cluster, kept).
     */
   def semDeDup(corpus: DataFrame, model: IvfModel, tau: Double,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               hotCellCap: Int = HotCellCap): DataFrame = {
     val flat = model.flat
-    corpus.select(
-        element_at(VectorExpressions.nearestCentroids(
-          col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"),
-        struct(col(idCol).cast("long").as("id"),
-          lit(false).as("standing"), col(vecCol).as("vec")).as("m"))
+    val assigned = corpus.select(
+      element_at(VectorExpressions.nearestCentroids(
+        col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"),
+      struct(col(idCol).cast("long").as("id"),
+        lit(false).as("standing"), col(vecCol).as("vec")).as("m"))
+    dominanceVerdicts(assigned, tau, hotCellCap, idCol)
+  }
+
+  /** The guarded cell-local dominance plan shared by [[semDeDup]] and
+    * [[semDeDupIncremental]]. `assigned` is (cluster, m: struct<id,
+    * standing, vec>); returns one (idCol, cluster, kept) row per
+    * NON-standing member.
+    *
+    * HOT-CELL GUARD (round-13 verdict ask #1): the unguarded plan
+    * `collect_list`s an entire cell into ONE aggregate row and runs
+    * Σ|cell|² scoring in ONE task — correct and fastest while cells
+    * respect the per-task bound, an unbounded straggler (and, past
+    * ~2 GB of collected vectors, a hard crash) when a cell goes
+    * pathological. The guard is a census gate, the
+    * [[graft.text.Dedup]] `hotGridParts` idiom: cell populations are
+    * one cheap map-side-combined aggregate (≤ k rows to the driver);
+    * cells ≤ `hotCellCap` keep the one-task plan byte-identical, and
+    * each hot cell is GRID-SALTED across G = ⌈pop/cap⌉ ≤ 64 sub-keys —
+    * member x rides its DOMINATOR role to grid rows (salt(x), *) and
+    * its candidate role to (*, salt(x)), every ordered pair meets in
+    * exactly one grid row, [[VectorExpressions.CellDominancePartial]]
+    * scores the slice, and `bool_or` over a candidate's G partials
+    * reproduces the unsalted ∃ exactly (DedupHotCellSpec pins verdict
+    * identity on a planted hot cell). Each grid task holds
+    * ≤ 2·cap members (G× replication applies to hot cells ONLY — the
+    * lossless price of spreading |cell|² work over G² tasks).
+    * `hotCellCap ≤ 0` disables the guard (spec escape hatch).
+    */
+  private def dominanceVerdicts(assigned: DataFrame, tau: Double,
+                                hotCellCap: Int, idCol: String): DataFrame = {
+    def oneTask(df: DataFrame): DataFrame = df
       .groupBy(col("cluster"))
       .agg(collect_list(col("m")).as("members"))
       .select(col("cluster").cast("int").as("cluster"),
         explode(VectorExpressions.cellDominance(col("members"), tau)).as("r"))
       .select(col("r.id").as(idCol), col("cluster"), col("r.kept").as("kept"))
+    // full census, not just the hot slice: ≤ k (int, long) rows — smaller
+    // driver state than the centroid matrix itself — and it tells us
+    // whether any COLD cell exists, so an all-hot corpus skips the
+    // one-task branch instead of unioning an empty subtree
+    val census: Array[(Int, Long)] =
+      if (hotCellCap <= 0) Array.empty
+      else assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val hot = census.filter(_._2 > hotCellCap)
+    if (hot.isEmpty) oneTask(assigned)
+    else {
+      log.warn(s"hot-cell guard engaged: ${hot.length} cell(s) above " +
+        s"$hotCellCap members (worst ${hot.map(_._2).max}) — grid-salting " +
+        s"(cells ${hot.map(_._1).mkString(",")}); consider " +
+        "IvfStore.splitCell to repair the index")
+      val hotSet = hot.map(_._1).toSeq
+      val grid = hot.map { case (c, n) =>
+        c -> math.min(64L, (n + hotCellCap - 1) / hotCellCap).toInt
+      }.toMap
+      val g = element_at(typedlit(grid), col("cluster").cast("int"))
+      val hotDf = assigned.filter(col("cluster").isin(hotSet: _*))
+      val dom = hotDf.select(col("cluster"),
+          pmod(xxhash64(col("m.id")), g).cast("int").as("gd"),
+          explode(sequence(lit(0), g - 1)).as("gc"),
+          struct(col("m.id").as("id"), col("m.standing").as("standing"),
+            lit(true).as("dom"), col("m.vec").as("vec")).as("p"))
+      val cand = hotDf.filter(!col("m.standing")).select(col("cluster"),
+          explode(sequence(lit(0), g - 1)).as("gd"),
+          pmod(xxhash64(col("m.id")), g).cast("int").as("gc"),
+          struct(col("m.id").as("id"), col("m.standing").as("standing"),
+            lit(false).as("dom"), col("m.vec").as("vec")).as("p"))
+        .select(col("cluster"), col("gd"), col("gc"), col("p"))
+      val hotVerdicts = dom.unionByName(cand)
+        .groupBy(col("cluster"), col("gd"), col("gc"))
+        .agg(collect_list(col("p")).as("members"))
+        .select(col("cluster").cast("int").as("cluster"),
+          explode(VectorExpressions.cellDominancePartial(
+            col("members"), tau)).as("r"))
+        .groupBy(col("r.id").as(idCol), col("cluster"))
+        .agg((!bool_or(col("r.dominated"))).as("kept"))
+        .select(col(idCol), col("cluster"), col("kept"))
+      if (hot.length == census.length) hotVerdicts
+      else oneTask(assigned.filter(!col("cluster").isin(hotSet: _*)))
+        .unionByName(hotVerdicts)
+    }
   }
 
   /** Incremental [[semDeDup]] — the day-2 shape: a batch of NEW vectors
@@ -481,7 +627,8 @@ object Ivf {
   def semDeDupIncremental(standingKept: DataFrame, batch: DataFrame,
                           model: IvfModel, tau: Double,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding"): DataFrame = {
+                          vecCol: String = "embedding",
+                          hotCellCap: Int = HotCellCap): DataFrame = {
     val flat = model.flat
     def side(df: DataFrame, isStanding: Boolean): DataFrame =
       df.select(
@@ -489,13 +636,10 @@ object Ivf {
           col(vecCol), flat, model.k, model.dim, 1), 1).as("cluster"),
         struct(col(idCol).cast("long").as("id"),
           lit(isStanding).as("standing"), col(vecCol).as("vec")).as("m"))
-    side(standingKept, isStanding = true)
-      .unionByName(side(batch, isStanding = false))
-      .groupBy(col("cluster"))
-      .agg(collect_list(col("m")).as("members"))
-      .select(col("cluster").cast("int").as("cluster"),
-        explode(VectorExpressions.cellDominance(col("members"), tau)).as("r"))
-      .select(col("r.id").as(idCol), col("cluster"), col("r.kept").as("kept"))
+    dominanceVerdicts(
+      side(standingKept, isStanding = true)
+        .unionByName(side(batch, isStanding = false)),
+      tau, hotCellCap, idCol)
   }
 
   /** One micro-batch step of STREAMING SemDeDup over a batch-partitioned

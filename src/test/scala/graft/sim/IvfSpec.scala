@@ -539,4 +539,88 @@ class IvfSpec extends SparkSpec {
       rows(Similarity.bruteForceTopK(emb, queries, k = 10)),
       "all-probe search over the split store diverged from brute force")
   }
+
+  // --- hot-cell guard (round 13): the cell-local kernels must BOUND a
+  // pathological cell instead of handing it to one task ---------------
+
+  private def verdictRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+
+  test("semDeDup hot-cell guard: planted one-cell corpus engages the grid fallback; verdicts ≡ ungated") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    // a single-centroid model concentrates the ENTIRE corpus in cell 0 —
+    // the pathological shape (stale centroids / skewed corpus)
+    val one = Ivf.IvfModel(Array(
+      emb.filter(col("vec_id") === 0).select(col("embedding")).collect()
+        .head.getSeq[Float](0).toArray.map(_.toDouble)))
+    assert(emb.count() > 50, "fixture too small to plant a hot cell")
+    val guarded = Ivf.semDeDup(emb, one, tau = 0.95, hotCellCap = 50)
+    val ungated = Ivf.semDeDup(emb, one, tau = 0.95, hotCellCap = 0)
+    // the guard ENGAGED: the grid kernel is in the executed plan, and
+    // the one-task kernel is not
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(plan.contains("cell_dominance_partial"),
+      s"guard did not engage on a planted hot cell:\n$plan")
+    assert(!plan.contains("cell_dominance("),
+      "hot cell still routed through the one-task kernel")
+    assert(ungated.queryExecution.executedPlan.toString
+      .contains("cell_dominance("), "escape hatch lost the one-task plan")
+    // and it is LOSSLESS: verdicts identical
+    assert(verdictRows(guarded) == verdictRows(ungated) &&
+      verdictRows(guarded).nonEmpty,
+      "grid fallback diverged from the one-task kernel")
+  }
+
+  test("semDeDup hot-cell guard: mixed hot/cold cells — cold keep the one-task plan, verdicts ≡ ungated") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val model = Ivf.train(emb, nCentroids = 8, dim = 64, iters = 1)
+    // pick a cap between the largest and smallest cell so BOTH paths run
+    val sizes = Ivf.assign(emb, model).groupBy(col("cluster")).count()
+      .collect().map(_.getLong(1)).sorted
+    val cap = sizes(sizes.length / 2).toInt
+    assume(sizes.head <= cap && sizes.last > cap, "degenerate cell sizes")
+    val guarded = Ivf.semDeDup(emb, model, tau = 0.95, hotCellCap = cap)
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(plan.contains("cell_dominance_partial") &&
+      plan.contains("cell_dominance("),
+      s"expected BOTH kernels in the mixed plan:\n$plan")
+    assert(verdictRows(guarded) ==
+      verdictRows(Ivf.semDeDup(emb, model, tau = 0.95, hotCellCap = 0)),
+      "mixed hot/cold verdicts diverged from ungated")
+  }
+
+  test("semDeDupIncremental hot-cell guard: standing-priority verdicts ≡ ungated under the grid") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val one = Ivf.IvfModel(Array(
+      emb.filter(col("vec_id") === 0).select(col("embedding")).collect()
+        .head.getSeq[Float](0).toArray.map(_.toDouble)))
+    val standing = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val standingKept = Ivf.semDeDup(standing, one, tau = 0.95)
+      .filter(col("kept")).select(col("vec_id"))
+      .join(standing, "vec_id").select(col("vec_id"), col("embedding"))
+    val guarded = Ivf.semDeDupIncremental(standingKept, batch, one,
+      tau = 0.95, hotCellCap = 40)
+    assert(guarded.queryExecution.executedPlan.toString
+      .contains("cell_dominance_partial"), "guard did not engage")
+    assert(verdictRows(guarded) == verdictRows(Ivf.semDeDupIncremental(
+      standingKept, batch, one, tau = 0.95, hotCellCap = 0)) &&
+      verdictRows(guarded).nonEmpty,
+      "incremental grid fallback diverged from the one-task kernel")
+  }
+
+  test("knnGraph hot-cell guard: grid partials merge to the identical graph") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val model = Ivf.train(emb, nCentroids = 4, dim = 64, iters = 1)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val guarded = Ivf.knnGraph(emb, model, k = 5, nProbe = 2, hotCellCap = 30)
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(plan.contains("cell_topk"), s"cell kernel missing:\n$plan")
+    assert(plan.contains("gq") && plan.contains("gm"),
+      s"guard did not engage (no grid keys in plan):\n$plan")
+    val ungated = Ivf.knnGraph(emb, model, k = 5, nProbe = 2, hotCellCap = 0)
+    assert(key(guarded) == key(ungated) && key(guarded).nonEmpty,
+      "grid-salted knnGraph diverged from the one-task plan")
+  }
 }
