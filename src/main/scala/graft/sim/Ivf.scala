@@ -305,11 +305,15 @@ object Ivf {
     * probed cell directories — the serving cost is per-REQUEST, never
     * per-corpus.
     *
-    * Store-coordination contract: appends/splits run QUIESCED relative
-    * to triggers (the [[IvfStore]] single-writer contract) — a trigger
-    * listing files concurrently with an in-flight publish could observe
-    * a partial task-file set (neither the old nor the new index). At
-    * deployment scale, version the cell store like
+    * Store-coordination contract: each trigger first runs
+    * [[IvfStore.recoverSplits]] (one file listing when idle), so a
+    * maintenance split that crashed mid-swap is completed before the
+    * read and the trigger always serves a COMMITTED snapshot — never a
+    * tree missing the split cell. Appends/splits still run QUIESCED
+    * relative to the trigger's read instant (the [[IvfStore]]
+    * single-writer contract): a trigger listing files concurrently
+    * with an in-flight publish could observe a partial task-file set.
+    * At deployment scale, version the cell store like
     * [[graft.ops.VersionedState]] (publish `__store_vN`, triggers read
     * the newest complete version) if maintenance must overlap serving.
     */
@@ -323,6 +327,7 @@ object Ivf {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (b: DataFrame, id: Long) =>
+        IvfStore.recoverSplits(b.sparkSession, cellStorePath)
         val store = b.sparkSession.read.parquet(cellStorePath)
         sink(prunedSearch(store, b, model, k, nProbe, idCol, vecCol), id)
       }

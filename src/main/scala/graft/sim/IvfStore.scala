@@ -112,12 +112,31 @@ object IvfStore {
     * within the cell refine the two poles for production use (not
     * SQL-replayable; off by default).
     *
-    * Physical contract: stage the two new cell directories, then swap —
-    * delete `cluster=<cell>`, move `cluster=<cell>` and
-    * `cluster=<k>` (the new cell takes the next free id) into place.
-    * Every other cell directory is untouched (IvfSpec asserts the
-    * files-touched set), so a 100 TB store pays |cell|, not |corpus|.
-    * Single-writer, serving quiesced during the swap (object scaladoc).
+    * Physical contract: stage the two new cell directories, write a
+    * COMMIT MARKER (dot-prefixed, invisible to readers), then swap —
+    * delete `cluster=<cell>`, move `cluster=<cell>` and `cluster=<k>`
+    * (the new cell takes the next free id) into place, delete the
+    * marker last. Every other cell directory is untouched (IvfSpec
+    * asserts the files-touched set), so a 100 TB store pays |cell|,
+    * not |corpus|. The marker is the crash-window discipline of
+    * [[graft.ops.VersionedState]] applied to the in-place swap: the
+    * staging copy is COMPLETE before the marker exists, and the swap
+    * is idempotent per half (staged dir present ⇒ replace target), so
+    * a crash anywhere between the marker write and the marker delete
+    * is recovered exactly by [[recoverSplits]] — no interleaving loses
+    * a cell (previously a crash between the delete and the renames
+    * silently dropped the cell from the serving tree, ADVICE r12).
+    * [[splitCell]] runs recovery itself on entry, and
+    * [[Ivf.servingStream]] runs it per trigger, so both the re-run
+    * and the reader always see a committed snapshot. Single-writer,
+    * serving quiesced during the swap instant (object scaladoc).
+    *
+    * The CENTROID TABLE's crash story is separate and already gated:
+    * [[Ivf.save]] republishes under a `_SUCCESS` completeness check
+    * ([[Ivf.trainOrLoad]] treats a half-written table as absent), and
+    * callers publishing a grown model should write it to a FRESH
+    * model-tagged path (the `ann_cell_split` chain does) — publish by
+    * fresh name is atomic by construction.
     *
     * Returns the grown model: `cell` carries pole A (the old centroid
     * when `iters = 0`; the refined pole nearer it otherwise) and pole B
@@ -130,6 +149,10 @@ object IvfStore {
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): Ivf.IvfModel = {
     require(cell >= 0 && cell < model.k, s"no such cell: $cell")
+    // self-heal before reading: a crashed predecessor's committed swap
+    // completes here, so the re-run sees the full store instead of
+    // throwing "cell is empty" on a half-swapped tree
+    recoverSplits(spark, path)
     val members = spark.read.parquet(path)
       .filter(col("cluster") === cell)
       .select(col(idCol), col(vecCol), col("__batch"))
@@ -172,25 +195,22 @@ object IvfStore {
           col(vecCol), poles.flatten, 2, model.dim, 1), 1) === 0,
           lit(cell)).otherwise(lit(model.k)))
       .repartition(col("cluster"))
-    // stage → swap: the staging write is a complete copy of BOTH halves;
-    // the swap window (delete old dir, move two dirs in) is the
-    // single-writer/quiesced-serving contract from the object scaladoc
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stage → commit-mark → swap → unmark: the staging write is a
+    // complete copy of BOTH halves BEFORE the marker exists, so the
+    // marker's presence certifies "the swap may be replayed from
+    // staging"; recoverSplits replays it after any crash
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(path,
       s".split_$cell.staging.${java.lang.ProcessHandle.current().pid()}")
     reassigned.write.partitionBy("cluster", "__batch")
       .mode("overwrite").parquet(staging.toString)
-    val oldDir = new Path(path, s"cluster=$cell")
-    val newDir = new Path(path, s"cluster=${model.k}")
-    fs.delete(oldDir, true)
-    fs.delete(newDir, true)
-    val stagedOld = new Path(staging, s"cluster=$cell")
-    val stagedNew = new Path(staging, s"cluster=${model.k}")
-    if (fs.exists(stagedOld) && !fs.rename(stagedOld, oldDir))
-      throw new java.io.IOException(s"cell-split publish failed: $oldDir")
-    if (fs.exists(stagedNew) && !fs.rename(stagedNew, newDir))
-      throw new java.io.IOException(s"cell-split publish failed: $newDir")
-    fs.delete(staging, true)
+    val marker = new Path(path, s".split_commit_${cell}_${model.k}")
+    val out = fs.create(marker, true)
+    out.write(staging.getName.getBytes("UTF-8"))
+    out.close()
+    completeSwap(fs, root, staging, Seq(cell, model.k))
+    fs.delete(marker, false)
     // publish the poles the members were actually assigned to: with
     // iters > 0 the retained cell's list sits around the REFINED pole
     // (poles(0), the one nearer the old centroid), and publishing the
@@ -198,6 +218,60 @@ object IvfStore {
     // iters = 0 keeps poles(0) == centroid, so the oracle replay of the
     // seed-pole split is bit-identical
     Ivf.IvfModel(model.centroids.updated(cell, poles(0)) :+ poles(1))
+  }
+
+  private val SplitMarkerRe = """\.split_commit_(\d+)_(\d+)""".r
+
+  /** Replay one committed swap: for each half whose staged directory
+    * still exists, replace the target cell directory with it; then drop
+    * the staging root. Idempotent — a half already swapped has no
+    * staged dir and is left alone — so any crash point inside the swap
+    * replays to the same final tree.
+    */
+  private def completeSwap(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                           staging: Path, cells: Seq[Int]): Unit = {
+    cells.foreach { c =>
+      val staged = new Path(staging, s"cluster=$c")
+      if (fs.exists(staged)) {
+        val target = new Path(root, s"cluster=$c")
+        fs.delete(target, true)
+        if (!fs.rename(staged, target))
+          throw new java.io.IOException(s"cell-split publish failed: $target")
+      }
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Crash recovery for [[splitCell]]: complete every swap whose commit
+    * marker survives. A marker exists only while its staging copy is
+    * complete (written after staging, deleted after the swap), so
+    * replaying [[completeSwap]] and dropping the marker restores the
+    * committed snapshot from ANY crash point; markerless staging
+    * debris (crash before commit) is left in place — dot-prefixed,
+    * invisible to readers, and reclaimed by the next split of that
+    * cell. One file listing when there is nothing to do. Runs inside
+    * [[splitCell]] on entry and per [[Ivf.servingStream]] trigger;
+    * standalone writers call it on startup.
+    */
+  def recoverSplits(spark: SparkSession, path: String): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).filter(e => !e.isDirectory).foreach { e =>
+      e.getPath.getName match {
+        case SplitMarkerRe(c, n) =>
+          val stagingName = {
+            val in = fs.open(e.getPath)
+            try new String(
+              org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+            finally in.close()
+          }
+          completeSwap(fs, root, new Path(root, stagingName),
+            Seq(c.toInt, n.toInt))
+          fs.delete(e.getPath, false)
+        case _ =>
+      }
+    }
   }
 
   /** Ensure a cluster-partitioned copy of the embeddings table exists

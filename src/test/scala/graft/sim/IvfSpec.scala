@@ -540,6 +540,57 @@ class IvfSpec extends SparkSpec {
       "all-probe search over the split store diverged from brute force")
   }
 
+  test("splitCell crash window: a kill between the old-cell delete and the renames is recovered from the commit marker") {
+    import org.apache.commons.io.FileUtils
+    val emb = Tables(spark, sfDir, "embeddings")
+    val model = Ivf.IvfModel(
+      emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble)))
+    val base = java.nio.file.Files.createTempDirectory("ivf_crash")
+    val livePath = base.resolve("cells").toString
+    val clonePath = base.resolve("clone").toString
+    IvfStore.writeCells(emb, model, livePath, "overwrite")
+    FileUtils.copyDirectory(new java.io.File(livePath),
+      new java.io.File(clonePath))
+    // the truth: a split that RAN TO COMPLETION on the clone
+    IvfStore.splitCell(spark, clonePath, model, cell = 3)
+    def rows(p: String) = spark.read.parquet(p)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = rows(clonePath)
+    // fabricate the crashed attempt on the live store: staging complete
+    // (content = the clone's two post-split halves), commit marker
+    // written, old cell dir deleted — and the process dies HERE, before
+    // either rename (the exact window ADVICE r12 flagged)
+    val staging = new java.io.File(livePath, ".split_3.staging.testcrash")
+    FileUtils.copyDirectory(new java.io.File(clonePath, "cluster=3"),
+      new java.io.File(staging, "cluster=3"))
+    FileUtils.copyDirectory(new java.io.File(clonePath, "cluster=8"),
+      new java.io.File(staging, "cluster=8"))
+    java.nio.file.Files.write(
+      new java.io.File(livePath, ".split_commit_3_8").toPath,
+      staging.getName.getBytes("UTF-8"))
+    FileUtils.deleteDirectory(new java.io.File(livePath, "cluster=3"))
+    // without recovery the reader is missing the cell — the old bug
+    assert(rows(livePath) != want, "crash fabrication did not take")
+    IvfStore.recoverSplits(spark, livePath)
+    assert(rows(livePath) == want,
+      "recovery did not restore the committed snapshot")
+    assert(!new java.io.File(livePath, ".split_commit_3_8").exists() &&
+      !staging.exists(), "recovery left the marker or staging behind")
+    // idempotent: a second recovery pass is a no-op
+    IvfStore.recoverSplits(spark, livePath)
+    assert(rows(livePath) == want)
+    // markerless staging debris (crash BEFORE commit) is ignored
+    val orphan = new java.io.File(livePath, ".split_5.staging.orphan")
+    FileUtils.copyDirectory(new java.io.File(clonePath, "cluster=5"),
+      new java.io.File(orphan, "cluster=5"))
+    IvfStore.recoverSplits(spark, livePath)
+    assert(rows(livePath) == want && orphan.exists(),
+      "uncommitted staging must not be swapped in")
+  }
+
   // --- hot-cell guard (round 13): the cell-local kernels must BOUND a
   // pathological cell instead of handing it to one task ---------------
 
