@@ -816,7 +816,7 @@ object Dedup {
     val ranks = tokenRanks(d, commonVocab)
     // spill-aware exchange sizing for the hinted SHJ joins below — one
     // scan-free bytes gate, 0 (plan unchanged) at every sf ≤ 1 scale
-    val parts = candJoinParts(tokenVolume(docs, textCol))
+    val parts = candJoinParts(docs.sparkSession, tokenVolume(docs, textCol))
     exactMaskFromRanks(ranks, commonVocab) match {
       case mask @ Some(_) =>
         // BOUNDED-DICTIONARY FAST PATH (the containmentScored treatment
@@ -896,7 +896,7 @@ object Dedup {
     val ranks = tokenRanks(dAll, commonVocab)
     // spill-aware sizing: one cheap aggregate over the CHECKPOINTED
     // union (no kernel re-run) prices the exploded index volume
-    val parts = candJoinParts(Option(
+    val parts = candJoinParts(dAll.sparkSession, Option(
       dAll.agg(sum(col("nw").cast("long"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L))
     exactMaskFromRanks(ranks, commonVocab) match {
@@ -977,7 +977,7 @@ object Dedup {
           math.ceil(math.sqrt(maxProd.toDouble / hotBucketCap)).toLong).toInt
         // the hot path replicates both sides grid× — size its exchange
         // from the census (hotGridParts; non-spilling SHJ builds)
-        val hotParts = hotGridParts(
+        val hotParts = hotGridParts(a.sparkSession,
           hotRows.map(r => math.max(r.getLong(1), r.getLong(2))).sum * grid)
         val hotKeys = blockCols ++ Seq("token", "g1", "g2")
         def sizedHot(df: DataFrame): DataFrame =
@@ -1022,20 +1022,19 @@ object Dedup {
   }
 
   /** SPILL-AWARE partition count for the hinted shuffled-hash joins of
-    * the AllPairs pipelines: a shuffled-hash build does NOT spill —
-    * every per-partition map must FIT in task memory — and the exploded
-    * index volume is invisible to the planner (size stats come from the
-    * pre-explode scan), so above the gate the exchange is sized here.
-    * `tokenInstances` is any honest over-estimate of the bigger join
-    * side's rows; returns 0 ("default layout, no extra exchange")
-    * below 32 M. The sf10 ladder forced this: 500 k docs' prefix/full
-    * token indexes over the default 32 partitions OOM'd the build
-    * ("not enough memory to build hash map") while every smaller gate
-    * scale keeps its plan byte-identical.
+    * the AllPairs pipelines — [[graft.ops.ExchangeSizing]] with this
+    * call site's row shape: a token-index row is (8 B id + short token
+    * string + shuffle-row overhead) ≈ 150 B, and `tokenInstances` (ALL
+    * token instances) over-counts the prefix-index build rows ≥ 2× —
+    * hence the gate slack. The sf10 ladder forced the forced exchange:
+    * 500 k docs' token indexes over the default 32 partitions OOM'd
+    * the non-spilling build ("not enough memory to build hash map")
+    * while every smaller gate scale keeps its plan byte-identical.
     */
-  private[text] def candJoinParts(tokenInstances: Long): Int =
-    if (tokenInstances < 32L * 1000 * 1000) 0
-    else math.min(16384L, tokenInstances / 500000L + 1).toInt
+  private[text] def candJoinParts(spark: org.apache.spark.sql.SparkSession,
+                                  tokenInstances: Long): Int =
+    graft.ops.ExchangeSizing.shjBuildParts(spark, tokenInstances,
+      bytesPerRow = 150, gateSlack = 2.0)
 
   /** Hot-GRID exchange sizing: the grid-salted hot path REPLICATES its
     * inputs `grid`× by construction, so its build volume is exactly
@@ -1044,13 +1043,14 @@ object Dedup {
     * every bucket hot, and at the sf10 ladder point the replicated
     * build (≈ 32 M rows over 32 partitions) OOM'd the non-spilling
     * shuffled-hash maps while the INPUT volume sat below every gate.
-    * ~250 k rows per map — sized for the per-task execution share of a
-    * worker running tens of concurrent tasks (unified memory / tasks,
-    * not the whole heap); 0 = keep the default layout.
+    * Row shape: a replicated grid row carries ids + token + two grid
+    * keys + payload refs ≈ 300 B ([[graft.ops.ExchangeSizing]] derives
+    * the rows-per-map); 0 = keep the default layout.
     */
-  private[text] def hotGridParts(replicatedRows: Long): Int =
-    if (replicatedRows < 8L * 1000 * 1000) 0
-    else math.min(16384L, replicatedRows / 250000L + 1).toInt
+  private[text] def hotGridParts(spark: org.apache.spark.sql.SparkSession,
+                                 replicatedRows: Long): Int =
+    graft.ops.ExchangeSizing.shjBuildParts(spark, replicatedRows,
+      bytesPerRow = 300)
 
   /** Token-instance volume of a corpus for [[candJoinParts]], measured
     * ONLY when the input's file bytes clear 30 MB (one scan-free file
@@ -1169,7 +1169,8 @@ object Dedup {
         val grid = math.min(32L, (maxN + hotBucketCap - 1) / hotBucketCap).toInt
         // the hot path replicates both sides grid× — size its exchange
         // from the census (hotGridParts; non-spilling SHJ builds)
-        val hotParts = hotGridParts(hotRows.map(_.getLong(1)).sum * grid)
+        val hotParts = hotGridParts(a.sparkSession,
+          hotRows.map(_.getLong(1)).sum * grid)
         val hotKeys = blockCols ++ Seq("token", "g1", "g2")
         def sizedHot(df: DataFrame): DataFrame =
           if (hotParts > 0) df.repartition(hotParts, hotKeys.map(col): _*)
@@ -1483,7 +1484,7 @@ object Dedup {
       .withColumn("nw", size(col("w")))
     val ranks = tokenRanks(d, commonVocab)
     // spill-aware exchange sizing (see candJoinParts) — 0 below the gate
-    val parts = candJoinParts(tokenVolume(docs, textCol))
+    val parts = candJoinParts(docs.sparkSession, tokenVolume(docs, textCol))
     exactMaskFromRanks(ranks, commonVocab) match {
       case mask @ Some(_) =>
         val scored = containmentCandidatesAB(d, d, ranks, blockCols,
@@ -1599,7 +1600,7 @@ object Dedup {
     val ranks = tokenRanks(dAll, commonVocab)
     val maskOpt = exactMaskFromRanks(ranks, commonVocab)
     // spill-aware sizing from the checkpointed union (no kernel re-run)
-    val parts = candJoinParts(Option(
+    val parts = candJoinParts(dAll.sparkSession, Option(
       dAll.agg(sum(col("nw").cast("long"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L))
     if (maskOpt.isDefined) {
@@ -1752,7 +1753,7 @@ object Dedup {
           math.ceil(math.sqrt(maxProd.toDouble / hotBucketCap)).toLong).toInt
         // the hot path replicates BOTH sides grid× — size its exchange
         // from the census (hotGridParts; non-spilling SHJ builds)
-        val hotParts = hotGridParts(
+        val hotParts = hotGridParts(bAll.sparkSession,
           hotRows.map(r => math.max(r.getLong(1), r.getLong(2))).sum * grid)
         val hotKeys = blockCols ++ Seq("token", "g1", "g2")
         def sizedHot(df: DataFrame): DataFrame =

@@ -187,15 +187,16 @@ object Entity {
   /** SPILL-AWARE partition count for the variant join: a shuffled-hash
     * build does NOT spill — every per-partition map must FIT in task
     * memory — and the explode's volume is invisible to the planner
-    * (size stats come from the pre-explode scan), so the exchange is
-    * sized HERE from the arithmetic variant-count bound
-    * Σ (1 + len + C(len, 2)) — one lengths-only scan, no kernel run.
-    * Returns 0 ("keep the default layout, no extra exchange") below
-    * 32 M estimated build rows, else enough partitions for ~1 M rows
-    * per map. The sf10 ladder forced this: 1.5 M names × ~170 variants
-    * = 255 M build rows over the default 32 partitions OOM'd every
-    * task ("not enough memory to build hash map"), while sf0.1/sf1
-    * volumes stay under the gate and keep their plans byte-identical.
+    * (size stats come from the pre-explode scan), so the build volume
+    * comes from the arithmetic variant-count bound
+    * Σ (1 + len + C(len, 2)) — one lengths-only scan, no kernel run —
+    * and [[graft.ops.ExchangeSizing]] turns it into a layout. Row
+    * shape: a variant row is (8 B id + short variant-hash string +
+    * shuffle overhead) ≈ 74 B. The sf10 ladder forced this: 1.5 M
+    * names × ~170 variants = 255 M build rows over the default 32
+    * partitions OOM'd every task ("not enough memory to build hash
+    * map"), while sf0.1/sf1 volumes stay under the gate and keep
+    * their plans byte-identical.
     */
   private def variantJoinParts(slim: DataFrame, maxDist: Int): Int = {
     val l = length(col("s")).cast("long")
@@ -208,8 +209,8 @@ object Entity {
     }
     val total = slim.agg(coalesce(sum(est.cast("long")), lit(0L)))
       .head().getLong(0)
-    if (total < 32L * 1000 * 1000) 0
-    else math.min(16384L, total / 1000000L + 1).toInt
+    graft.ops.ExchangeSizing.shjBuildParts(slim.sparkSession, total,
+      bytesPerRow = 74)
   }
 
   /** Deletion-neighborhood candidate generation + DP verify (see
