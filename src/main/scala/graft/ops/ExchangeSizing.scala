@@ -98,4 +98,27 @@ object ExchangeSizing {
     if (estBuildRows <= (gateSlack * layout * rpm).toLong) 0
     else math.min(MaxParts, estBuildRows / rpm + 1).toInt
   }
+
+  /** Spark's hard cap on one broadcast relation (8 GiB). */
+  private val BroadcastHardCap = 8L * 1024 * 1024 * 1024
+
+  /** Max bytes a runtime-built broadcast relation may claim. Every
+    * executor holds ONE deserialized copy shared by its task slots (and
+    * the driver builds it first), so unlike a per-task hash build the
+    * bound is a share of the WHOLE heap: a fifth of the smaller of the
+    * driver and executor heaps — small enough that two live relations
+    * plus storage never crowd execution memory — capped at Spark's 8 GiB
+    * hard limit. Callers compare a measured volume (edge census, not
+    * planner stats — same blindness rationale as [[shjBuildParts]])
+    * against this and pick a broadcast plan only under the budget.
+    */
+  def broadcastBudgetBytes(spark: SparkSession): Long = {
+    val conf = spark.sparkContext.getConf
+    val driverHeap = Runtime.getRuntime.maxMemory
+    val executorHeap = conf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(driverHeap)
+    math.min((math.min(driverHeap, executorHeap) * 0.2).toLong,
+      BroadcastHardCap)
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.storage.StorageLevel
 
 /** Graph analytics over the event stream: the user-journey transition
   * graph (the Markov-chain view behind the reference README's promised
@@ -16,6 +17,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * corpus-size-independent state no matter how many events were scanned.
   */
 object Graph {
+
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.ops.Graph")
+
+  /** Iteration-state checkpoint for the loops below: SERIALIZED storage.
+    * The default deserialized level keeps one on-heap object graph per
+    * row — on the sf10 dup graph (391 M edges) that is several times the
+    * UnsafeRow payload, and the eviction-to-disk of those blocks across
+    * rounds is what filled the box's 75 GB disk before round 13's fix.
+    * MEMORY_AND_DISK_SER stores the rows as compact serialized blocks
+    * (2-long edge rows ≈ 24 B each) whether resident or spilled.
+    */
+  private def ckptSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+
+  /** Free a [[ckptSer]] checkpoint's blocks the moment the NEXT round's
+    * checkpoint is materialized. Without this every round's full edge
+    * list stays pinned until the JVM's ContextCleaner happens to collect
+    * the dataset — at sf10 six ~10 GB block sets accumulate and the disk
+    * fills mid-query. The checkpointed RDD sits behind the dataset's
+    * `LogicalRDD`; unpersisting it directly is deterministic where GC is
+    * not. No-op on non-checkpointed plans.
+    */
+  private def freeCkpt(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Directed transition counts between consecutive events of each user
     * (event-time order, `event_id` tiebreak): edge (src → dst, weight n).
@@ -101,7 +129,7 @@ object Graph {
     val ew = e0.join(outw, "src") // src, dst, n, outw — ≤ |V|² rows
     val teleport = scale * 15L / 100L
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ew
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
@@ -109,12 +137,18 @@ object Graph {
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
       // truncate lineage each round: ranks is ≤ |V| rows, and without
       // the checkpoint the final action analyzes/executes a plan that
-      // deepens by two joins + an aggregation per iteration
-      ranks = nodes
+      // deepens by two joins + an aggregation per iteration. The
+      // superseded round's blocks are freed immediately ([[freeCkpt]] —
+      // tiny here, but the same discipline that keeps kCore's disk
+      // bounded; the first iteration must not free e0's blocks, which
+      // the initial non-checkpointed `ranks` plan shares).
+      val next = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("rank"))
         .localCheckpoint()
+      if (i > 1) freeCkpt(ranks)
+      ranks = next
     }
     ranks
   }
@@ -135,20 +169,13 @@ object Graph {
     * semi-join, all IDs-only shuffles on bounded keys.
     */
   def triangleStats(edges: DataFrame,
-                    aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+                    aCol: String = "a_id", bCol: String = "b_id",
+                    broadcastBudget: Long = -1L): DataFrame = {
     val e = edges.select(col(aCol).as("x"), col(bCol).as("y"))
     val sym = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
     val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("deg"))
       .select(col("x").as("v_id"), col("deg"))
-    val closed = closedWedges(sym, deg)
-    // ONE pass over the closed-wedge stream: each triangle explodes into
-    // its three corners feeding a map-side-combined count. (A unionAll of
-    // three projections reads as equivalent but re-executes the whole
-    // wedge pipeline per branch — Spark does not common-subexpression
-    // unions — which tripled the dominant stage: 90 s → 54 s at sf1.)
-    val perVertex = closed
-      .select(explode(array(col("u"), col("v"), col("w"))).as("v_id"))
-      .groupBy(col("v_id")).agg(count(lit(1)).as("triangles"))
+    val perVertex = cornerCounts(sym, deg, e.count(), broadcastBudget)
     deg.join(perVertex, Seq("v_id"), "left")
       .select(col("v_id"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
@@ -180,9 +207,11 @@ object Graph {
     * primitive comparisons inside one fused kernel and materializes
     * ONLY real triangles (54 s → 11 s at sf1, identical output).
     * Out-adjacency is broadcast (total = m longs — the same IDs-only
-    * payload the wedge close used to broadcast); for graphs whose edge
-    * list outgrows broadcast, remove the hint and both adjacency joins
-    * fall back to shuffles on the edge key.
+    * payload the wedge close used to broadcast). Callers on edge sets
+    * that may OUTGROW broadcast go through [[cornerCounts]], which
+    * gates on a measured edge census and grids the enumeration; this
+    * raw (u, v, w) form is for edge sets small by construction (the
+    * contracted graph H, sub-budget graphs).
     */
   private def closedWedges(sym: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = sym
@@ -201,6 +230,91 @@ object Graph {
       .select(col("u"), col("v"),
         explode(graft.functions.HashExpressions.sortedIntersect(
           col("nu"), col("nv"))).as("w"))
+  }
+
+  /** Per-vertex triangle-corner counts `(v_id, triangles)` — the shared
+    * core of [[triangleStats]] and [[triangleCountSampled]], BROADCAST-
+    * GATED on a measured edge census (`mEdges`; planner stats are blind
+    * to the aggregation that built the edge list — the
+    * `ExchangeSizing.shjBuildParts` rationale).
+    *
+    * Under the budget, one lazy plan: [[closedWedges]] with both
+    * adjacency sides broadcast, each triangle exploding into its three
+    * corners feeding a map-side-combined count. (A unionAll of three
+    * projections reads as equivalent but re-executes the whole wedge
+    * pipeline per branch — Spark does not common-subexpression unions —
+    * which tripled the dominant stage: 90 s → 54 s at sf1.)
+    *
+    * Over the budget (the sf10 dup graph: 391 M edges ⇒ ~6 GB of
+    * adjacency, ×2 for both sides — an unconditional broadcast is a
+    * driver/executor OOM at deployment heaps), the enumeration GRIDS:
+    * vertices hash into S slices with S chosen so one round's two
+    * adjacency slices fit the budget; round (su, sv) handles exactly
+    * the oriented edges (u ∈ su, v ∈ sv), so every closed wedge is
+    * found in exactly one round (its minimal edge's cell — same
+    * exactly-once argument as the AllPairs hot grid). Rounds run
+    * SEQUENTIALLY, each materializing only its ≤|V|-row corner-count
+    * partial; per-round broadcast residency is ≤ the budget by
+    * construction (a lazy union of all rounds would instead hold every
+    * slice at once — 2·B total, no better than the ungated plan). The
+    * oriented list and adjacency are built once into serialized
+    * checkpoints and freed when the rounds finish. The fat nu/nv
+    * arrays never cross an exchange in either path: they attach from
+    * broadcast at stream time and die inside the stage.
+    */
+  private def cornerCounts(sym: DataFrame, deg: DataFrame, mEdges: Long,
+                           budgetOverride: Long = -1L): DataFrame = {
+    val spark = sym.sparkSession
+    // 8 B id + UnsafeRow array element/offset overhead, hash-relation
+    // pages included — deliberately generous, an over-estimate only
+    // moves work to the (exact) grid path
+    val estBytes = mEdges * 16L
+    val budget = if (budgetOverride > 0) budgetOverride
+                 else ExchangeSizing.broadcastBudgetBytes(spark)
+    if (estBytes <= budget) {
+      closedWedges(sym, deg)
+        .select(explode(array(col("u"), col("v"), col("w"))).as("v_id"))
+        .groupBy(col("v_id")).agg(count(lit(1)).as("triangles"))
+    } else {
+      val slices = math.max(2L,
+        math.min(16L, 2L * estBytes / math.max(1L, budget) + 1)).toInt
+      log.warn(s"triangle broadcast gate engaged: $mEdges edges " +
+        s"(~${estBytes >> 20} MiB adjacency) over budget " +
+        s"${budget >> 20} MiB - gridding into ${slices}x$slices " +
+        "sequential rounds")
+      val withDeg = sym
+        .join(deg.select(col("v_id").as("x"), col("deg").as("dx")), "x")
+        .join(deg.select(col("v_id").as("y"), col("deg").as("dy")), "y")
+      val oriented = ckptSer(withDeg.filter(
+          col("dx") < col("dy") ||
+            (col("dx") === col("dy") && col("x") < col("y")))
+        .select(col("x").as("u"), col("y").as("v")))
+      val adj = ckptSer(oriented.groupBy(col("u"))
+        .agg(sort_array(collect_list(col("v"))).as("nbr")))
+      val s = lit(slices)
+      val partials = for (su <- 0 until slices; sv <- 0 until slices) yield {
+        val nu = adj.filter(pmod(hash(col("u")), s) === su)
+          .select(col("u"), col("nbr").as("nu"))
+        val nv = adj.filter(pmod(hash(col("u")), s) === sv)
+          .select(col("u").as("v"), col("nbr").as("nv"))
+        // eager checkpoint = this round EXECUTES here, before the next
+        // round's broadcasts are built
+        ckptSer(oriented
+          .filter(pmod(hash(col("u")), s) === su &&
+            pmod(hash(col("v")), s) === sv)
+          .join(broadcast(nu), "u")
+          .join(broadcast(nv), "v")
+          .select(col("u"), col("v"),
+            explode(graft.functions.HashExpressions.sortedIntersect(
+              col("nu"), col("nv"))).as("w"))
+          .select(explode(array(col("u"), col("v"), col("w"))).as("v_id"))
+          .groupBy(col("v_id")).agg(count(lit(1)).as("triangles")))
+      }
+      freeCkpt(oriented)
+      freeCkpt(adj)
+      partials.reduce(_ unionAll _)
+        .groupBy(col("v_id")).agg(sum(col("triangles")).as("triangles"))
+    }
   }
 
   /** [[triangleStats]] with TWIN-GROUP CONTRACTION — the exact path for
@@ -349,7 +463,8 @@ object Graph {
     * graphs the exact count is already cheap — run [[triangleStats]].
     */
   def triangleCountSampled(edges: DataFrame, keepNum: Int, keepDen: Int,
-                           aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+                           aCol: String = "a_id", bCol: String = "b_id",
+                           broadcastBudget: Long = -1L): DataFrame = {
     require(keepNum >= 1 && keepNum <= keepDen, "need 0 < keepNum <= keepDen")
     val e = edges.select(col(aCol).as("x"), col(bCol).as("y"))
     val coin = conv(substring(md5(
@@ -361,10 +476,17 @@ object Graph {
       .select(col("x").as("v_id"), col("deg"))
     val scale = keepDen.toLong * keepDen * keepDen
     val inv = keepNum.toLong * keepNum * keepNum
-    closedWedges(sym, deg).agg(count(lit(1)).as("kept_triangles"))
+    // the census that gates the broadcast doubles as the kept_edges
+    // output column
+    val kept = keptE.count()
+    // every kept triangle contributes exactly 3 corner rows, so the
+    // corner-count sum is 3·T and the div is integer-exact
+    cornerCounts(sym, deg, kept, broadcastBudget)
+      .agg(sum(col("triangles")).as("c3"))
+      .select(expr("coalesce(c3, 0L) div 3").as("kept_triangles"))
       .crossJoin(e.agg(count(lit(1)).as("total_edges")))
-      .crossJoin(keptE.agg(count(lit(1)).as("kept_edges")))
-      .select(col("total_edges"), col("kept_edges"), col("kept_triangles"),
+      .select(col("total_edges"), lit(kept).as("kept_edges"),
+        col("kept_triangles"),
         expr(s"kept_triangles * ${scale}L div ${inv}L").as("est_triangles"))
   }
 
@@ -389,7 +511,12 @@ object Graph {
     * per round so plan depth stays constant (the [[pageRank]] /
     * `Dedup.dupGroups` discipline). Rounds are a fixed small constant;
     * each round's cost is bounded by the CURRENT edge count, which only
-    * shrinks.
+    * shrinks. Checkpoint state is the CANONICAL edge list in SERIALIZED
+    * storage with the superseded round freed as soon as its successor
+    * materializes ([[ckptSer]]/[[freeCkpt]]) — the pre-round-13 shape
+    * (deserialized, symmetrized, all rounds pinned) accumulated ~6× the
+    * necessary footprint and filled the box's disk on the sf10 dup
+    * graph (391 M edges) before any peel completed.
     *
     * Returns `(v_id, core_deg)` for surviving vertices — `core_deg` is
     * the degree WITHIN the core, ≥ k at the fixpoint.
@@ -397,31 +524,41 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, rounds: Int,
             aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
     require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
-    val e0 = edges.select(col(aCol).as("x"), col(bCol).as("y"))
-    var sym = e0.unionAll(e0.select(col("y").as("x"), col("x").as("y")))
-      .localCheckpoint()
+    // The loop state is the CANONICAL (a < b) edge list — half the rows
+    // of the symmetrized form the pre-round-13 code checkpointed; the
+    // symmetric view exists only inside each round's degree aggregation,
+    // where it costs shuffle rows but no storage. With serialized
+    // storage and the previous round freed as soon as the next is
+    // materialized, peak checkpoint footprint is ~2 × 24 B × |E| no
+    // matter the round count (391 M sf10 edges ⇒ ~19 GB peak, measured;
+    // the deserialized symmetrized variant filled 75 GB of disk and
+    // died).
+    var e = ckptSer(edges.select(col(aCol).as("x"), col(bCol).as("y")))
     // Early exit at the fixpoint: peeling only ever REMOVES edges, so an
     // unchanged edge count means no vertex fell below k and every later
     // round is a no-op — the result is identical to running all `rounds`
     // (which is what the unrolled oracle computes), at the cost of one
     // O(1) count per round on the already-checkpointed list.
-    var n = sym.count()
+    var n = e.count()
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
-      val keep = sym.groupBy(col("x")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("x"))
-      sym = sym
-        .join(keep, Seq("x"), "leftsemi")
-        .join(keep.select(col("x").as("y")), Seq("y"), "leftsemi")
-        .localCheckpoint()
-      val m = sym.count()
+      val keep = e.select(col("x").as("v")).unionAll(e.select(col("y").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("v"))
+      val next = ckptSer(e
+        .join(keep.select(col("v").as("x")), Seq("x"), "leftsemi")
+        .join(keep.select(col("v").as("y")), Seq("y"), "leftsemi"))
+      val m = next.count()
+      freeCkpt(e)
+      e = next
       converged = m == n
       n = m
       r += 1
     }
-    sym.groupBy(col("x")).agg(count(lit(1)).as("core_deg"))
-      .select(col("x").as("v_id"), col("core_deg"))
+    e.select(col("x").as("v")).unionAll(e.select(col("y").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+      .select(col("v").as("v_id"), col("core_deg"))
   }
 
   /** Community detection by SYNCHRONOUS weighted label propagation over a
@@ -447,7 +584,7 @@ object Graph {
     val e0 = sym.localCheckpoint()
     val nodes = e0.select(col("src").as("node")).distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val scored = e0
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src"), col("label")).agg(sum(col("w")).as("wsum"))
@@ -456,11 +593,14 @@ object Graph {
       val picked = scored
         .withColumn("rn", row_number().over(pick)).where(col("rn") === 1)
         .select(col("src").as("node"), col("label"))
-      // same lineage truncation as pageRank: |V|-row label table, plan
-      // otherwise deepens by a join + window + join per round
-      labels = nodes.join(picked, Seq("node"), "left")
+      // same lineage truncation + free-previous-round discipline as
+      // pageRank: |V|-row label table, plan otherwise deepens by a
+      // join + window + join per round
+      val next = nodes.join(picked, Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
         .localCheckpoint()
+      if (i > 1) freeCkpt(labels)
+      labels = next
     }
     labels
   }

@@ -134,6 +134,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("triangleStats grid fallback ≡ broadcast plan when the budget gate engages") {
+    import spark.implicits._
+    // A 1-byte budget forces the sequential (su, sv)-grid enumeration —
+    // the sf10 shape, where 391M edges of adjacency outgrow what any
+    // deployment should broadcast. Every triangle must still be found
+    // exactly once (at the grid cell of its minimal oriented edge).
+    val rnd = new scala.util.Random(178)
+    val edgeSet = (for {
+      a <- 0L until 60L; b <- (a + 1) until 60L if rnd.nextDouble() < 0.2
+    } yield (a, b)).toSeq
+    val edges = edgeSet.toDF("a_id", "b_id")
+    val want = Graph.triangleStats(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = Graph.triangleStats(edges, broadcastBudget = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want, "gated grid enumeration must match the broadcast plan")
+    val sampledWant = Graph.triangleCountSampled(edges, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val sampledGot = Graph.triangleCountSampled(edges, 1, 2, broadcastBudget = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(sampledGot == sampledWant, "gated sampled count must match")
+  }
+
   test("triangleStats: clique is all-triangles, star is none — hub degree safe") {
     import spark.implicits._
     // K5 clique (ids 0-4) + a 20-leaf star at hub 100
