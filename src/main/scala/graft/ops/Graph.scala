@@ -21,16 +21,23 @@ object Graph {
   @transient private lazy val log =
     org.slf4j.LoggerFactory.getLogger("graft.ops.Graph")
 
-  /** Iteration-state checkpoint for the loops below: SERIALIZED storage.
-    * The default deserialized level keeps one on-heap object graph per
-    * row — on the sf10 dup graph (391 M edges) that is several times the
-    * UnsafeRow payload, and the eviction-to-disk of those blocks across
-    * rounds is what filled the box's 75 GB disk before round 13's fix.
-    * MEMORY_AND_DISK_SER stores the rows as compact serialized blocks
-    * (2-long edge rows ≈ 24 B each) whether resident or spilled.
+  /** Iteration-state checkpoint for the big-edge-list loops below:
+    * serialized, DISK-ONLY storage. Two measured failure modes at the
+    * third decade (the sf10 dup graph, 391 M edges) force both choices:
+    * the default deserialized level keeps one on-heap object graph per
+    * row — several times the 24 B UnsafeRow payload — and its
+    * eviction-to-disk across pinned rounds filled the box's 75 GB disk;
+    * with memory-resident serialized blocks instead, ~10 GB of state per
+    * round held the storage region at its protected floor and starved
+    * every aggregation hash map down to [AGGREGATE_OUT_OF_MEMORY].
+    * Iteration state is scanned O(1) times per round, so it has no
+    * business competing with execution memory at all: DISK_ONLY keeps
+    * the unified region wholly for joins/aggregations, and a sequential
+    * scan of compact serialized longs is nowhere near the round's
+    * bottleneck. Sub-budget graphs pay milliseconds.
     */
   private def ckptSer(df: DataFrame): DataFrame =
-    df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    df.localCheckpoint(true, StorageLevel.DISK_ONLY)
 
   /** Free a [[ckptSer]] checkpoint's blocks the moment the NEXT round's
     * checkpoint is materialized. Without this every round's full edge
@@ -534,29 +541,54 @@ object Graph {
     // the deserialized symmetrized variant filled 75 GB of disk and
     // died).
     var e = ckptSer(edges.select(col(aCol).as("x"), col(bCol).as("y")))
-    // Early exit at the fixpoint: peeling only ever REMOVES edges, so an
-    // unchanged edge count means no vertex fell below k and every later
-    // round is a no-op — the result is identical to running all `rounds`
-    // (which is what the unrolled oracle computes), at the cost of one
-    // O(1) count per round on the already-checkpointed list.
-    var n = e.count()
     var r = 0
+    var lastKeep = -1L
     var converged = false
+    val budget = ExchangeSizing.broadcastBudgetBytes(edges.sparkSession)
     while (r < rounds && !converged) {
-      val keep = e.select(col("x").as("v")).unionAll(e.select(col("y").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("v"))
-      val next = ckptSer(e
-        .join(keep.select(col("v").as("x")), Seq("x"), "leftsemi")
-        .join(keep.select(col("v").as("y")), Seq("y"), "leftsemi"))
-      val m = next.count()
-      freeCkpt(e)
-      e = next
-      converged = m == n
-      n = m
-      r += 1
+      // One scan for the degree census: exploding both endpoints of each
+      // edge into the aggregation beats a unionAll of two projections,
+      // which executes the checkpoint scan once per branch — at the
+      // third decade every extra pass over the edge state is ~10 GB of
+      // disk read. The survivor set is checkpointed because it feeds
+      // both endpoint semi joins (Spark does not common-subexpression
+      // shared subplans) and its census doubles as the convergence test.
+      val keep = ckptSer(
+        e.select(explode(array(col("x"), col("y"))).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("v")))
+      val keepCount = keep.count()
+      if (keepCount == lastKeep) {
+        // Early exit at the fixpoint: peeling only REMOVES edges, so
+        // degrees only fall and survivor sets shrink MONOTONICALLY —
+        // an unchanged survivor COUNT therefore means the unchanged
+        // SET, and this round's joins would rebuild `e` bit-for-bit.
+        // Skipping them (and every later round, all no-ops) returns a
+        // result identical to running all `rounds`, which is what the
+        // unrolled oracle computes.
+        converged = true
+        freeCkpt(keep)
+      } else {
+        // ≤ one id per surviving vertex — almost always broadcastable,
+        // and the planner cannot see that through the checkpoint's
+        // default stats. Broadcast semi joins prune the edge list in
+        // ONE scan with ZERO shuffle of the edges; above the budget
+        // (planetary vertex counts) the joins fall back to the
+        // shuffled plan.
+        val keepSide =
+          if (keepCount * 16L <= budget) (d: DataFrame) => broadcast(d)
+          else (d: DataFrame) => d
+        val next = ckptSer(e
+          .join(keepSide(keep.select(col("v").as("x"))), Seq("x"), "leftsemi")
+          .join(keepSide(keep.select(col("v").as("y"))), Seq("y"), "leftsemi"))
+        freeCkpt(keep)
+        freeCkpt(e)
+        e = next
+        lastKeep = keepCount
+        r += 1
+      }
     }
-    e.select(col("x").as("v")).unionAll(e.select(col("y").as("v")))
+    e.select(explode(array(col("x"), col("y"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
       .select(col("v").as("v_id"), col("core_deg"))
   }
