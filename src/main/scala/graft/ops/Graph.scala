@@ -21,36 +21,13 @@ object Graph {
   @transient private lazy val log =
     org.slf4j.LoggerFactory.getLogger("graft.ops.Graph")
 
-  /** Iteration-state checkpoint for the big-edge-list loops below:
-    * serialized, DISK-ONLY storage. Two measured failure modes at the
-    * third decade (the sf10 dup graph, 391 M edges) force both choices:
-    * the default deserialized level keeps one on-heap object graph per
-    * row — several times the 24 B UnsafeRow payload — and its
-    * eviction-to-disk across pinned rounds filled the box's 75 GB disk;
-    * with memory-resident serialized blocks instead, ~10 GB of state per
-    * round held the storage region at its protected floor and starved
-    * every aggregation hash map down to [AGGREGATE_OUT_OF_MEMORY].
-    * Iteration state is scanned O(1) times per round, so it has no
-    * business competing with execution memory at all: DISK_ONLY keeps
-    * the unified region wholly for joins/aggregations, and a sequential
-    * scan of compact serialized longs is nowhere near the round's
-    * bottleneck. Sub-budget graphs pay milliseconds.
+  /** Iteration-state checkpointing for the big-edge-list loops below —
+    * the measured rationale (both sf10 failure modes) lives on
+    * [[IterState]], which dupGroups' min-label propagation shares.
     */
-  private def ckptSer(df: DataFrame): DataFrame =
-    df.localCheckpoint(true, StorageLevel.DISK_ONLY)
+  private def ckptSer(df: DataFrame): DataFrame = IterState.ckptSer(df)
 
-  /** Free a [[ckptSer]] checkpoint's blocks the moment the NEXT round's
-    * checkpoint is materialized. Without this every round's full edge
-    * list stays pinned until the JVM's ContextCleaner happens to collect
-    * the dataset — at sf10 six ~10 GB block sets accumulate and the disk
-    * fills mid-query. The checkpointed RDD sits behind the dataset's
-    * `LogicalRDD`; unpersisting it directly is deterministic where GC is
-    * not. No-op on non-checkpointed plans.
-    */
-  private def freeCkpt(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(blocking = false))
+  private def freeCkpt(df: DataFrame): Unit = IterState.freeCkpt(df)
 
   /** Directed transition counts between consecutive events of each user
     * (event-time order, `event_id` tiebreak): edge (src → dst, weight n).

@@ -1337,40 +1337,60 @@ object Dedup {
     // Materialize the edge list ONCE: `pairs` is typically the full
     // candidate-generation pipeline, and the loop below references edges
     // in every round plus every convergence check — without this the
-    // near-dup join would re-execute O(rounds·2) times. Edges are
-    // (id, id) only, so the checkpoint is tiny even at corpus scale.
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
+    // near-dup join would re-execute O(rounds·2) times. DISK_ONLY
+    // serialized storage ([[graft.ops.IterState]]): at the sf10 ladder
+    // point the symmetrized list is 782 M rows, and the default
+    // deserialized level's memory-resident blocks held the storage
+    // region at its protected floor and starved the round's min-label
+    // aggregation hash maps into UNABLE_TO_ACQUIRE_MEMORY — the exact
+    // kCore failure signature (SCALE.md round 13), found when the sf10
+    // sweep first reached doc_leakproof_split.
+    val edges = graft.ops.IterState.ckptSer(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
     // Propagate only over nodes that HAVE edges — the frontier is the
     // component subgraph, not the corpus; untouched documents are
     // singletons and join back once at the end. (Near-dup graphs are
     // sparse: most of a deduplicated corpus participates in no pair.)
-    var labels = edges.select(col("src").as("id"))
-      .distinct().withColumn("label", col("id"))
-      .localCheckpoint()
+    var labels = graft.ops.IterState.ckptSer(
+      edges.select(col("src").as("id"))
+        .distinct().withColumn("label", col("id")))
+    // One (id, label) row per frontier vertex — almost always
+    // broadcastable, and the planner cannot see that through the
+    // checkpoint's default stats: without the hint every round
+    // sort-merge-joins the full edge list (782 M rows × rounds at sf10).
+    // The frontier never grows, so one census prices every round; above
+    // the budget (planetary vertex counts) rounds fall back to the
+    // shuffled join.
+    val frontier = labels.count()
+    val bcastLabels = frontier * 32L <=
+      graft.ops.ExchangeSizing.broadcastBudgetBytes(docs.sparkSession)
+    def labelSide(df: DataFrame): DataFrame =
+      if (bcastLabels) broadcast(df) else df
     val labelType = labels.schema("label").dataType
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val viaNeighbors = edges
-        .join(labels, edges("src") === labels("id"))
+        .join(labelSide(labels), edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"),
           lit(null).cast(labelType).as("prev"))
       val self = labels.select(col("id"), col("label"),
         col("label").as("prev"))
-      // superseded round checkpoints become unreachable when `labels` is
-      // reassigned; the ContextCleaner reclaims their blocks on GC, so at
-      // most the current and previous rounds are ever strongly held
-      val next = self.union(viaNeighbors)
-        .groupBy("id").agg(min("label").as("label"), min("prev").as("prev"))
-        .localCheckpoint()
-      // next is already materialized (eager checkpoint): this filter scans
-      // the round's cached blocks — no join, no shuffle, no recompute.
+      val next = graft.ops.IterState.ckptSer(
+        self.union(viaNeighbors)
+          .groupBy("id").agg(min("label").as("label"), min("prev").as("prev")))
+      // next is materialized (eager checkpoint): the superseded round's
+      // blocks are freed NOW — deterministic, where waiting for the
+      // ContextCleaner let rounds accumulate on disk at the third decade.
+      graft.ops.IterState.freeCkpt(labels)
+      // this filter scans the round's checkpointed blocks — no join, no
+      // shuffle, no recompute.
       converged = next.filter(col("label") < col("prev")).isEmpty
       labels = next.select("id", "label")
       iter += 1
     }
+    graft.ops.IterState.freeCkpt(edges)
     // Silent partial propagation would emit WRONG groups — fail loudly.
     // (min-label converges in O(eccentricity of the min node); 20 rounds
     // covers any realistic near-dup component — an edit chain of 20+
