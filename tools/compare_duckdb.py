@@ -19,7 +19,7 @@ Decimal('42') differently from 42 makes any engine-int64 vs
 oracle-decimal divergence fail HERE first. tools/oracle_type_lint.py is
 the companion registry-wide guard.
 """
-import sys, json, glob, hashlib
+import os, sys, json, glob, hashlib
 from decimal import Decimal
 
 import duckdb
@@ -60,6 +60,13 @@ def main():
     only = set(sys.argv[3:])
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
+    # Parallel sweeps (several comparator processes at once) overcommit:
+    # each DuckDB defaults to 80% of RAM. Cap per-process resources via
+    # env when fanning out (e.g. DUCKDB_MEMORY_LIMIT=16GB DUCKDB_THREADS=6).
+    if os.environ.get("DUCKDB_MEMORY_LIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
+    if os.environ.get("DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
