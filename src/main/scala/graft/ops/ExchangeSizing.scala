@@ -121,4 +121,21 @@ object ExchangeSizing {
     math.min((math.min(driverHeap, executorHeap) * 0.2).toLong,
       BroadcastHardCap)
   }
+
+  /** Estimated in-memory size of a runtime-built hash relation
+    * (UnsafeHashedRelation) over `rows` narrow rows carrying
+    * `fieldBytes` of raw field data each — the estimate callers compare
+    * against [[broadcastBudgetBytes]], written ONCE so both sides of
+    * every census gate share assumptions (ADVICE r13: a flat
+    * raw-field-bytes estimate ignores the relation's per-row overhead —
+    * UnsafeRow header + null bits + map page slack + key pointers,
+    * typically 2–4× the payload for narrow rows — so a build near the
+    * budget boundary could exceed the intended fifth-of-heap bound).
+    * 16 B fixed per row (pointer + row header) plus 4× the raw fields
+    * is deliberately the conservative end of the measured range: an
+    * over-estimate only moves a borderline build to the shuffled plan,
+    * which is correct either way.
+    */
+  def hashedRelationBytes(rows: Long, fieldBytes: Int): Long =
+    rows * (16L + 4L * math.max(0, fieldBytes))
 }

@@ -551,9 +551,12 @@ object Graph {
         // default stats. Broadcast semi joins prune the edge list in
         // ONE scan with ZERO shuffle of the edges; above the budget
         // (planetary vertex counts) the joins fall back to the
-        // shuffled plan.
+        // shuffled plan. Priced through the shared hash-relation
+        // estimate (8 raw bytes per id row — ADVICE r13 rationale on
+        // ExchangeSizing.hashedRelationBytes).
         val keepSide =
-          if (keepCount * 16L <= budget) (d: DataFrame) => broadcast(d)
+          if (ExchangeSizing.hashedRelationBytes(keepCount, 8) <= budget)
+            (d: DataFrame) => broadcast(d)
           else (d: DataFrame) => d
         val next = ckptSer(e
           .join(keepSide(keep.select(col("v").as("x"))), Seq("x"), "leftsemi")

@@ -1361,9 +1361,19 @@ object Dedup {
     // sort-merge-joins the full edge list (782 M rows × rounds at sf10).
     // The frontier never grows, so one census prices every round; above
     // the budget (planetary vertex counts) rounds fall back to the
-    // shuffled join.
+    // shuffled join. Priced as a HASH RELATION (16 raw bytes of id +
+    // label through ExchangeSizing.hashedRelationBytes), not raw field
+    // bytes — the per-row relation overhead is 2–4× for rows this
+    // narrow (ADVICE r13). Residual GC dependence: each round builds a
+    // FRESH relation that the ContextCleaner reclaims only when the
+    // superseded plan's references are GC'd — unlike the checkpoint
+    // blocks freed deterministically below, up to a few rounds' budget
+    // can briefly coexist; the budget (a fifth of heap) is sized so
+    // even 2–3 live relations plus storage never crowd execution
+    // memory, and the hint API offers no deterministic destroy.
     val frontier = labels.count()
-    val bcastLabels = frontier * 32L <=
+    val bcastLabels = graft.ops.ExchangeSizing.hashedRelationBytes(
+        frontier, 16) <=
       graft.ops.ExchangeSizing.broadcastBudgetBytes(docs.sparkSession)
     def labelSide(df: DataFrame): DataFrame =
       if (bcastLabels) broadcast(df) else df

@@ -37,6 +37,26 @@ class ExchangeSizingSpec extends SparkSpec {
     assert(ExchangeSizing.shjBuildParts(spark, Long.MaxValue / 4, 300) == 16384)
   }
 
+  test("hash-relation pricing carries the 2-4x narrow-row overhead and keeps measured decisions") {
+    // ~80 B for an (id, label) pair of longs — inside the 2–4×-payload
+    // overhead band ADVICE r13 cites for UnsafeHashedRelation
+    val perRow = ExchangeSizing.hashedRelationBytes(1L, 16)
+    assert(perRow >= 2 * 16 && perRow <= 8 * 16, s"per-row estimate: $perRow")
+    // monotone in both arguments, zero-safe
+    assert(ExchangeSizing.hashedRelationBytes(0L, 16) == 0L)
+    assert(ExchangeSizing.hashedRelationBytes(10L, 8) <
+      ExchangeSizing.hashedRelationBytes(10L, 16))
+    // the decisions the sf10 ladder measured must not flip under the new
+    // pricing: the sf10 dupGroups frontier (~500 k labels) still
+    // broadcasts, the kCore survivor set (~500 k ids) still broadcasts,
+    // under the deployment broadcast budget (8 g heap / 5)
+    val budget = (8L << 30) / 5
+    assert(ExchangeSizing.hashedRelationBytes(500000L, 16) < budget)
+    assert(ExchangeSizing.hashedRelationBytes(500000L, 8) < budget)
+    // and a genuinely planetary frontier (10^9 rows) must NOT broadcast
+    assert(ExchangeSizing.hashedRelationBytes(1000000000L, 16) > budget)
+  }
+
   test("gateSlack deflates an over-counted estimate before gating, never the engaged size") {
     val rpm = ExchangeSizing.rowsPerMap(spark, 150)
     val layout = spark.sessionState.conf.numShufflePartitions

@@ -19,7 +19,7 @@ Decimal('42') differently from 42 makes any engine-int64 vs
 oracle-decimal divergence fail HERE first. tools/oracle_type_lint.py is
 the companion registry-wide guard.
 """
-import os, sys, json, glob, hashlib
+import os, re, sys, json, glob, hashlib
 from decimal import Decimal
 
 import duckdb
@@ -64,7 +64,14 @@ def main():
     # each DuckDB defaults to 80% of RAM. Cap per-process resources via
     # env when fanning out (e.g. DUCKDB_MEMORY_LIMIT=16GB DUCKDB_THREADS=6).
     if os.environ.get("DUCKDB_MEMORY_LIMIT"):
-        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
+        # validate before interpolating into the SET statement: a quote or
+        # junk value would break the SQL with a confusing parse error
+        # (threads at least goes through int()) — ADVICE r13
+        mem = os.environ["DUCKDB_MEMORY_LIMIT"].strip()
+        if not re.fullmatch(r"\d+(\.\d+)?\s*[KMGT]i?B", mem, re.IGNORECASE):
+            sys.exit(f"DUCKDB_MEMORY_LIMIT must be a size literal like "
+                     f"14GB/512MiB, got: {mem!r}")
+        con.execute(f"SET memory_limit='{mem}'")
     if os.environ.get("DUCKDB_THREADS"):
         con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
     for t in TABLES:
