@@ -2408,7 +2408,8 @@ object CorpusQueries {
     Q("emb_knn_graph_exact", knnJoinExactSql("WHERE vec_id < 2000")) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings").filter(col("vec_id") < 2000)
       val model = ivfModel(s, dir, nCentroids = 16, dim = 64, iters = 1)
-      graft.sim.Ivf.knnGraph(emb, model, k = 5, nProbe = 16)
+      graft.sim.Ivf.knnGraph(emb, model, k = 5, nProbe = 16,
+          censusKey = Some(s"$dir|knng16x1|p16|cap2000"))
         .orderBy(col("q_id"), col("rnk"))
     },
 
@@ -2484,7 +2485,10 @@ object CorpusQueries {
       // sweep, which pipelines every scoring into the bounded map-side
       // TopKByScore and materializes nothing).
       Seq(1, 2, 4).map { p =>
-        graft.sim.Ivf.knnGraph(emb, model, k = 5, nProbe = p)
+        // census key carries the probe depth: the union frame's counts
+        // are members + n*p visitor rows, different per depth
+        graft.sim.Ivf.knnGraph(emb, model, k = 5, nProbe = p,
+            censusKey = Some(s"$dir|knng${nCent}x2|p$p"))
           .select(lit(p).as("n_probe"), col("q_id"), col("n_id"))
       }.reduce(_ unionByName _)
         .join(exact, Seq("q_id", "n_id")) // recovered sampled edges
@@ -2929,7 +2933,8 @@ object CorpusQueries {
       val cents = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
         .select(col("embedding")).collect()
         .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-      graft.sim.Ivf.semDeDup(emb, graft.sim.Ivf.IvfModel(cents), tau = 0.4)
+      graft.sim.Ivf.semDeDup(emb, graft.sim.Ivf.IvfModel(cents), tau = 0.4,
+          censusKey = Some(s"$dir|semdedup16|corpus"))
         .orderBy(col("vec_id"))
     },
 
@@ -2948,8 +2953,12 @@ object CorpusQueries {
       val cents = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
         .select(col("embedding")).collect()
         .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      // shares emb_semdedup's census memo: the census is
+      // cap-independent (full counts collected, filtered by cap at the
+      // gate), so the guard-forced twin re-prices the SAME counts at
+      // cap=8 without a second aggregate job
       graft.sim.Ivf.semDeDup(emb, graft.sim.Ivf.IvfModel(cents), tau = 0.4,
-          hotCellCap = 8)
+          hotCellCap = 8, censusKey = Some(s"$dir|semdedup16|corpus"))
         .orderBy(col("vec_id"))
     },
 
@@ -3008,11 +3017,13 @@ object CorpusQueries {
         .map(_.getSeq[Float](0).toArray.map(_.toDouble))
       val model = graft.sim.Ivf.IvfModel(cents)
       val standing = emb.filter(col("vec_id") % 5 =!= 2)
-      val standingKept = graft.sim.Ivf.semDeDup(standing, model, tau = 0.4)
+      val standingKept = graft.sim.Ivf.semDeDup(standing, model, tau = 0.4,
+          censusKey = Some(s"$dir|semdedup16|standing5"))
         .filter(col("kept")).select(col("vec_id"))
         .join(emb, "vec_id")
       graft.sim.Ivf.semDeDupIncremental(standingKept,
-          emb.filter(col("vec_id") % 5 === 2), model, tau = 0.4)
+          emb.filter(col("vec_id") % 5 === 2), model, tau = 0.4,
+          censusKey = Some(s"$dir|semdedup16|kept5+batch5"))
         .orderBy(col("vec_id"))
     },
 

@@ -660,6 +660,75 @@ class IvfSpec extends SparkSpec {
       "incremental grid fallback diverged from the one-task kernel")
   }
 
+  test("hot-cell grid escalation: G = ceil(pop/cap) past the old 64 ceiling, per-task membership bounded, verdicts ≡ ungated") {
+    // round-14 verdict ask: with the previous hard G ≤ 64, a cell of
+    // pop > 64·cap put pop/64 > cap members back in one slice. Plant
+    // exactly that: one cell of 500 at cap 5 ⇒ G = 100 > 64.
+    val emb = Tables(spark, sfDir, "embeddings")
+    val one = Ivf.IvfModel(Array(
+      emb.filter(col("vec_id") === 0).select(col("embedding")).collect()
+        .head.getSeq[Float](0).toArray.map(_.toDouble)))
+    val pop = emb.count()
+    val cap = 5
+    assert(pop > 64L * cap, "fixture too small to cross the old ceiling")
+    val g = Ivf.gridSlices(pop, cap)
+    assert(g == (pop + cap - 1) / cap && g > 64,
+      s"escalation arithmetic: got G=$g for pop=$pop cap=$cap")
+    // the plan's per-task membership is doms(salt=gd) + cands(salt=gc):
+    // the deterministic xxhash64 salt distribution bounds every slice —
+    // mean pop/G ≤ cap; 4·cap absorbs the hash-uniformity spread at
+    // this bucket size (deterministic, so not flaky)
+    val maxSalt = emb.select(
+        pmod(xxhash64(col("vec_id").cast("long")), lit(g)).as("s"))
+      .groupBy(col("s")).count().agg(max(col("count"))).collect()
+      .head.getLong(0)
+    assert(maxSalt <= 4L * cap,
+      s"per-slice membership $maxSalt exceeds 4*cap on the planted cell")
+    val guarded = Ivf.semDeDup(emb, one, tau = 0.95, hotCellCap = cap)
+    assert(guarded.queryExecution.executedPlan.toString
+      .contains("cell_dominance_partial"), "guard did not engage")
+    assert(verdictRows(guarded) ==
+      verdictRows(Ivf.semDeDup(emb, one, tau = 0.95, hotCellCap = 0)) &&
+      verdictRows(guarded).nonEmpty,
+      ">64-slice grid diverged from the one-task kernel")
+    // ceiling arithmetic: the flat factor caps at MaxGridSlices
+    assert(Ivf.gridSlices(6500000L, 100000) == 65,
+      "just past the old ceiling must escalate, not clamp")
+    assert(Ivf.gridSlices(1000000000000L, 100000) == Ivf.MaxGridSlices)
+    assert(Ivf.gridSlices(100L, 100000) == 1)
+  }
+
+  test("census memo: a censusKey reuses the first call's census across calls (trainOrLoad contract)") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val one = Ivf.IvfModel(Array(
+      emb.filter(col("vec_id") === 0).select(col("embedding")).collect()
+        .head.getSeq[Float](0).toArray.map(_.toDouble)))
+    val key = s"ivfspec-memo-${System.nanoTime()}"
+    // first call under the key: a COLD slice (20 members < cap) — its
+    // census says "no hot cells"
+    Ivf.semDeDup(emb.filter(col("vec_id") < 20), one, tau = 0.95,
+      hotCellCap = 50, censusKey = Some(key))
+    // same key, full 500-vector corpus — a deliberate contract
+    // violation: the stale memoized census keeps the one-task plan even
+    // though the corpus is now hot. That proves the memo is REAL (no
+    // second census job re-gated the plan)...
+    val stale = Ivf.semDeDup(emb, one, tau = 0.95, hotCellCap = 50,
+      censusKey = Some(key))
+    assert(!stale.queryExecution.executedPlan.toString
+      .contains("cell_dominance_partial"),
+      "memoized census was not reused (guard re-gated the plan)")
+    // ...and COSTS ONLY PERFORMANCE, never correctness: both plans are
+    // verdict-identical (the shared-oracle guarantee)
+    assert(verdictRows(stale) ==
+      verdictRows(Ivf.semDeDup(emb, one, tau = 0.95, hotCellCap = 0)))
+    // a fresh key re-runs the census and the guard engages
+    val fresh = Ivf.semDeDup(emb, one, tau = 0.95, hotCellCap = 50,
+      censusKey = Some(key + "-fresh"))
+    assert(fresh.queryExecution.executedPlan.toString
+      .contains("cell_dominance_partial"),
+      "fresh key did not re-run the census")
+  }
+
   test("knnGraph hot-cell guard: grid partials merge to the identical graph") {
     val emb = Tables(spark, sfDir, "embeddings")
     val model = Ivf.train(emb, nCentroids = 4, dim = 64, iters = 1)
