@@ -378,8 +378,15 @@ object Ivf {
       .outputMode("append")
       .foreachBatch { (b: DataFrame, id: Long) =>
         IvfStore.recoverSplits(b.sparkSession, cellStorePath)
+        // resolve the (model, layout) pair per trigger: a maintenance
+        // split committed between triggers flips the store's width
+        // stamp, and serving with the caller's now-stale model copy
+        // would silently skip the new cell — matchingModel loads the
+        // staged grown model instead, or refuses loudly (never the
+        // silent half; round-14 verdict ask #2)
+        val m = IvfStore.matchingModel(b.sparkSession, cellStorePath, model)
         val store = b.sparkSession.read.parquet(cellStorePath)
-        sink(prunedSearch(store, b, model, k, nProbe, idCol, vecCol), id)
+        sink(prunedSearch(store, b, m, k, nProbe, idCol, vecCol), id)
       }
       .start()
 

@@ -42,7 +42,89 @@ import graft.functions.VectorExpressions
   */
 object IvfStore {
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.sim.IvfStore")
+
   private val lock = new Object
+
+  // ---- (model, layout) versioning — round-14 verdict ask #2 ----------
+  // splitCell swaps the cell LAYOUT in place while the grown MODEL is
+  // republished by the caller: a crash after the swap but before the
+  // republish previously left members moved to cluster=k unreachable by
+  // a pruned search still probing with the old k-centroid model —
+  // silent recall loss until republish. The pair is now versioned
+  // TOGETHER: the store root carries a layout-width stamp
+  // (`_layout_width_<k>`, no '=' in the name — Spark's hidden-file
+  // filter would otherwise read it as a parquet footer), flipped as
+  // part of the SAME committed swap the marker protects, and the grown
+  // model is durably staged INSIDE the store (`.model_width_<k+1>`,
+  // dot-prefixed, invisible to readers) BEFORE the commit marker
+  // exists. Readers resolve [[matchingModel]]: stamp == model.k →
+  // proceed; stamp wider → load the staged model (the crash-recovery
+  // path) or REFUSE loudly — the silent half is unrepresentable.
+
+  private val LayoutStampRe = """_layout_width_(\d+)""".r
+
+  /** The committed cell-layout width stamped at the store root, if the
+    * store was written by a stamping writer (None for pre-round-14
+    * stores — readers then fall back to the caller's model contract).
+    */
+  def layoutWidth(spark: SparkSession, path: String): Option[Int] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).iterator.map(_.getPath.getName).collect {
+      case LayoutStampRe(w) => w.toInt
+    }.maxOption
+  }
+
+  /** Stamp `width` at the root (idempotent; removes superseded stamps
+    * and any staged models narrower than the committed width — the
+    * current width's staged model stays, it is the recovery copy).
+    */
+  private def stampLayout(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                          width: Int): Unit = {
+    fs.create(new Path(root, s"_layout_width_$width"), true).close()
+    fs.listStatus(root).foreach { e =>
+      e.getPath.getName match {
+        case LayoutStampRe(w) if w.toInt != width =>
+          fs.delete(e.getPath, false)
+        case n if n.startsWith(".model_width_") &&
+            scala.util.Try(n.stripPrefix(".model_width_").toInt)
+              .toOption.exists(_ < width) =>
+          fs.delete(e.getPath, true)
+        case _ =>
+      }
+    }
+  }
+
+  /** Resolve the model that MATCHES the store's committed layout:
+    * identity when the stamp agrees with (or predates) `model`;
+    * the staged grown model when the layout is ahead of the caller's
+    * copy (the crash window between a split's swap and the caller's
+    * republish — self-healing, logged); a loud refusal when neither
+    * holds. [[Ivf.servingStream]] runs this per trigger, so a crashed
+    * split can never serve the silent (old model, grown layout) half.
+    */
+  def matchingModel(spark: SparkSession, path: String,
+                    model: Ivf.IvfModel): Ivf.IvfModel =
+    layoutWidth(spark, path) match {
+      case None => model
+      case Some(w) if w == model.k => model
+      case Some(w) =>
+        val staged = new Path(path, s".model_width_$w")
+        val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(w > model.k && fs.exists(new Path(staged, "_SUCCESS")),
+          s"cell store at $path has committed layout width $w but the " +
+            s"caller's model has ${model.k} centroids and no staged " +
+            "model is present — refusing to serve a mismatched " +
+            "(model, layout) pair; republish the model (splitCell " +
+            "stages it under .model_width_<w>)")
+        log.warn(s"store layout ($w cells) is ahead of the caller's " +
+          s"model (${model.k}) — loading the staged grown model " +
+          s"(a split's caller crashed before republishing)")
+        Ivf.load(spark, staged.toString)
+    }
 
   /** Write `df` into the cell layout at `path` as batch `batchId`:
     * assignment computed scan-side, one file per touched
@@ -55,7 +137,14 @@ object IvfStore {
   def writeCells(df: DataFrame, model: Ivf.IvfModel, path: String,
                  mode: String, batchId: Long = 0L,
                  idCol: String = "vec_id",
-                 vecCol: String = "embedding"): Unit =
+                 vecCol: String = "embedding"): Unit = {
+    // a non-overwrite write joins an EXISTING layout: its model must
+    // match the committed width (appending under a narrower model would
+    // assign new vectors as if post-split cells did not exist)
+    if (mode != "overwrite") layoutWidth(df.sparkSession, path).foreach(w =>
+      require(w == model.k,
+        s"store at $path has layout width $w; refusing a '$mode' write " +
+          s"under a ${model.k}-centroid model"))
     df.withColumn("cluster",
         element_at(VectorExpressions.nearestCentroids(
           col(vecCol), model.flat, model.k, model.dim, 1), 1))
@@ -63,6 +152,11 @@ object IvfStore {
       .repartition(col("cluster"))
       .write.partitionBy("cluster", "__batch").mode(mode)
       .parquet(path)
+    // version the layout with the model that wrote it (matchingModel doc)
+    val root = new Path(path)
+    stampLayout(root.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration), root, model.k)
+  }
 
   /** Day-2 index maintenance, the physical half of [[Ivf.assign]]: a
     * batch of new vectors lands IN the standing cell layout — one fused
@@ -84,7 +178,14 @@ object IvfStore {
   def append(batch: DataFrame, model: Ivf.IvfModel, path: String,
              batchId: Long,
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): Unit =
+             vecCol: String = "embedding"): Unit = {
+    // the (model, layout) pair must agree before growing the layout
+    // (matchingModel doc): appending under a stale pre-split model
+    // would file vectors as if the split never happened
+    layoutWidth(batch.sparkSession, path).foreach(w =>
+      require(w == model.k,
+        s"store at $path has layout width $w; refusing an append under " +
+          s"a ${model.k}-centroid model — load the matching model first"))
     batch.withColumn("cluster",
         element_at(VectorExpressions.nearestCentroids(
           col(vecCol), model.flat, model.k, model.dim, 1), 1))
@@ -94,6 +195,7 @@ object IvfStore {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(path)
+  }
 
   /** Cell REPAIR — the maintenance operator [[Ivf.cellHealth]]'s report
     * calls for when a cell's min-cosine sags (vectors drifting away
@@ -153,6 +255,13 @@ object IvfStore {
     // completes here, so the re-run sees the full store instead of
     // throwing "cell is empty" on a half-swapped tree
     recoverSplits(spark, path)
+    // and the pair must agree before growing it: splitting under a model
+    // that trails the committed layout would re-derive pole ids from a
+    // cell census the store no longer has (matchingModel doc)
+    layoutWidth(spark, path).foreach(w =>
+      require(w == model.k,
+        s"store at $path has layout width $w; refusing to split under a " +
+          s"${model.k}-centroid model — load the matching model first"))
     val members = spark.read.parquet(path)
       .filter(col("cluster") === cell)
       .select(col(idCol), col(vecCol), col("__batch"))
@@ -205,6 +314,15 @@ object IvfStore {
       s".split_$cell.staging.${java.lang.ProcessHandle.current().pid()}")
     reassigned.write.partitionBy("cluster", "__batch")
       .mode("overwrite").parquet(staging.toString)
+    val grown = Ivf.IvfModel(
+      model.centroids.updated(cell, poles(0)) :+ poles(1))
+    // durably stage the GROWN model inside the store BEFORE the commit
+    // marker exists (matchingModel doc): once the swap is committed, a
+    // reader whose own model copy trails the layout can always recover
+    // the matching model from the store itself — the crash window
+    // between this swap and the caller's Ivf.save republish previously
+    // left a pruned search silently probing k-of-(k+1) cells
+    Ivf.save(spark, grown, new Path(path, s".model_width_${model.k + 1}").toString)
     val marker = new Path(path, s".split_commit_${cell}_${model.k}")
     val out = fs.create(marker, true)
     out.write(staging.getName.getBytes("UTF-8"))
@@ -216,8 +334,10 @@ object IvfStore {
     // (poles(0), the one nearer the old centroid), and publishing the
     // stale centroid would degrade partial-probe recall (ADVICE r12);
     // iters = 0 keeps poles(0) == centroid, so the oracle replay of the
-    // seed-pole split is bit-identical
-    Ivf.IvfModel(model.centroids.updated(cell, poles(0)) :+ poles(1))
+    // seed-pole split is bit-identical. The same model was staged into
+    // the store pre-commit — the caller's republish is a convenience
+    // copy, no longer load-bearing for crash safety.
+    grown
   }
 
   private val SplitMarkerRe = """\.split_commit_(\d+)_(\d+)""".r
@@ -240,6 +360,11 @@ object IvfStore {
       }
     }
     fs.delete(staging, true)
+    // the layout-width stamp flips INSIDE the marker-protected swap:
+    // idempotent (recovery replays it), so any crash point converges to
+    // (grown layout, stamp = k+1, staged grown model) — matchingModel
+    // can then always resolve the pair
+    stampLayout(fs, root, cells.max + 1)
   }
 
   /** Crash recovery for [[splitCell]]: complete every swap whose commit

@@ -496,15 +496,18 @@ class IvfSpec extends SparkSpec {
       model.centroids.map(_.toSeq).toSeq,
       "split must not move any other centroid")
     // files-touched: every directory except cluster=<cell> (rewritten)
-    // and cluster=<k> (created) is byte-identical
+    // and cluster=<k> (created) is byte-identical; root-level VERSION
+    // metadata (the layout-width stamp and the staged grown model, both
+    // invisible to readers — round-14 seam) is the only other churn
     val after = listFiles()
     val touched = (before.keySet ++ after.keySet).filter { p =>
       before.get(p) != after.get(p)
     }
-    assert(touched.forall(p =>
-      p.contains(s"cluster=$cell/") || p.contains(s"cluster=${model.k}/")),
-      s"split touched foreign cells: ${touched.filterNot(p =>
-        p.contains(s"cluster=$cell/") || p.contains(s"cluster=${model.k}/"))}")
+    def allowed(p: String): Boolean =
+      p.contains(s"cluster=$cell/") || p.contains(s"cluster=${model.k}/") ||
+        p.contains("_layout_width_") || p.contains(".model_width_")
+    assert(touched.forall(allowed),
+      s"split touched foreign cells: ${touched.filterNot(allowed)}")
     // membership: the two halves partition the old cell, and each member
     // sits with its nearer pole (ties to the old centroid)
     val store = spark.read.parquet(path)
@@ -538,6 +541,103 @@ class IvfSpec extends SparkSpec {
         nProbe = grown.k)) ==
       rows(Similarity.bruteForceTopK(emb, queries, k = 10)),
       "all-probe search over the split store diverged from brute force")
+  }
+
+  test("split-publish seam: a reader whose model trails the committed layout loads the staged grown model or refuses — never the silent half") {
+    import org.apache.commons.io.FileUtils
+    val emb = Tables(spark, sfDir, "embeddings")
+    val model = Ivf.IvfModel(
+      emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble)))
+    val path = java.nio.file.Files.createTempDirectory("ivf_seam")
+      .resolve("cells").toString
+    IvfStore.writeCells(emb, model, path, "overwrite")
+    assert(IvfStore.layoutWidth(spark, path).contains(8),
+      "writeCells must stamp the layout width")
+    // consistent pair: identity, no load
+    assert(IvfStore.matchingModel(spark, path, model) eq model)
+    val grown = IvfStore.splitCell(spark, path, model, cell = 3)
+    assert(IvfStore.layoutWidth(spark, path).contains(9),
+      "the committed swap must flip the stamp")
+    // THE CRASH: the caller died after the swap committed, before its
+    // own Ivf.save republish. A reader still holding the pre-split model
+    // recovers the staged grown model from the store itself, bit-exactly
+    val recovered = IvfStore.matchingModel(spark, path, model)
+    assert(recovered.centroids.map(_.toSeq).toSeq ==
+      grown.centroids.map(_.toSeq).toSeq,
+      "staged model diverged from the split's returned model")
+    // and the recovered pair serves exactly like the grown pair
+    val store = spark.read.parquet(path)
+    val queries = emb.filter(col("vec_id").isin(3L, 77L, 240L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(Ivf.prunedSearch(store, queries, recovered, k = 5, nProbe = 2))
+      == rows(Ivf.prunedSearch(store, queries, grown, k = 5, nProbe = 2)))
+    // growing the layout under the stale model refuses loudly
+    intercept[IllegalArgumentException] {
+      IvfStore.append(emb.filter(col("vec_id") === 3L), model, path,
+        batchId = 9L)
+    }
+    intercept[IllegalArgumentException] {
+      IvfStore.splitCell(spark, path, model, cell = 0)
+    }
+    // a matching append keeps the committed stamp
+    IvfStore.append(emb.filter(col("vec_id") === 3L), grown, path,
+      batchId = 9L)
+    assert(IvfStore.layoutWidth(spark, path).contains(9),
+      "append must not lose the layout stamp")
+    // with the staged copy gone (external cleanup), the reader REFUSES
+    // rather than serving the silent (old model, grown layout) half
+    FileUtils.deleteDirectory(new java.io.File(path, ".model_width_9"))
+    intercept[IllegalArgumentException] {
+      IvfStore.matchingModel(spark, path, model)
+    }
+  }
+
+  test("servingStream self-heals a split committed between triggers: stale caller model serves the grown pair") {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings")
+    val model = Ivf.IvfModel(
+      emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble)))
+    val base = java.nio.file.Files.createTempDirectory("ivf_seam_serve")
+    val storePath = base.resolve("cells").toString
+    IvfStore.writeCells(emb, model, storePath, "overwrite")
+    val cell = spark.read.parquet(storePath).groupBy("cluster").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (c, n) => (-n, c) }.head._1
+    def queryRows(ids: Seq[Long]) = emb.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val results = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long, Double, Int)]]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])](spark)
+    // the stream was started with the PRE-SPLIT model copy
+    val q = Ivf.servingStream(input.toDF().toDF("vec_id", "embedding"),
+        storePath, model, s"$base/ckpt", k = 5, nProbe = 2) { (res, id) =>
+      results(id) = res.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    }
+    def expect(ids: Seq[Long], m: Ivf.IvfModel) = Ivf.prunedSearch(
+        spark.read.parquet(storePath),
+        emb.filter(col("vec_id").isin(ids: _*)), m, k = 5, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    try {
+      input.addData(queryRows(Seq(3L, 77L))); q.processAllAvailable()
+      assert(results(0L) == expect(Seq(3L, 77L), model))
+      // maintenance splits the fullest cell BETWEEN triggers; the
+      // caller's model copy is now stale — the next trigger must
+      // resolve the staged grown model and serve the grown pair
+      val grown = IvfStore.splitCell(spark, storePath, model, cell)
+      input.addData(queryRows(Seq(3L, 240L))); q.processAllAvailable()
+      assert(results(1L) == expect(Seq(3L, 240L), grown),
+        "post-split trigger did not serve the (grown model, grown layout) pair")
+    } finally q.stop()
   }
 
   test("splitCell crash window: a kill between the old-cell delete and the renames is recovered from the commit marker") {
