@@ -321,22 +321,24 @@ object CorpusQueries {
     * grid-salted fallback — the guard is lossless, and sharing the SQL
     * makes the driver gate itself prove plan-equivalence every round.
     */
-  private val semDeDupOracleSql: String =
-    """WITH c AS (SELECT vec_id AS cluster, embedding,
+  private def semDeDupOracleSql(
+      corpusSql: String = "SELECT vec_id, embedding FROM embeddings"): String =
+    s"""WITH corpus AS ($corpusSql),
+         c AS (SELECT vec_id AS cluster, embedding,
              list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) AS n2
            FROM embeddings WHERE vec_id < 16),
          sc AS (SELECT e.vec_id, c.cluster,
              c.n2 - 2.0 * list_sum(list_transform(range(len(e.embedding)),
                i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)))
                AS score
-           FROM embeddings e CROSS JOIN c),
+           FROM corpus e CROSS JOIN c),
          asg AS (SELECT vec_id, cluster FROM (
              SELECT vec_id, cluster,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cluster) AS rn
              FROM sc) WHERE rn = 1),
          v AS (SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
-           FROM embeddings),
+           FROM corpus),
          dom AS (SELECT DISTINCT b.vec_id
            FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
            JOIN v va ON va.vec_id = a.vec_id JOIN v vb ON vb.vec_id = b.vec_id
@@ -346,6 +348,47 @@ object CorpusQueries {
          SELECT vec_id, CAST(cluster AS INT) AS cluster,
            vec_id NOT IN (SELECT vec_id FROM dom) AS kept
          FROM asg ORDER BY vec_id"""
+
+  // ---- md5-rank subset twins (round-14 verdict ask #1) ----------------
+  // The heavy pair families' production oracles are quadratic in the
+  // corpus, so the sf10 sweep could not replay them — their third-decade
+  // correctness evidence was indirect (sf0.01/sf0.1 gate + the md5 hash
+  // twins). These helpers bound BOTH sides to a deterministic md5-rank
+  // subset of the sf10 fixture: rank rows by md5(CAST(id AS VARCHAR))
+  // (identical hex in both engines — the doc_stratified_sample idiom),
+  // keep the first N. Unlike an id-range cap the subset SAMPLES the
+  // whole table (every row group of the 500 k-doc file can contribute),
+  // and unlike an md5-PREFIX predicate the subset has a FIXED size at
+  // every sf, so the oracle replay stays O(N²) = constant while the
+  // engine still scans, hashes and ranks the full fixture. The twins
+  // run the UNMODIFIED production kernels (same joins, prefix filters,
+  // grid salting) on the subset frame.
+
+  private val SubsetDocs = 4000
+  private val SubsetCust = 6000
+  private val SubsetVecs = 2000
+
+  private def md5Subset(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        n: Int): org.apache.spark.sql.DataFrame = {
+    // rank the IDs ONLY through the one-task global window (n longs +
+    // hex strings — trivial even at 500 k), then semi-join the slim id
+    // set back; ranking the full frame would drag the text/vector
+    // payload through a single-partition sort
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val ids = df.select(col(idCol))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= n)
+      .select(col(idCol))
+    df.join(broadcast(ids), Seq(idCol), "left_semi")
+  }
+
+  private def md5SubsetSql(table: String, idCol: String, n: Int): String =
+    s"""SELECT t.* FROM $table t JOIN (
+          SELECT $idCol FROM (
+            SELECT $idCol, ROW_NUMBER() OVER (
+              ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol) AS __r
+            FROM $table) WHERE __r <= $n) s USING ($idCol)"""
 
   /** Shared md5-MinHash oracle (`doc_minhash_pairs_md5` /
     * `doc_minhash_incremental_md5`): recompute md5 60-bit shingle
@@ -2928,7 +2971,7 @@ object CorpusQueries {
     // bit. tau = 0.4 because the fixture corpus is i.i.d. (max pairwise
     // cosine ≈ 0.49): the rule must BITE on real rows at both gate scales
     // rather than pass vacuously at a production-style 0.95.
-    Q("emb_semdedup", semDeDupOracleSql) { (s, dir) =>
+    Q("emb_semdedup", semDeDupOracleSql()) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       val cents = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
         .select(col("embedding")).collect()
@@ -2948,7 +2991,7 @@ object CorpusQueries {
     // makes the driver gate prove it on real data every round rather than
     // leaving the fallback spec-only (round-13 verdict ask #1's "done"
     // bar, carried one step further).
-    Q("emb_semdedup_hotcell", semDeDupOracleSql) { (s, dir) =>
+    Q("emb_semdedup_hotcell", semDeDupOracleSql()) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       val cents = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
         .select(col("embedding")).collect()
@@ -3521,5 +3564,152 @@ object CorpusQueries {
           blockCols = Seq("c_nationkey"),
           probePartitions = s.sessionState.conf.numShufflePartitions)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ================= md5-rank subset twins ==========================
+    // One sf10-SWEEPABLE oracle row per heavy pair family (round-14
+    // verdict ask #1): the production rows' DuckDB oracles are quadratic
+    // in the corpus and had to sit out the third-decade sweep, leaving
+    // their sf10 correctness evidence indirect. Each twin below runs the
+    // UNMODIFIED production kernel on the deterministic md5-rank subset
+    // (md5Subset / md5SubsetSql: fixed N rows sampled across the whole
+    // fixture), so the oracle replay is O(N²) = constant at every sf
+    // while the engine-side subset step itself scans and ranks the full
+    // table. At sf ≤ 0.01 the subset covers most or all of the table —
+    // the twins bite at every gate scale, never vacuously.
+
+    // Jaccard family: the PPJoin prefix-filter plan on the subset.
+    Q("doc_jaccard_pairs_sub",
+      s"""WITH sub AS (${md5SubsetSql("documents", "doc_id", 4000)}),
+         d AS (SELECT doc_id, lang, source,
+           list_distinct(regexp_split_to_array(text, '\\s+')) AS w FROM sub)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           len(list_intersect(a.w, b.w)) /
+             (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
+         FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+           AND a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.w, b.w)) /
+             (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+         ORDER BY a_id, b_id""") { (s, dir) =>
+      Dedup.prefixJaccardPairs(
+          md5Subset(Tables(s, dir, "documents"), "doc_id", SubsetDocs),
+          blockCols = Seq("lang", "source"), threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Containment family: probe-prefix x inverted-index AllPairs on the
+    // subset (same asymmetric alpha-bound, bloom witness, grid salting).
+    Q("doc_containment_pairs_sub",
+      s"""WITH sub AS (${md5SubsetSql("documents", "doc_id", 4000)}),
+         d AS (SELECT doc_id, lang, source,
+           list_distinct(regexp_split_to_array(text, '\\s+')) AS w FROM sub)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           len(list_intersect(a.w, b.w)) / len(a.w) AS containment
+         FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+           AND a.doc_id <> b.doc_id
+         WHERE len(list_intersect(a.w, b.w)) / len(a.w) >= 0.9
+         ORDER BY a_id, b_id""") { (s, dir) =>
+      Dedup.containmentPairs(
+          md5Subset(Tables(s, dir, "documents"), "doc_id", SubsetDocs),
+          blockCols = Seq("lang", "source"), threshold = 0.9)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Dup-graph family: pair generation + iterative min-label connected
+    // components on the subset; oracle = recursive-CTE closure, one row
+    // per subset document.
+    Q("doc_dup_groups_sub",
+      s"""WITH RECURSIVE sub AS (${md5SubsetSql("documents", "doc_id", 4000)}),
+         d AS (SELECT doc_id, lang, source,
+           list_distinct(regexp_split_to_array(text, '\\s+')) AS w FROM sub),
+         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.w, b.w)) /
+               (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8),
+         e AS (SELECT a_id AS s, b_id AS t FROM p
+               UNION SELECT b_id, a_id FROM p),
+         reach(s, t) AS (SELECT s, t FROM e
+           UNION SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
+         SELECT doc_id, CAST(LEAST(doc_id, coalesce(m.mn, doc_id)) AS BIGINT) AS group_id
+         FROM sub LEFT JOIN
+           (SELECT s, min(t) AS mn FROM reach GROUP BY s) m ON m.s = doc_id
+         ORDER BY doc_id""") { (s, dir) =>
+      val sub = md5Subset(Tables(s, dir, "documents"), "doc_id", SubsetDocs)
+      val pairs = Dedup.prefixJaccardPairs(sub,
+        blockCols = Seq("lang", "source"), threshold = 0.8)
+      Dedup.dupGroups(sub, pairs).orderBy(col("doc_id"))
+    },
+
+    // Fuzzy (entity-resolution) family: nation-blocked Levenshtein
+    // pairs through the native bounded-DP kernel on the subset.
+    Q("cust_fuzzy_pairs_sub",
+      s"""WITH sub AS (${md5SubsetSql("customer", "c_custkey", 6000)})
+         SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+         FROM sub a JOIN sub b
+           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+           AND levenshtein(a.c_name, b.c_name) <= 2
+         ORDER BY a_id, b_id""") { (s, dir) =>
+      Entity.editDistancePairs(
+          md5Subset(Tables(s, dir, "customer"), "c_custkey", SubsetCust),
+          maxDist = 2, idCol = "c_custkey", strCol = "c_name",
+          blockCols = Seq("c_nationkey"),
+          probePartitions = s.sessionState.conf.numShufflePartitions)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // SemDeDup family: seeded-cell dominance on the subset (centroids
+    // stay the FULL table's seed vectors, as in emb_semdedup — the
+    // subset bounds the pair volume, not the model).
+    Q("emb_semdedup_sub",
+      semDeDupOracleSql(md5SubsetSql("embeddings", "vec_id", 2000))) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      graft.sim.Ivf.semDeDup(md5Subset(emb, "vec_id", SubsetVecs),
+          graft.sim.Ivf.IvfModel(cents), tau = 0.4,
+          censusKey = Some(s"$dir|semdedup16|md5sub"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Embedding-pair family: angular-SimHash near-dup pairs with exact
+    // cosine, pigeonhole-complete on the subset.
+    Q("emb_dup_pairs_sub", embSimhashDupSql(nPlanes = 36, dim = 64,
+        maxHamming = 8, seed = 7L,
+        corpusSql = md5SubsetSql("embeddings", "vec_id", 2000))) { (s, dir) =>
+      Similarity.simhashDupPairs(
+          md5Subset(Tables(s, dir, "embeddings"), "vec_id", SubsetVecs),
+          maxHamming = 8, nPlanes = 36, chunkBits = 4, dim = 64, seed = 7L)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Contamination family: max-train-cosine per eval vector over the
+    // subset (eval/train split by the production modulus).
+    Q("emb_contamination_sub",
+      s"""WITH sub AS (${md5SubsetSql("embeddings", "vec_id", 2000)}),
+         v AS (SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+           FROM sub),
+         te AS (SELECT * FROM v WHERE vec_id % 7 = 3),
+         tr AS (SELECT * FROM v WHERE vec_id % 7 <> 3),
+         p AS (SELECT te.vec_id AS test_id, tr.vec_id AS train_id,
+             list_sum(list_transform(range(len(te.embedding)),
+               i -> CAST(te.embedding[i+1] AS DOUBLE) * CAST(tr.embedding[i+1] AS DOUBLE)))
+               / (te.nrm * tr.nrm) AS cos
+           FROM te CROSS JOIN tr),
+         r AS (SELECT test_id, train_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY test_id
+               ORDER BY cos DESC, train_id) AS rn
+           FROM p)
+         SELECT test_id, train_id AS nearest_train_id, cos AS max_cos,
+           cos >= 0.4 AS contaminated
+         FROM r WHERE rn = 1 ORDER BY test_id""") { (s, dir) =>
+      val sub = md5Subset(Tables(s, dir, "embeddings"), "vec_id", SubsetVecs)
+      Similarity.testContamination(sub.filter(col("vec_id") % 7 =!= 3),
+          sub.filter(col("vec_id") % 7 === 3), tau = 0.4)
+        .orderBy(col("test_id"))
     })
 }
