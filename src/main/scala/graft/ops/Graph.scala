@@ -240,11 +240,24 @@ object Graph {
     * SEQUENTIALLY, each materializing only its ≤|V|-row corner-count
     * partial; per-round broadcast residency is ≤ the budget by
     * construction (a lazy union of all rounds would instead hold every
-    * slice at once — 2·B total, no better than the ungated plan). The
-    * oriented list and adjacency are built once into serialized
-    * checkpoints and freed when the rounds finish. The fat nu/nv
-    * arrays never cross an exchange in either path: they attach from
-    * broadcast at stream time and die inside the stage.
+    * slice at once — 2·B total, no better than the ungated plan).
+    *
+    * SLICE-PARTITIONED grid state (round-14 verdict ask #4): the
+    * oriented list and adjacency are written ONCE to a scratch layout
+    * partitioned on the grid keys — oriented under (gu, gv), adjacency
+    * under its slice key — so each round's scans are PARTITION-PRUNED
+    * to exactly its slice directories. The previous shape checkpointed
+    * both whole and re-SCANNED them per round to build the broadcasts:
+    * at sf10's S = 6 that is 2·S² full adjacency passes + S² full
+    * oriented passes (~970 GB of checkpoint reads); the partitioned
+    * layout reads the oriented list once and each adjacency slice 2·S
+    * times (~115 GB) — the 36 sequential ~2 GB broadcast REBUILDS were
+    * the grid's one improvable constant. Scratch lives under
+    * java.io.tmpdir (the [[graft.sim.IvfStore.cellPartitioned]]
+    * precedent; at deployment scale point it at the job's scratch FS)
+    * and is deleted when the rounds finish. The fat nu/nv arrays never
+    * cross an exchange in either path: they attach from broadcast at
+    * stream time and die inside the stage.
     */
   private def cornerCounts(sym: DataFrame, deg: DataFrame, mEdges: Long,
                            budgetOverride: Long = -1L): DataFrame = {
@@ -269,35 +282,55 @@ object Graph {
       val withDeg = sym
         .join(deg.select(col("v_id").as("x"), col("deg").as("dx")), "x")
         .join(deg.select(col("v_id").as("y"), col("deg").as("dy")), "y")
-      val oriented = ckptSer(withDeg.filter(
-          col("dx") < col("dy") ||
-            (col("dx") === col("dy") && col("x") < col("y")))
-        .select(col("x").as("u"), col("y").as("v")))
-      val adj = ckptSer(oriented.groupBy(col("u"))
-        .agg(sort_array(collect_list(col("v"))).as("nbr")))
       val s = lit(slices)
-      val partials = for (su <- 0 until slices; sv <- 0 until slices) yield {
-        val nu = adj.filter(pmod(hash(col("u")), s) === su)
-          .select(col("u"), col("nbr").as("nu"))
-        val nv = adj.filter(pmod(hash(col("u")), s) === sv)
-          .select(col("u").as("v"), col("nbr").as("nv"))
-        // eager checkpoint = this round EXECUTES here, before the next
-        // round's broadcasts are built
-        ckptSer(oriented
-          .filter(pmod(hash(col("u")), s) === su &&
-            pmod(hash(col("v")), s) === sv)
-          .join(broadcast(nu), "u")
-          .join(broadcast(nv), "v")
-          .select(col("u"), col("v"),
-            explode(graft.functions.HashExpressions.sortedIntersect(
-              col("nu"), col("nv"))).as("w"))
-          .select(explode(array(col("u"), col("v"), col("w"))).as("v_id"))
-          .groupBy(col("v_id")).agg(count(lit(1)).as("triangles")))
+      val scratch = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "graft_tri_grid")
+      val orientedPath = scratch.resolve("oriented").toString
+      val adjPath = scratch.resolve("adj").toString
+      try {
+        // ONE pass builds the oriented list, landing pre-sliced on the
+        // grid keys; the adjacency aggregates FROM that layout (one
+        // read) and lands sliced on its own key. Both writes replace
+        // the old whole-state checkpoints.
+        withDeg.filter(
+            col("dx") < col("dy") ||
+              (col("dx") === col("dy") && col("x") < col("y")))
+          .select(col("x").as("u"), col("y").as("v"),
+            pmod(hash(col("x")), s).as("gu"), pmod(hash(col("y")), s).as("gv"))
+          .write.partitionBy("gu", "gv").parquet(orientedPath)
+        val oriented = spark.read.parquet(orientedPath)
+        oriented.groupBy(col("u"))
+          .agg(sort_array(collect_list(col("v"))).as("nbr"))
+          .withColumn("g", pmod(hash(col("u")), s))
+          .write.partitionBy("g").parquet(adjPath)
+        val adj = spark.read.parquet(adjPath)
+        val partials = for (su <- 0 until slices; sv <- 0 until slices) yield {
+          // partition filters: each scan below reads ONLY its slice
+          // directories (static pruning on the partition columns)
+          val nu = adj.filter(col("g") === su)
+            .select(col("u"), col("nbr").as("nu"))
+          val nv = adj.filter(col("g") === sv)
+            .select(col("u").as("v"), col("nbr").as("nv"))
+          // eager checkpoint = this round EXECUTES here, before the next
+          // round's broadcasts are built
+          ckptSer(oriented
+            .filter(col("gu") === su && col("gv") === sv)
+            .join(broadcast(nu), "u")
+            .join(broadcast(nv), "v")
+            .select(col("u"), col("v"),
+              explode(graft.functions.HashExpressions.sortedIntersect(
+                col("nu"), col("nv"))).as("w"))
+            .select(explode(array(col("u"), col("v"), col("w"))).as("v_id"))
+            .groupBy(col("v_id")).agg(count(lit(1)).as("triangles")))
+        }
+        partials.reduce(_ unionAll _)
+          .groupBy(col("v_id")).agg(sum(col("triangles")).as("triangles"))
+      } finally {
+        // every round is materialized (eager ckptSer) before we get
+        // here — the final aggregation reads checkpoint blocks, never
+        // the scratch parquet
+        org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile)
       }
-      freeCkpt(oriented)
-      freeCkpt(adj)
-      partials.reduce(_ unionAll _)
-        .groupBy(col("v_id")).agg(sum(col("triangles")).as("triangles"))
     }
   }
 

@@ -57,6 +57,10 @@ object StreamProfile {
         p.stateOperators.foreach { so =>
           m.merge("state.commit", so.commitTimeMs, (a: Long, b: Long) => a + b)
           m.merge("state.rows", so.numRowsTotal, (a: Long, b: Long) => math.max(a, b))
+          // provider-reported resident size (heap map bytes for the HDFS
+          // store, block-cache+memtable for RocksDB) — the ladder's
+          // per-query state-size column
+          m.merge("state.bytes", so.memoryUsedBytes, (a: Long, b: Long) => math.max(a, b))
         }
         batches.merge(p.name, 1L, (a, b) => a + b)
       }
@@ -106,7 +110,8 @@ object StreamProfile {
       val st = m.getOrElse("state.commit", 0L)
       println(f"[profile] $name%-18s batches=${batches.getOrDefault(name, 0L)}%3d " +
         f"trigger=${trig}ms (plan=${plan} addBatch=${add} getBatch=${get} " +
-        f"offsets/wal=${wal} stateCommit=${st}) stateRows=${m.getOrElse("state.rows", 0L)}")
+        f"offsets/wal=${wal} stateCommit=${st}) stateRows=${m.getOrElse("state.rows", 0L)} " +
+        f"stateBytes=${m.getOrElse("state.bytes", 0L)}")
     }
     spark.stop()
   }
