@@ -99,12 +99,15 @@ object IvfStore {
   }
 
   /** Resolve the model that MATCHES the store's committed layout:
-    * identity when the stamp agrees with (or predates) `model`;
-    * the staged grown model when the layout is ahead of the caller's
-    * copy (the crash window between a split's swap and the caller's
-    * republish — self-healing, logged); a loud refusal when neither
-    * holds. [[Ivf.servingStream]] runs this per trigger, so a crashed
-    * split can never serve the silent (old model, grown layout) half.
+    * identity when the stamp agrees with `model` (or the store predates
+    * stamping — the caller's contract then); the staged grown model
+    * when the layout is ahead of the caller's copy (the crash window
+    * between a split's swap and the caller's republish — self-healing,
+    * logged); a loud refusal otherwise, including a model WIDER than
+    * the layout (a grown model against a pre-split store files probes
+    * into a cell the store does not have). [[Ivf.servingStream]] runs
+    * this per trigger, so a crashed split can never serve the silent
+    * (old model, grown layout) half.
     */
   def matchingModel(spark: SparkSession, path: String,
                     model: Ivf.IvfModel): Ivf.IvfModel =
