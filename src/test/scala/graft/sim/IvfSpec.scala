@@ -593,6 +593,15 @@ class IvfSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IvfStore.matchingModel(spark, path, model)
     }
+    // the OTHER mismatch refuses too: a grown model against a store
+    // whose committed layout is narrower (the grown model would file
+    // probes into a cell the store does not have)
+    val pre = java.nio.file.Files.createTempDirectory("ivf_seam_pre")
+      .resolve("cells").toString
+    IvfStore.writeCells(emb, model, pre, "overwrite")
+    intercept[IllegalArgumentException] {
+      IvfStore.matchingModel(spark, pre, grown)
+    }
   }
 
   test("servingStream self-heals a split committed between triggers: stale caller model serves the grown pair") {
