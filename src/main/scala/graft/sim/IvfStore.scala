@@ -141,9 +141,15 @@ object IvfStore {
                  mode: String, batchId: Long = 0L,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): Unit = {
-    // a non-overwrite write joins an EXISTING layout: its model must
-    // match the committed width (appending under a narrower model would
-    // assign new vectors as if post-split cells did not exist)
+    // a non-overwrite write joins an EXISTING layout: complete any
+    // crashed split FIRST (ADVICE r14 — in the window where a commit
+    // marker exists but the swap has not replayed, the stamp still
+    // reads the old width, so the check below would pass, the write
+    // would land in a cell directory the recovery replay then deletes
+    // and renames over, and the batch would be lost), then its model
+    // must match the committed width (appending under a narrower model
+    // would assign new vectors as if post-split cells did not exist)
+    if (mode != "overwrite") recoverSplits(df.sparkSession, path)
     if (mode != "overwrite") layoutWidth(df.sparkSession, path).foreach(w =>
       require(w == model.k,
         s"store at $path has layout width $w; refusing a '$mode' write " +
@@ -182,6 +188,12 @@ object IvfStore {
              batchId: Long,
              idCol: String = "vec_id",
              vecCol: String = "embedding"): Unit = {
+    // complete any crashed split BEFORE reading the stamp (ADVICE r14,
+    // the writeCells rationale: a marker-but-unreplayed tree still
+    // stamps the old width, the check passes, and the recovery replay
+    // later deletes the very directories this append wrote into —
+    // silent batch loss; splitCell itself already self-heals on entry)
+    recoverSplits(batch.sparkSession, path)
     // the (model, layout) pair must agree before growing the layout
     // (matchingModel doc): appending under a stale pre-split model
     // would file vectors as if the split never happened
@@ -332,6 +344,11 @@ object IvfStore {
     out.close()
     completeSwap(fs, root, staging, Seq(cell, model.k))
     fs.delete(marker, false)
+    // assignments changed under the grown model: every memoized guard
+    // census over this store is now stale — drop them all (round-14
+    // verdict ask #3; cheap, and stricter than trusting the callers'
+    // epoch-key discipline alone)
+    Ivf.invalidateCensusMemo()
     // publish the poles the members were actually assigned to: with
     // iters > 0 the retained cell's list sits around the REFINED pole
     // (poles(0), the one nearer the old centroid), and publishing the
