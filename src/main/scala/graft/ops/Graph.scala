@@ -21,6 +21,39 @@ object Graph {
   @transient private lazy val log =
     org.slf4j.LoggerFactory.getLogger("graft.ops.Graph")
 
+  /** Conf key for the over-budget triangle grid's scratch filesystem —
+    * set it to the job's scratch FS (`hdfs://…/tmp`, `s3://…`) at
+    * deployment scale; defaults to local java.io.tmpdir. Create, write,
+    * read and delete all resolve through THIS path's filesystem, so
+    * they always agree (ADVICE r14).
+    */
+  val ScratchDirKey = "spark.graft.scratch.dir"
+
+  /** Reclaim triangle-grid scratch left by a KILLED predecessor (its
+    * `finally` never ran): delete `graft_tri_grid*` directories last
+    * modified before this JVM started. The horizon makes the sweep safe
+    * for THIS process's own live scratch; concurrent grid runs from
+    * older still-live JVMs on the same scratch root are outside the
+    * single-bench-campaign discipline this repo's derived stores
+    * already assume ([[graft.sim.IvfStore]] single-writer contract).
+    * One file listing when there is nothing to do.
+    */
+  private[ops] def sweepStaleScratch(fs: org.apache.hadoop.fs.FileSystem,
+                                     root: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(root)) return
+    val horizon = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getStartTime
+    fs.listStatus(root).foreach { e =>
+      if (e.isDirectory && e.getPath.getName.startsWith("graft_tri_grid") &&
+          e.getModificationTime < horizon) {
+        log.info(s"reclaiming stale triangle-grid scratch ${e.getPath} " +
+          s"(modified ${e.getModificationTime}, before JVM start $horizon)")
+        try fs.delete(e.getPath, true)
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
   /** Iteration-state checkpointing for the big-edge-list loops below —
     * the measured rationale (both sf10 failure modes) lives on
     * [[IterState]], which dupGroups' min-label propagation shares.
@@ -252,10 +285,11 @@ object Graph {
     * oriented passes (~970 GB of checkpoint reads); the partitioned
     * layout reads the oriented list once and each adjacency slice 2·S
     * times (~115 GB) — the 36 sequential ~2 GB broadcast REBUILDS were
-    * the grid's one improvable constant. Scratch lives under
-    * java.io.tmpdir (the [[graft.sim.IvfStore.cellPartitioned]]
-    * precedent; at deployment scale point it at the job's scratch FS)
-    * and is deleted when the rounds finish. The fat nu/nv arrays never
+    * the grid's one improvable constant. Scratch lives under the
+    * [[ScratchDirKey]] filesystem (java.io.tmpdir by default; point it
+    * at the job's scratch FS at deployment scale), is deleted when the
+    * rounds finish, and a killed run's debris is reclaimed by the next
+    * run's entry sweep. The fat nu/nv arrays never
     * cross an exchange in either path: they attach from broadcast at
     * stream time and die inside the stage.
     */
@@ -283,10 +317,28 @@ object Graph {
         .join(deg.select(col("v_id").as("x"), col("deg").as("dx")), "x")
         .join(deg.select(col("v_id").as("y"), col("deg").as("dy")), "y")
       val s = lit(slices)
-      val scratch = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "graft_tri_grid")
-      val orientedPath = scratch.resolve("oriented").toString
-      val adjPath = scratch.resolve("adj").toString
+      // scratch root resolved through ONE filesystem for write, read
+      // and cleanup (ADVICE r14: a driver-local createTempDirectory
+      // whose schemeless path Spark then resolves against fs.defaultFS
+      // would, on an HDFS/S3-default cluster, write the parquet to the
+      // default FS while cleanup deleted only the empty local dir —
+      // leaking ~100 GB-class scratch per run). `spark.graft.scratch.dir`
+      // points it at the job's scratch FS at deployment scale;
+      // java.io.tmpdir is the local-mode default.
+      val scratchRoot = new org.apache.hadoop.fs.Path(
+        spark.conf.get(ScratchDirKey, "file:" + sys.props("java.io.tmpdir")))
+      val fs = scratchRoot.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      // a killed JVM never runs this method's finally — reclaim any
+      // predecessor's debris before creating our own (round-14 verdict
+      // ask #4, the recoverSplits entry-discipline precedent)
+      sweepStaleScratch(fs, scratchRoot)
+      val scratch = new org.apache.hadoop.fs.Path(scratchRoot,
+        s"graft_tri_grid_${java.lang.ProcessHandle.current().pid()}_" +
+          java.util.UUID.randomUUID().toString.take(8))
+      fs.mkdirs(scratch)
+      val orientedPath = new org.apache.hadoop.fs.Path(scratch, "oriented").toString
+      val adjPath = new org.apache.hadoop.fs.Path(scratch, "adj").toString
       try {
         // ONE pass builds the oriented list, landing pre-sliced on the
         // grid keys; the adjacency aggregates FROM that layout (one
@@ -328,8 +380,11 @@ object Graph {
       } finally {
         // every round is materialized (eager ckptSer) before we get
         // here — the final aggregation reads checkpoint blocks, never
-        // the scratch parquet
-        org.apache.commons.io.FileUtils.deleteQuietly(scratch.toFile)
+        // the scratch parquet. Same FS handle as the writes (ADVICE
+        // r14); a KILLED JVM skips this, which is what the entry
+        // sweep above repairs on the next run.
+        try fs.delete(scratch, true)
+        catch { case _: java.io.IOException => () }
       }
     }
   }
