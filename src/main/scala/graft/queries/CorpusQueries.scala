@@ -367,6 +367,7 @@ object CorpusQueries {
   private val SubsetDocs = 4000
   private val SubsetCust = 6000
   private val SubsetVecs = 2000
+  private val SubsetDups = 1000
 
   private def md5Subset(df: org.apache.spark.sql.DataFrame, idCol: String,
                         n: Int): org.apache.spark.sql.DataFrame = {
@@ -390,6 +391,70 @@ object CorpusQueries {
               ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol) AS __r
             FROM $table) WHERE __r <= $n) s USING ($idCol)"""
 
+  // ---- dup-closed slice (round-15 verdict ask #1) --------------------
+  // The md5-rank subset samples ids UNIFORMLY, which is exactly wrong
+  // for the MinHash twin: the fixture's planted near-dups copy a
+  // uniformly-chosen SOURCE doc, so the probability that a bounded
+  // uniform slice contains BOTH halves of any pair falls as 1/corpus —
+  // at sf10 the id-capped twin swept 0-vs-0 rows, an empty-set
+  // equality. This slice is CLOSED under the planted-dup relation by
+  // construction: the first `n` docs (by id) carrying the generator's
+  // marker token 'dup' (gen_sf_fixtures.py:148-153 — the marker is not
+  // in the 30-word vocabulary, so it identifies planted dups exactly),
+  // UNIONED with every doc whose text equals a slice dup's text with
+  // the marker tokens removed (its source — 95% of dups append the
+  // marker at the end, the rest insert it one before; either way
+  // token-filtering recovers the source text verbatim). Slice size is
+  // ≤ 2n at every sf, so the oracle replay stays O(n²)-bounded while
+  // the slice PROVABLY carries near-dup pairs the moment the fixture
+  // has ≥ 1 planted dup whose source is not itself a dup.
+  //
+  // Scale shape: the dup filter is one scan; the rank window rides ids
+  // only (≤ 5% of the corpus — the md5Subset one-task discipline); the
+  // stripped-text side is ≤ n short strings, broadcast into a semi-join
+  // against the corpus scan; the final id set (≤ 2n) broadcasts back.
+
+  private def dupClosedSlice(docs: org.apache.spark.sql.DataFrame,
+                             n: Int): org.apache.spark.sql.DataFrame = {
+    val isDup = array_contains(split(col("text"), " "), "dup")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val dupIds = docs.filter(isDup).select(col("doc_id"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= n).select(col("doc_id"))
+    val dups = docs.join(broadcast(dupIds), Seq("doc_id"), "left_semi")
+    val stripped = dups.select(
+        array_join(filter(split(col("text"), " "),
+          t => t =!= lit("dup")), " ").as("__base"))
+      .distinct()
+    val srcIds = docs
+      .join(broadcast(stripped), col("text") === col("__base"), "left_semi")
+      .select(col("doc_id"))
+    val ids = dupIds.unionByName(srcIds).distinct()
+    docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
+  }
+
+  private def dupClosedSliceSql(n: Int): String =
+    s"""SELECT t.* FROM documents t JOIN (
+          SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS __r
+            FROM documents
+            WHERE list_contains(string_split(text, ' '), 'dup'))
+          WHERE __r <= $n
+          UNION
+          SELECT s.doc_id FROM documents s JOIN (
+            SELECT DISTINCT array_to_string(
+                list_filter(string_split(d.text, ' '), x -> x <> 'dup'),
+                ' ') AS base
+            FROM documents d
+            WHERE list_contains(string_split(d.text, ' '), 'dup')
+              AND d.doc_id IN (
+                SELECT doc_id FROM (
+                  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS __r
+                  FROM documents
+                  WHERE list_contains(string_split(text, ' '), 'dup'))
+                WHERE __r <= $n)) b ON s.text = b.base
+        ) ids USING (doc_id)"""
+
   /** Shared md5-MinHash oracle (`doc_minhash_pairs_md5` /
     * `doc_minhash_incremental_md5`): recompute md5 60-bit shingle
     * hashes, formula permutations and literal band keys over the capped
@@ -397,7 +462,9 @@ object CorpusQueries {
     * extra predicate (the incremental row keeps pairs whose greater id
     * is in the batch), and verify exact Jaccard.
     */
-  private def minhashMd5Sql(candExtra: String): String = {
+  private def minhashMd5Sql(candExtra: String,
+      docsSql: String = "SELECT * FROM documents WHERE doc_id < 2000")
+      : String = {
     val h60 = (s: String) =>
       s"""list_reduce(list_transform(range(15), j ->
            CAST(strpos('0123456789abcdef',
@@ -408,7 +475,7 @@ object CorpusQueries {
                 (69069 * (i + 1) + 362437) % 2147483647 AS b
          FROM (SELECT unnest(range(64)) AS i)),
        toks AS (SELECT doc_id, string_split(text, ' ') AS t
-         FROM documents WHERE doc_id < 2000),
+         FROM ($docsSql) docs_src),
        sh AS (SELECT DISTINCT doc_id,
            ${h60("array_to_string(list_slice(t, i, i + 2), ' ')")} AS h
          FROM (SELECT doc_id, t,
@@ -3580,7 +3647,7 @@ object CorpusQueries {
 
     // Jaccard family: the PPJoin prefix-filter plan on the subset.
     Q("doc_jaccard_pairs_sub",
-      s"""WITH sub AS (${md5SubsetSql("documents", "doc_id", 4000)}),
+      s"""WITH sub AS (${md5SubsetSql("documents", "doc_id", SubsetDocs)}),
          d AS (SELECT doc_id, lang, source,
            list_distinct(regexp_split_to_array(text, '\\s+')) AS w FROM sub)
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -3600,7 +3667,7 @@ object CorpusQueries {
     // Containment family: probe-prefix x inverted-index AllPairs on the
     // subset (same asymmetric alpha-bound, bloom witness, grid salting).
     Q("doc_containment_pairs_sub",
-      s"""WITH sub AS (${md5SubsetSql("documents", "doc_id", 4000)}),
+      s"""WITH sub AS (${md5SubsetSql("documents", "doc_id", SubsetDocs)}),
          d AS (SELECT doc_id, lang, source,
            list_distinct(regexp_split_to_array(text, '\\s+')) AS w FROM sub)
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -3619,7 +3686,7 @@ object CorpusQueries {
     // components on the subset; oracle = recursive-CTE closure, one row
     // per subset document.
     Q("doc_dup_groups_sub",
-      s"""WITH RECURSIVE sub AS (${md5SubsetSql("documents", "doc_id", 4000)}),
+      s"""WITH RECURSIVE sub AS (${md5SubsetSql("documents", "doc_id", SubsetDocs)}),
          d AS (SELECT doc_id, lang, source,
            list_distinct(regexp_split_to_array(text, '\\s+')) AS w FROM sub),
          p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -3644,7 +3711,7 @@ object CorpusQueries {
     // Fuzzy (entity-resolution) family: nation-blocked Levenshtein
     // pairs through the native bounded-DP kernel on the subset.
     Q("cust_fuzzy_pairs_sub",
-      s"""WITH sub AS (${md5SubsetSql("customer", "c_custkey", 6000)})
+      s"""WITH sub AS (${md5SubsetSql("customer", "c_custkey", SubsetCust)})
          SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
            CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
          FROM sub a JOIN sub b
@@ -3664,7 +3731,7 @@ object CorpusQueries {
     // stay the FULL table's seed vectors, as in emb_semdedup — the
     // subset bounds the pair volume, not the model).
     Q("emb_semdedup_sub",
-      semDeDupOracleSql(md5SubsetSql("embeddings", "vec_id", 2000))) { (s, dir) =>
+      semDeDupOracleSql(md5SubsetSql("embeddings", "vec_id", SubsetVecs))) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       val cents = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
         .select(col("embedding")).collect()
@@ -3679,7 +3746,7 @@ object CorpusQueries {
     // cosine, pigeonhole-complete on the subset.
     Q("emb_dup_pairs_sub", embSimhashDupSql(nPlanes = 36, dim = 64,
         maxHamming = 8, seed = 7L,
-        corpusSql = md5SubsetSql("embeddings", "vec_id", 2000))) { (s, dir) =>
+        corpusSql = md5SubsetSql("embeddings", "vec_id", SubsetVecs))) { (s, dir) =>
       Similarity.simhashDupPairs(
           md5Subset(Tables(s, dir, "embeddings"), "vec_id", SubsetVecs),
           maxHamming = 8, nPlanes = 36, chunkBits = 4, dim = 64, seed = 7L)
@@ -3689,7 +3756,7 @@ object CorpusQueries {
     // Contamination family: max-train-cosine per eval vector over the
     // subset (eval/train split by the production modulus).
     Q("emb_contamination_sub",
-      s"""WITH sub AS (${md5SubsetSql("embeddings", "vec_id", 2000)}),
+      s"""WITH sub AS (${md5SubsetSql("embeddings", "vec_id", SubsetVecs)}),
          v AS (SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
            FROM sub),
@@ -3711,5 +3778,23 @@ object CorpusQueries {
       Similarity.testContamination(sub.filter(col("vec_id") % 7 =!= 3),
           sub.filter(col("vec_id") % 7 === 3), tau = 0.4)
         .orderBy(col("test_id"))
+    },
+
+    // MinHash family (round-15 verdict ask #1): the id-capped md5 twin
+    // above is NON-vacuous only while the cap covers a planted pair —
+    // at sf10 its 2,000-doc prefix holds dups whose sources live
+    // anywhere in 500 k docs, and the row swept 0-vs-0 (an empty-set
+    // equality). This twin runs the UNMODIFIED production kernel on
+    // the DUP-CLOSED slice (dupClosedSlice: first SubsetDups planted
+    // dups by id + their text-matched sources, ≤ 2·SubsetDups docs at
+    // every sf), so the banded-LSH machinery is hash-checked at the
+    // third decade on a slice that PROVABLY carries near-dup pairs.
+    Q("doc_minhash_pairs_md5_sub",
+      minhashMd5Sql(candExtra = "",
+        docsSql = dupClosedSliceSql(SubsetDups))) { (s, dir) =>
+      Dedup.minhashPairsMd5(
+          dupClosedSlice(Tables(s, dir, "documents"), SubsetDups),
+          threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
     })
 }
