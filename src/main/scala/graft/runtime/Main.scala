@@ -53,6 +53,10 @@ object Main {
 
     val runner = new StreamRunner(spark,
       StreamConfig(checkpoint, batchDurationSec = cfg.batchDurationSec,
+        // RocksDB by default at the entrypoint (GRAFT_STATE_STORE=hdfs
+        // opts out): the round-14 ladder measured equal throughput with
+        // 7.5x less resident state — see GraftConfig.stateStore
+        useRocksDbStateStore = cfg.stateStore == "rocksdb",
         ledger = Some(kv)))
     runner.attachListener()
 
