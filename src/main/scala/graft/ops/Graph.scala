@@ -296,10 +296,18 @@ object Graph {
   private def cornerCounts(sym: DataFrame, deg: DataFrame, mEdges: Long,
                            budgetOverride: Long = -1L): DataFrame = {
     val spark = sym.sparkSession
-    // 8 B id + UnsafeRow array element/offset overhead, hash-relation
-    // pages included — deliberately generous, an over-estimate only
-    // moves work to the (exact) grid path
-    val estBytes = mEdges * 16L
+    // hash-relation pricing through the shared helper (round-15: the
+    // sf10 grid run logged GC-locker retries deserializing its ~2 GB-raw
+    // slice broadcasts — the old flat 16 B/edge estimate under-priced
+    // UnsafeHashedRelation's page/pointer overhead exactly as ADVICE r13
+    // flagged for the census gates; 8 B of field data per edge entry
+    // under hashedRelationBytes' 16 B + 4x model prices the DESERIALIZED
+    // relation, so the slice count S is chosen against what the rounds
+    // actually hold in memory. Larger S means more, smaller rounds —
+    // total broadcast-build volume grows as 2·S·bytes, but each round's
+    // resident pair stays inside the budget instead of thrashing the
+    // GC, and the merge-walk CPU (the Σg³ wedge mass) is unchanged.)
+    val estBytes = ExchangeSizing.hashedRelationBytes(mEdges, 8)
     val budget = if (budgetOverride > 0) budgetOverride
                  else ExchangeSizing.broadcastBudgetBytes(spark)
     if (estBytes <= budget) {
