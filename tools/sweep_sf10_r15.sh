@@ -35,15 +35,14 @@ echo "verify rc=$?"
 # 6-way parallel comparator, resource-capped per process; rows that fail
 # on resources get rerun solo at 100GB (r13 protocol).
 python3 - <<EOF
-import subprocess, sys
+import os, subprocess, sys
 qs = """$QUERIES""".split()
 chunks = [qs[i::6] for i in range(6)]
+env = dict(os.environ, DUCKDB_MEMORY_LIMIT='14GB', DUCKDB_THREADS='6')
 procs = [subprocess.Popen(
     ['python3', 'tools/compare_duckdb.py', '$SF', '$OUT'] + c,
     stdout=open(f'/tmp/sweep_r15_cmp_{i}.log', 'w'),
-    stderr=subprocess.STDOUT,
-    env={'PATH': '/usr/bin:/bin', 'DUCKDB_MEMORY_LIMIT': '14GB',
-         'DUCKDB_THREADS': '6'})
+    stderr=subprocess.STDOUT, env=env)
     for i, c in enumerate(chunks)]
 for p in procs:
     p.wait()
