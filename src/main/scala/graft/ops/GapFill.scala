@@ -45,13 +45,38 @@ object GapFill {
       .select(col(keyCol).as("gk"), col(slotCol).cast("long").as("gs"),
         col(valCol).cast("long").as("gv"))
       .where(col("gv").isNotNull)
-    val bounds = o.agg(min(col("gs")).as("slo"), max(col("gs")).as("shi"))
+      // observations feed two passes (bounds + the fill itself); the
+      // checkpoint reads the upstream scan/aggregation once instead of
+      // twice, and truncates the lineage the explode pass re-analyzes
+      .localCheckpoint()
+    // Bounds as a BOUNDED driver collect (3 numbers), not a broadcast:
+    // the crossJoin(broadcast(bounds)) formulation re-ran the whole
+    // upstream pipeline a second time to build the 1-row broadcast and
+    // left a BroadcastNestedLoopJoin in the plan; literals cost neither.
+    val b = o.agg(min(col("gs")), max(col("gs")),
+      countDistinct(col("gk"))).head()
+    val (slo, shi, nKeys) =
+      if (b.isNullAt(0)) (0L, 0L, 0L)
+      else (b.getLong(0), b.getLong(1), b.getLong(2))
+    // Scale-adaptive fan-out partitioning: the exchange feeding the
+    // window carries only OBSERVATIONS, so AQE sizes it by pre-explode
+    // bytes and happily coalesces to one partition while the explode
+    // below fans out to the |keys|×|span| dense grid — serializing the
+    // whole fill on one task (measured: 2×~1.1 s single-task jobs at
+    // sf0.1). Derive the partition count from the DENSE row estimate:
+    // use every core once there is ≥20k dense rows per task of work,
+    // and bound task count by ~2M dense rows per task for huge grids.
+    val dense = nKeys.toDouble * (shi - slo + 1).toDouble
+    val defaultPar = o.sparkSession.sparkContext.defaultParallelism
+    val nParts = math.max(1, math.max(
+      math.ceil(dense / 2e6),
+      math.min(defaultPar.toDouble, math.ceil(dense / 2e4))).toInt)
     val w = Window.partitionBy(col("gk")).orderBy(col("gs"))
-    val aug = o
+    val aug = o.repartition(nParts, col("gk"))
       .withColumn("nslot", lead(col("gs"), 1).over(w))
       .withColumn("nval", lead(col("gv"), 1).over(w))
       .withColumn("rn", row_number().over(w))
-      .crossJoin(broadcast(bounds))
+      .withColumn("slo", lit(slo)).withColumn("shi", lit(shi))
     // Each observation emits: the head-edge run (first obs per key only),
     // itself, its trailing interpolated gap, and the tail-edge run (last
     // obs only). `sequence(a, b)` DESCENDS when a > b, so every branch is

@@ -47,10 +47,17 @@ class GapFillSpec extends SparkSpec {
     assert(got.keys.count(_._1 == 2L) == 5, "k=2 must cover the full grid")
   }
 
-  test("the whole fill is one hash exchange of the grid") {
+  test("the whole fill is one exchange of the observations") {
+    // the fan-out repartition (sized from the dense-grid estimate; a
+    // 1-partition grid renders as Exchange SinglePartition) must be the
+    // ONLY exchange — the window reuses its partitioning, and the old
+    // second scan + BroadcastNestedLoopJoin for the bounds must not
+    // reappear
     val plan = GapFill.fill(series((1L, 0L, 1L), (1L, 9L, 5L)), "k", "slot", "v")
       .queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges == 1, s"both window passes must share one exchange:\n$plan")
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges == 1, s"window must reuse the fan-out exchange:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bounds must be literals, not a broadcast:\n$plan")
   }
 }
