@@ -140,29 +140,42 @@ object Graph {
     // the registered query), and the derived nodes/outw scans ride the
     // same cached copy.
     val e0 = edges.localCheckpoint()
+    // LOOP INVARIANTS are checkpointed once: uncheckpointed, every
+    // iteration's lineage re-ran the node-distinct and the out-weight
+    // aggregation + join from e0's blocks — two extra stages × iters
+    // for frames that never change (measured as a third of the
+    // registered query's jobs at sf0.1).
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val outw = e0.groupBy(col("src")).agg(sum(col("n")).as("outw"))
     val ew = e0.join(outw, "src") // src, dst, n, outw — ≤ |V|² rows
+      .localCheckpoint()
+    freeCkpt(e0) // both invariants hold copies; e0's blocks are dead
     val teleport = scale * 15L / 100L
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
     for (i <- 1 to iters) {
+      // Dangling nodes ride the AGGREGATION instead of a second join: a
+      // zero-contribution row per node unioned under the same groupBy
+      // gives sum(c) = inflow for reached nodes and 0 for dangling ones
+      // — identical to the old left-join + coalesce (edge weights never
+      // produce rows outside `nodes`), one exchange and one broadcast
+      // build per round fewer.
       val contrib = ew
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr("(rank * 85 * n) div (100 * outw)").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+        .unionAll(nodes.select(col("node"), lit(0L).as("c")))
       // truncate lineage each round: ranks is ≤ |V| rows, and without
       // the checkpoint the final action analyzes/executes a plan that
-      // deepens by two joins + an aggregation per iteration. The
+      // deepens by a join + an aggregation per iteration. The
       // superseded round's blocks are freed immediately ([[freeCkpt]] —
       // tiny here, but the same discipline that keeps kCore's disk
-      // bounded; the first iteration must not free e0's blocks, which
-      // the initial non-checkpointed `ranks` plan shares).
-      val next = nodes
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("rank"))
+      // bounded; the first iteration must not free the checkpointed
+      // `nodes`, which the initial non-checkpointed `ranks` plan shares).
+      val next = contrib
+        .groupBy(col("node"))
+        .agg((lit(teleport) + sum(col("c"))).as("rank"))
         .localCheckpoint()
       if (i > 1) freeCkpt(ranks)
       ranks = next
@@ -690,22 +703,34 @@ object Graph {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     val e0 = sym.localCheckpoint()
+    // same loop-invariant discipline as pageRank: the node table feeds
+    // the dangling-node left join EVERY round — checkpointed once
+    // instead of re-running the distinct from e0 per iteration
     val nodes = e0.select(col("src").as("node")).distinct()
+      .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (i <- 1 to iters) {
+      // Isolated nodes ride the aggregation instead of a dangling-node
+      // left join: a zero-weight self-label row per node under the same
+      // groupBy leaves every real candidate's wsum unchanged and can
+      // never WIN against one (edge weights here are positive counts —
+      // both callers aggregate `count`/`sum(n)` ≥ 1), while a node with
+      // no labeled neighbor keeps its own label — identical to the old
+      // coalesce, one join and one broadcast build per round fewer.
       val scored = e0
         .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src"), col("label"), col("w"))
+        .unionAll(nodes.select(col("node").as("src"),
+          col("node").as("label"), lit(0L).as("w")))
         .groupBy(col("src"), col("label")).agg(sum(col("w")).as("wsum"))
       val pick = Window.partitionBy(col("src"))
         .orderBy(col("wsum").desc, col("label"))
-      val picked = scored
-        .withColumn("rn", row_number().over(pick)).where(col("rn") === 1)
-        .select(col("src").as("node"), col("label"))
       // same lineage truncation + free-previous-round discipline as
       // pageRank: |V|-row label table, plan otherwise deepens by a
-      // join + window + join per round
-      val next = nodes.join(picked, Seq("node"), "left")
-        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      // join + window per round
+      val next = scored
+        .withColumn("rn", row_number().over(pick)).where(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
         .localCheckpoint()
       if (i > 1) freeCkpt(labels)
       labels = next
