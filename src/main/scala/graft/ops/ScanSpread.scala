@@ -97,8 +97,27 @@ object ScanSpread {
       }
     }.sum
     if (rowGroups * 2 < s.sessionState.conf.numShufflePartitions &&
-        bytes > floorBytes)
-      df.repartition(s.sessionState.conf.numShufflePartitions)
-    else df
+        bytes > floorBytes) {
+      val n = s.sessionState.conf.numShufflePartitions
+      // Prefer CONTENT-hash partitioning over round-robin: a keyless
+      // repartition(n) first sorts its input locally (SPARK-23207's
+      // retry-determinism guard) — on the one decoding task this spread
+      // exists to relieve, that sort is a serial pre-tax on every row.
+      // Hashing the projected columns is deterministic under retry with
+      // no sort, and every spread consumer feeds rows with a unique key
+      // in them (doc_id / event_id / orderkey+linenumber), so the hash
+      // spreads as evenly as round-robin. Frames carrying an unhashable
+      // column (MapType) keep the round-robin path.
+      def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case st: org.apache.spark.sql.types.StructType =>
+          st.fields.forall(f => hashable(f.dataType))
+        case at: org.apache.spark.sql.types.ArrayType => hashable(at.elementType)
+        case _ => true
+      }
+      if (df.schema.fields.forall(f => hashable(f.dataType)))
+        df.repartition(n, df.columns.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(n)
+    } else df
   }
 }

@@ -50,13 +50,17 @@ class PlanSpec extends SparkSpec {
 
   /** KEYED exchanges (hash/range shuffle or broadcast) whose input still
     * contains the raw text column — the payload-never-rides-the-shuffle
-    * claim, checkable. Round-robin exchanges are exempt ONLY when their
-    * input is the raw scan (every input column is a source-table
+    * claim, checkable. The pre-kernel scan spread is exempt ONLY when
+    * its input is the raw scan (every input column is a source-table
     * column): that is the ScanSpread parallelism fix (each row crosses
     * exactly once, linear and bounded, BEFORE any kernel or candidate
-    * generation). A round-robin added after candidate generation would
-    * carry DERIVED columns and is an offender like any keyed exchange
-    * (ADVICE r7: the blanket exemption let that regression through).
+    * generation). The spread is an explicit REPARTITION_BY_NUM exchange
+    * — round-robin historically, content-hash since round 15 (skips
+    * SPARK-23207's local sort) — and ENSURE_REQUIREMENTS join/agg
+    * exchanges never match it. A repartition added after candidate
+    * generation would carry DERIVED columns and is an offender like any
+    * keyed exchange (ADVICE r7: the blanket exemption let that
+    * regression through).
     */
   private def textCarryingExchanges(name: String): (Seq[String], Seq[String]) = {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
@@ -70,7 +74,8 @@ class PlanSpec extends SparkSpec {
       catch { case _: Throwable => Seq.empty }
     }.toSet
     def scanSpreadExempt(i: Int): Boolean =
-      lines.slice(i, i + 3).exists(_.contains("roundrobinpartitioning")) && {
+      lines.slice(i, i + 3).exists(l => l.contains("roundrobinpartitioning") ||
+        (l.contains("REPARTITION_BY_NUM") && l.contains("hashpartitioning"))) && {
         lines.slice(i + 1, i + 4).find(_.startsWith("Input")) match {
           case Some(in) =>
             val names = """([A-Za-z0-9_]+)#\d+""".r
