@@ -809,14 +809,23 @@ object Dedup {
     // (ScanSpread kernel floor; 12 → 9 s at sf1).
     val din = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
       graft.ops.ScanSpread.KernelFloor)
+    // checkpoint the tokenized frame — the incremental twin's rationale
+    // applied to the full pass (see containmentScored): rank probe, hot
+    // census, candidate join and both verify join-backs all read it, and
+    // each re-ran the split/distinct/sort kernel without materialization
     val d = din.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
       .withColumn("nw", size(col("w")))
+      .localCheckpoint()
     val ranks = tokenRanks(d, commonVocab)
     // spill-aware exchange sizing for the hinted SHJ joins below — one
-    // scan-free bytes gate, 0 (plan unchanged) at every sf ≤ 1 scale
-    val parts = candJoinParts(docs.sparkSession, tokenVolume(docs, textCol))
+    // cheap aggregate over the CHECKPOINTED frame (sum(nw) is the exact
+    // exploded index volume, the incremental twin's sizing input); 0
+    // (plan unchanged) at every sf ≤ 1 scale
+    val parts = candJoinParts(docs.sparkSession, Option(
+      d.agg(sum(col("nw").cast("long"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L))
     exactMaskFromRanks(ranks, commonVocab) match {
       case mask @ Some(_) =>
         // BOUNDED-DICTIONARY FAST PATH (the containmentScored treatment
@@ -1051,28 +1060,6 @@ object Dedup {
                                  replicatedRows: Long): Int =
     graft.ops.ExchangeSizing.shjBuildParts(spark, replicatedRows,
       bytesPerRow = 300)
-
-  /** Token-instance volume of a corpus for [[candJoinParts]], measured
-    * ONLY when the input's file bytes clear 30 MB (one scan-free file
-    * listing; below the gate — every sf ≤ 1 fixture — the answer is 0
-    * and no extra job runs). The measurement itself is a narrow
-    * split+size scan: no sort, no distinct, no explode. Non-file inputs
-    * (streaming micro-batches, literal frames) report 0 — their
-    * volumes are batch-sized by construction.
-    */
-  private[text] def tokenVolume(docs: DataFrame, textCol: String): Long = {
-    val spark = docs.sparkSession
-    val bytes = try {
-      val conf = spark.sparkContext.hadoopConfiguration
-      docs.inputFiles.map { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(conf).getFileStatus(p).getLen
-      }.sum
-    } catch { case scala.util.control.NonFatal(_) => 0L }
-    if (bytes < 30L * 1024 * 1024) 0L
-    else Option(docs.agg(sum(size(split(col(textCol), "\\s+")).cast("long")))
-      .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
-  }
 
   /** The canonical token order both AllPairs pipelines sort by: document
     * frequency ascending (rare first — rare prefix tokens minimize bucket
@@ -1508,22 +1495,35 @@ object Dedup {
     // same kernel-floor scan spread as prefixJaccardPairs (37 → 25 s at sf1)
     val din = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
       graft.ops.ScanSpread.KernelFloor)
+    // Checkpoint the tokenized frame — the incremental twin's rationale
+    // applied to the full pass: the pipeline runs 3 bounded driver
+    // probes (ranks, sizing+αmin, hot census) plus the candidate join
+    // and two verify join-backs, and WITHOUT materialization each
+    // re-runs the split/distinct/sort kernel over the corpus. At
+    // warehouse scale this frame is the persisted tokenized table the
+    // pipeline would read; the checkpoint is its in-session stand-in.
     val d = din.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
       .withColumn("nw", size(col("w")))
+      .localCheckpoint()
     val ranks = tokenRanks(d, commonVocab)
-    // spill-aware exchange sizing (see candJoinParts) — 0 below the gate
-    val parts = candJoinParts(docs.sparkSession, tokenVolume(docs, textCol))
+    // ONE bounded probe for exchange sizing AND the αmin bound (the
+    // separate min(nw) job folded in; sum(nw) is the exact exploded
+    // index volume, the incremental twin's sizing input)
+    val szRow = d.agg(sum(col("nw").cast("long")), min(col("nw"))).head()
+    val parts = candJoinParts(docs.sparkSession,
+      Option(szRow.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    val minNw = Option(szRow.get(1)).map(_.asInstanceOf[Int])
     exactMaskFromRanks(ranks, commonVocab) match {
       case mask @ Some(_) =>
         val scored = containmentCandidatesAB(d, d, ranks, blockCols,
-            threshold, hotBucketCap, mask, parts)
+            threshold, hotBucketCap, mask, parts, minNw)
           .filter(col("containment") >= threshold)
         (scored, true)
       case None =>
       val cand = containmentCandidatesAB(d, d, ranks, blockCols,
-        threshold, hotBucketCap, None, parts)
+        threshold, hotBucketCap, None, parts, minNw)
       // Shuffle-join the corpus-sized payload back by id — see the same
       // treatment in prefixJaccardPairs (a byte-estimate-driven broadcast
       // of the token arrays measured 4.8 GiB at sf1).
@@ -1709,7 +1709,8 @@ object Dedup {
                                             threshold: Double,
                                             hotBucketCap: Int,
                                             exactMask: Option[Column],
-                                            sizeParts: Int = 0): DataFrame = {
+                                            sizeParts: Int = 0,
+                                            minNwOpt: Option[Int] = None): DataFrame = {
     // 64-bit token BLOOM per document, carried on every index row (8
     // bytes): a bit set in a_sig & ~b_sig witnesses ≥1 distinct A-token
     // absent from B, so bit_count(a_sig & ~b_sig) ≤ |A| − α is a
@@ -1742,8 +1743,8 @@ object Dedup {
     // entries whose probe×index products caused the measured
     // 354-candidates-per-result blowup; αmin is a 1-row aggregate.
     // α depends on |A| alone, so αmin comes from the PROBE side.
-    val minNw = Option(dA.agg(min(col("nw"))).head().get(0))
-      .map(_.asInstanceOf[Int]).getOrElse(0)
+    val minNw = minNwOpt.getOrElse(Option(dA.agg(min(col("nw"))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(0))
     val eps0 = 1e-9
     val alphaMin = math.ceil(threshold * minNw - eps0).toInt
     val bAll = dBS.select((col("id") +: blockCols.map(col)) :+ col("nw") :+ col("sig") :+
