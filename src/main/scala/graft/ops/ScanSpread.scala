@@ -32,6 +32,15 @@ object ScanSpread {
   val DefaultFloor: Long = 8L * 1024 * 1024
   /** For kernel-heavy consumers: per-row CPU dominates decode cost. */
   val KernelFloor: Long = 1L * 1024 * 1024
+  /** For WINDOW-HASH consumers (an md5 per sliding token position —
+    * ~10× the tokenize kernel's CPU per byte): measured round-15 A/B at
+    * sf0.1, spreading the 0.58 MB documents fixture wins ~20% for the
+    * span family while the same spread REGRESSES the cheaper vector
+    * kernels 2× (the 0.8 MB embeddings table stays under KernelFloor on
+    * purpose — re-measured, not assumed, after the content-hash spread
+    * removed the old sort tax).
+    */
+  val WindowHashFloor: Long = 256L * 1024
 
   // Footer row-group counts memoized per (path, size, mtime): every
   // registered kernel query calls spread() on the same fixture files,

@@ -228,9 +228,10 @@ object CorpusQueries {
     * no-ops under 1 MB and on multi-row-group warehouse layouts.
     */
   private def docsKernel(s: org.apache.spark.sql.SparkSession,
-                         dir: String): org.apache.spark.sql.DataFrame =
-    graft.ops.ScanSpread.spread(s, Tables(s, dir, "documents"),
-      graft.ops.ScanSpread.KernelFloor)
+                         dir: String,
+                         floor: Long = graft.ops.ScanSpread.KernelFloor)
+      : org.apache.spark.sql.DataFrame =
+    graft.ops.ScanSpread.spread(s, Tables(s, dir, "documents"), floor)
 
   /** DuckDB oracle for `doc_dup_kcore`: the identical synchronous peel
     * recurrence over the Jaccard pair graph, one keep-set + edge-restrict
@@ -817,7 +818,7 @@ object CorpusQueries {
            CAST(COUNT(*) AS INT) AS n_blocks,
            CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept
          FROM f GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-      Dedup.spanDedup(docsKernel(s, dir), k = 8).orderBy(col("doc_id"))
+      Dedup.spanDedup(docsKernel(s, dir, graft.ops.ScanSpread.WindowHashFloor), k = 8).orderBy(col("doc_id"))
     },
 
     // Incremental span dedup — C4 at ingest: docs ≥ 250 arrive as a new
@@ -841,7 +842,7 @@ object CorpusQueries {
            CAST(COUNT(*) AS INT) AS n_blocks,
            CAST(SUM(CASE WHEN rn = 1 AND NOT seen THEN 1 ELSE 0 END) AS INT) AS n_kept
          FROM f GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-      val docs = docsKernel(s, dir)
+      val docs = docsKernel(s, dir, graft.ops.ScanSpread.WindowHashFloor)
       Dedup.spanDedupIncremental(
           docs.filter(col("doc_id") >= 250),
           Dedup.spanBlockIndex(docs.filter(col("doc_id") < 250), k = 8),
@@ -881,7 +882,8 @@ object CorpusQueries {
          FROM s JOIN d USING (doc_id)
          WHERE span_end - span_start >= 16
          ORDER BY doc_id, span_start""") { (s, dir) =>
-      Dedup.duplicatedSpans(docsKernel(s, dir), k = 8, minLen = 16)
+      Dedup.duplicatedSpans(docsKernel(s, dir,
+          graft.ops.ScanSpread.WindowHashFloor), k = 8, minLen = 16)
         .orderBy(col("doc_id"), col("span_start"))
     },
 
