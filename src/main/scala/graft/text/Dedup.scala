@@ -505,8 +505,11 @@ object Dedup {
     val p = MinhashPrime
     val as = Array.tabulate(numHashes)(i => (1103515245L * (i + 1) + 12345L) % (p - 1) + 1)
     val bs = Array.tabulate(numHashes)(i => (69069L * (i + 1) + 362437L) % p)
+    // md5-per-shingle is the window-hash kernel class: spread from the
+    // lower floor (measured single-task 1.75-2.0 s checkpoint at sf0.1
+    // under KernelFloor - the 0.58 MB fixture never crossed 1 MB)
     val docsIn = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
-      graft.ops.ScanSpread.KernelFloor)
+      graft.ops.ScanSpread.WindowHashFloor)
     val toks = split(col(textCol), " ")
     val shingleHashes = array_distinct(
       when(size(toks) >= shingleW,
@@ -714,8 +717,9 @@ object Dedup {
   private def md5SimhashSigs(docs: DataFrame, textCol: String,
                              idCol: String): DataFrame = {
     val bits = 60
+    // md5-per-token: the window-hash kernel class (see md5ShingleSigs)
     val din = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
-      graft.ops.ScanSpread.KernelFloor)
+      graft.ops.ScanSpread.WindowHashFloor)
     val toks = din.select(col(idCol).as("id"),
       explode(split(col(textCol), "\\s+")).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
