@@ -14,10 +14,38 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  // Footer SCHEMAS memoized per (path, size, mtime) — the ScanSpread
+  // row-group-memo idiom applied to schema inference: every registered
+  // query opens its tables through here, and a bare
+  // spark.read.parquet(path) runs one footer-reading JOB per call
+  // (~0.05-0.1 s of driver latency each; ~190 queries × reps × tables
+  // per bench). With the schema supplied, no inference job runs.
+  // Keyed on size+mtime so a regenerated fixture re-infers; bounded
+  // like the ScanSpread cache (at capacity new keys are computed but
+  // not inserted); non-local paths fall through to plain inference.
+  private val MaxSchemaEntries = 1024
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), org.apache.spark.sql.types.StructType]()
+
+  private def readCached(spark: SparkSession, path: String): DataFrame = {
+    val f = new java.io.File(path)
+    if (!f.isFile) return spark.read.parquet(path)
+    val key = (path, f.length, f.lastModified)
+    val hit = schemaCache.get(key)
+    val schema =
+      if (hit != null) hit
+      else {
+        val s = spark.read.parquet(path).schema
+        if (schemaCache.size < MaxSchemaEntries) schemaCache.put(key, s)
+        s
+      }
+    spark.read.schema(schema).parquet(path)
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
       case "events" => events(spark, dir)
-      case n        => spark.read.parquet(s"$dir/$n.parquet")
+      case n        => readCached(spark, s"$dir/$n.parquet")
     }
 
   /** `events.parquet` fixtures have carried two `ts` encodings across driver
@@ -29,7 +57,7 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    adaptTs(spark.read.parquet(s"$dir/events.parquet"))
+    adaptTs(readCached(spark, s"$dir/events.parquet"))
   }
 
   /** Normalize the `ts` column to session-zone TIMESTAMP, whatever encoding
