@@ -417,21 +417,30 @@ object CorpusQueries {
 
   private def dupClosedSlice(docs: org.apache.spark.sql.DataFrame,
                              n: Int): org.apache.spark.sql.DataFrame = {
+    // One SPREAD + CHECKPOINTED corpus pass feeds the whole slice: the
+    // marker filter, the stripped-text probe, the source semi-join and
+    // the final id semi-join are four sequential passes, and on the
+    // single-row-group fixture each re-decoded the parquet and re-split
+    // the text serially (measured ~1 s of the twin's 3.7 s at sf0.1).
+    // The downstream consumer is the md5-shingle kernel, so the spread
+    // uses its window-hash floor.
+    val base = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
+      graft.ops.ScanSpread.WindowHashFloor).localCheckpoint()
     val isDup = array_contains(split(col("text"), " "), "dup")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-    val dupIds = docs.filter(isDup).select(col("doc_id"))
+    val dupIds = base.filter(isDup).select(col("doc_id"))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= n).select(col("doc_id"))
-    val dups = docs.join(broadcast(dupIds), Seq("doc_id"), "left_semi")
+    val dups = base.join(broadcast(dupIds), Seq("doc_id"), "left_semi")
     val stripped = dups.select(
         array_join(filter(split(col("text"), " "),
           t => t =!= lit("dup")), " ").as("__base"))
       .distinct()
-    val srcIds = docs
+    val srcIds = base
       .join(broadcast(stripped), col("text") === col("__base"), "left_semi")
       .select(col("doc_id"))
     val ids = dupIds.unionByName(srcIds).distinct()
-    docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    base.join(broadcast(ids), Seq("doc_id"), "left_semi")
   }
 
   private def dupClosedSliceSql(n: Int): String =
