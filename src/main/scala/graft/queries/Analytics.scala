@@ -2141,17 +2141,29 @@ object Analytics {
          FROM p JOIN n na ON na.item = p.item_a
                 JOIN n nb ON nb.item = p.item_b
          WHERE n_ab >= 5 ORDER BY item_a, item_b""") { (s, dir) =>
-      val ui = Tables.events(s, dir)
+      // Pair generation WITHOUT the self-join: the old a⋈b shape
+      // re-executed the whole scan→distinct→window pipeline on BOTH
+      // join inputs (nothing was materialized) and shuffled the b side
+      // a second time. One pass instead: per-user sorted item array
+      // (sort+slice ≡ the rn ≤ 50 window cap — items are distinct, so
+      // no tie ambiguity), checkpointed (~|users| rows of ≤50 ints),
+      // then ordered pairs expand IN-ARRAY (x before y in a sorted
+      // array ⟺ x < y, exactly the join's item_a < item_b) and both
+      // the pair counts and the per-item counts read the same blocks.
+      val lists = Tables.events(s, dir)
         .select(col("user_id"),
           get_json_object(col("props"), "$.k").cast("int").as("item"))
         .distinct()
-      val w = Window.partitionBy(col("user_id")).orderBy(col("item"))
-      val capped = ui.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 50).drop("rn")
-      val itemN = capped.groupBy(col("item")).agg(count(lit(1)).as("n"))
-      val a = capped.toDF("user_id", "item_a")
-      val b = capped.toDF("user_id", "item_b")
-      a.join(b, Seq("user_id")).filter(col("item_a") < col("item_b"))
+        .groupBy(col("user_id"))
+        .agg(slice(sort_array(collect_list(col("item"))), 1, 50).as("items"))
+        .localCheckpoint()
+      val itemN = lists.select(explode(col("items")).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("n"))
+      lists.select(explode(expr(
+          """flatten(transform(items, (x, i) ->
+               transform(slice(items, i + 2, size(items)),
+                 y -> struct(x AS item_a, y AS item_b))))""")).as("p"))
+        .select(col("p.item_a"), col("p.item_b"))
         .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 5)
         .join(itemN.toDF("item_a", "na"), "item_a")
