@@ -500,7 +500,8 @@ object Dedup {
     * fused minhash kernel with formula-derived permutation constants.
     */
   private def md5ShingleSigs(docs: DataFrame, numHashes: Int, bands: Int,
-                             shingleW: Int, textCol: String, idCol: String): DataFrame = {
+                             shingleW: Int, textCol: String, idCol: String,
+                             carryCols: Seq[String] = Nil): DataFrame = {
     require(numHashes % bands == 0)
     val p = MinhashPrime
     val as = Array.tabulate(numHashes)(i => (1103515245L * (i + 1) + 12345L) % (p - 1) + 1)
@@ -518,10 +519,11 @@ object Dedup {
             slice(toks, i, lit(shingleW)))), 1, 15), 16, 10).cast("long")))
       .otherwise(array().cast("array<long>")))
     docsIn
-      .select(col(idCol).as("id"), shingleHashes.as("sh"))
+      .select(col(idCol).as("id") +: carryCols.map(col) :+
+        shingleHashes.as("sh"): _*)
       .filter(size(col("sh")) > 0)
-      .select(col("id"), col("sh"),
-        VectorExpressions.minhashSig(col("sh"), as, bs, p).as("sig"))
+      .select(col("id") +: carryCols.map(col) :+ col("sh") :+
+        VectorExpressions.minhashSig(col("sh"), as, bs, p).as("sig"): _*)
   }
 
   /** Banded (id, bh) bucket rows over md5-config signatures — literal
@@ -583,19 +585,24 @@ object Dedup {
                                  hotBucketCap: Int = 100000): DataFrame = {
     // both sig frames feed ≥ 3 jobs each (the two hot-detection
     // collects, the probe/self joins, the verify) and md5-per-shingle
-    // dominates — checkpoint once per side; at warehouse scale the
-    // standing side is a persisted signature table and this is its
-    // in-session stand-in (the containment-incremental rationale)
-    val sigsOld = md5ShingleSigs(existing, numHashes, bands, shingleW, textCol, idCol)
-      .localCheckpoint()
-    val sigsNew = md5ShingleSigs(batch, numHashes, bands, shingleW, textCol, idCol)
-      .localCheckpoint()
+    // dominates — ONE tagged-union kernel pass and checkpoint instead of
+    // one per side (the sides are disjoint, so the batch flag recovers
+    // each exactly; the two eager checkpoints ran serialized); at
+    // warehouse scale the standing side is a persisted signature table
+    // and this is its in-session stand-in (the containment-incremental
+    // rationale)
+    val tagged = batch.withColumn("__batch", lit(true))
+      .unionByName(existing.withColumn("__batch", lit(false)))
+    val sigsAll = md5ShingleSigs(tagged, numHashes, bands, shingleW, textCol,
+      idCol, Seq("__batch")).localCheckpoint()
+    val sigsOld = sigsAll.filter(!col("__batch")).drop("__batch")
+    val sigsNew = sigsAll.filter(col("__batch")).drop("__batch")
     val oldB = md5BandBuckets(sigsOld, numHashes, bands)
     val newB = md5BandBuckets(sigsNew, numHashes, bands)
     val cross = bucketProbeJoin(oldB, newB, hotBucketCap)
     val fresh = bucketSelfJoin(newB, hotBucketCap)
     val cand = cross.unionByName(fresh).dropDuplicates("a_id", "b_id")
-    jaccardVerify(cand, sigsOld.unionByName(sigsNew), threshold)
+    jaccardVerify(cand, sigsAll.drop("__batch"), threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens: per-token xxhash64, each bit
@@ -715,13 +722,17 @@ object Dedup {
     * stage of [[simhashPairsMd5]] and [[simhashPairsMd5Incremental]].
     */
   private def md5SimhashSigs(docs: DataFrame, textCol: String,
-                             idCol: String): DataFrame = {
+                             idCol: String,
+                             carryCols: Seq[String] = Nil): DataFrame = {
     val bits = 60
-    // md5-per-token: the window-hash kernel class (see md5ShingleSigs)
+    // md5-per-token: the window-hash kernel class (see md5ShingleSigs).
+    // `carryCols` ride the aggregation unchanged (ids are unique, so
+    // extra grouping keys cannot split a document's votes) — the
+    // incremental caller tags sides and computes BOTH in one pass.
     val din = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
       graft.ops.ScanSpread.WindowHashFloor)
-    val toks = din.select(col(idCol).as("id"),
-      explode(split(col(textCol), "\\s+")).as("tok"))
+    val toks = din.select(col(idCol).as("id") +: carryCols.map(col) :+
+      explode(split(col(textCol), "\\s+")).as("tok"): _*)
       .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
     val votes = (0 until bits).map(j =>
       sum(when(shr(col("h"), lit(j)).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
@@ -729,8 +740,8 @@ object Dedup {
     val sig = (0 until bits).map(j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
-    toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-      .select(col("id"), sig.as("sig"))
+    toks.groupBy(col("id") +: carryCols.map(col): _*).agg(votes.head, votes.tail: _*)
+      .select(col("id") +: carryCols.map(col) :+ sig.as("sig"): _*)
   }
 
   /** INCREMENTAL SimHash dedup under the oracle-replayable config — the
@@ -751,10 +762,15 @@ object Dedup {
     val chunks = 4; val chunkBits = 15
     val mask = (1L << chunkBits) - 1
     // per-token md5 + 60 bit-votes dominate and each side feeds multiple
-    // jobs (hot detection + joins) — checkpoint once per side, as in
-    // [[minhashPairsMd5Incremental]]
-    val sigsOld = md5SimhashSigs(existing, textCol, idCol).localCheckpoint()
-    val sigsNew = md5SimhashSigs(batch, textCol, idCol).localCheckpoint()
+    // jobs (hot detection + joins) — ONE tagged-union kernel pass and
+    // checkpoint instead of one per side (the sides are disjoint, so the
+    // batch flag recovers each exactly; two eager checkpoints serialized)
+    val tagged = batch.withColumn("__batch", lit(true))
+      .unionByName(existing.withColumn("__batch", lit(false)))
+    val sigsAll = md5SimhashSigs(tagged, textCol, idCol, Seq("__batch"))
+      .localCheckpoint()
+    val sigsOld = sigsAll.filter(!col("__batch")).drop("__batch")
+    val sigsNew = sigsAll.filter(col("__batch")).drop("__batch")
     def chunked(sh: DataFrame): DataFrame = sh.select(col("id"), col("sig"),
         explode(transform(sequence(lit(0), lit(chunks - 1)), c =>
           struct(c.as("chunk"),
@@ -895,17 +911,22 @@ object Dedup {
     // rationale: the rank/hot probes must not re-run the split/sort
     // kernel; the standing side stands in for a persisted tokenized
     // table at warehouse scale
-    def prep(df: DataFrame): DataFrame = {
-      val din = graft.ops.ScanSpread.spread(df.sparkSession, df,
-        graft.ops.ScanSpread.KernelFloor)
-      din.select(
+    // one spread + checkpoint over the tagged union instead of one per
+    // side — the containment-incremental treatment: the two eager
+    // per-side checkpoints ran sequentially, and the sides are disjoint
+    // so a batch flag recovers each side from the shared blocks exactly
+    val tagged = batch.withColumn("__batch", lit(true))
+      .unionByName(existing.withColumn("__batch", lit(false)))
+    val din = graft.ops.ScanSpread.spread(tagged.sparkSession, tagged,
+      graft.ops.ScanSpread.KernelFloor)
+    val dTagged = din.select(
         (col(idCol).as("id") +: blockCols.map(col)) :+
-          array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
-        .withColumn("nw", size(col("w")))
-        .localCheckpoint()
-    }
-    val dNew = prep(batch)
-    val dAll = dNew.unionByName(prep(existing))
+          array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w") :+
+          col("__batch"): _*)
+      .withColumn("nw", size(col("w")))
+      .localCheckpoint()
+    val dNew = dTagged.filter(col("__batch")).drop("__batch")
+    val dAll = dTagged.drop("__batch")
     val ranks = tokenRanks(dAll, commonVocab)
     // spill-aware sizing: one cheap aggregate over the CHECKPOINTED
     // union (no kernel re-run) prices the exploded index volume
@@ -1619,18 +1640,23 @@ object Dedup {
     // At warehouse scale the standing side is a persisted tokenized
     // table (the index the batch probes); the checkpoint is its
     // in-session stand-in, batch-proportional on the new side.
-    def prep(df: DataFrame): DataFrame = {
-      val din = graft.ops.ScanSpread.spread(df.sparkSession, df,
-        graft.ops.ScanSpread.KernelFloor)
-      din.select(
+    // ONE spread + checkpoint over the tagged union instead of one per
+    // side: the two eager per-side checkpoints ran SEQUENTIALLY (two
+    // scan+kernel+materialize barriers); the sides are disjoint, so a
+    // batch flag recovers each side from the shared blocks exactly.
+    val tagged = batch.withColumn("__batch", lit(true))
+      .unionByName(existing.withColumn("__batch", lit(false)))
+    val din = graft.ops.ScanSpread.spread(tagged.sparkSession, tagged,
+      graft.ops.ScanSpread.KernelFloor)
+    val dTagged = din.select(
         (col(idCol).as("id") +: blockCols.map(col)) :+
-          array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w"): _*)
-        .withColumn("nw", size(col("w")))
-        .localCheckpoint()
-    }
-    val dNew = prep(batch)
-    val dOld = prep(existing)
-    val dAll = dNew.unionByName(dOld)
+          array_sort(array_distinct(split(col(textCol), "\\s+"))).as("w") :+
+          col("__batch"): _*)
+      .withColumn("nw", size(col("w")))
+      .localCheckpoint()
+    val dAll = dTagged.drop("__batch")
+    val dNew = dTagged.filter(col("__batch")).drop("__batch")
+    val dOld = dTagged.filter(!col("__batch")).drop("__batch")
     val ranks = tokenRanks(dAll, commonVocab)
     val maskOpt = exactMaskFromRanks(ranks, commonVocab)
     // spill-aware sizing from the checkpointed union (no kernel re-run)
