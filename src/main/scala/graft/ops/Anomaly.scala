@@ -50,9 +50,15 @@ object Anomaly {
     val w = Window.partitionBy(keyCol).orderBy(timeCol).rowsBetween(-lookback, -1)
     def dec(c: Column): Column = c.cast(DecimalType(38, 0))
     counts
+      // project x² FIRST so all three aggregates share ONE Window exec:
+      // sum over the derived decimal product made ExtractWindowExpressions
+      // split a second Window node (a whole extra pass over the series)
+      // when the product rode inside the window expression
+      .withColumn("__v2", dec(col(valueCol)) * dec(col(valueCol)))
       .withColumn("n_base", count(lit(1)).over(w))
       .withColumn("s_base", sum(col(valueCol)).over(w))
-      .withColumn("ss_base", sum(dec(col(valueCol)) * dec(col(valueCol))).over(w))
+      .withColumn("ss_base", sum(col("__v2")).over(w))
+      .drop("__v2")
       .filter(col("n_base") >= minBaseline)
       .filter {
         val n = dec(col("n_base"))

@@ -180,6 +180,12 @@ object Graph {
       if (i > 1) freeCkpt(ranks)
       ranks = next
     }
+    // the returned frame is itself a checkpoint and shares no blocks with
+    // the loop invariants — free them now instead of waiting for GC (the
+    // ADVICE r15 note: long sessions run many queries; deterministic
+    // free is the module's stated discipline)
+    freeCkpt(nodes)
+    freeCkpt(ew)
     ranks
   }
 
@@ -702,6 +708,13 @@ object Graph {
     val sym = edges.select(col("src"), col("dst"), col("w"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      // the zero-weight self-label fold below is only equivalent to the
+      // old dangling-node left join while every edge weight is POSITIVE
+      // (a w ≤ 0 edge could tie the self-label row and win via the
+      // label-asc tie-break) — enforce the documented precondition
+      // instead of assuming it; for both registered callers (count /
+      // sum-of-count weights ≥ 1) this filter passes every row
+      .filter(col("w") > 0)
     val e0 = sym.localCheckpoint()
     // same loop-invariant discipline as pageRank: the node table feeds
     // the dangling-node left join EVERY round — checkpointed once
@@ -735,6 +748,10 @@ object Graph {
       if (i > 1) freeCkpt(labels)
       labels = next
     }
+    // same deterministic-free discipline as pageRank: the returned
+    // labels checkpoint shares no blocks with the loop invariants
+    freeCkpt(nodes)
+    freeCkpt(e0)
     labels
   }
 }

@@ -372,16 +372,16 @@ object CorpusQueries {
 
   private def md5Subset(df: org.apache.spark.sql.DataFrame, idCol: String,
                         n: Int): org.apache.spark.sql.DataFrame = {
-    // rank the IDs ONLY through the one-task global window (n longs +
-    // hex strings — trivial even at 500 k), then semi-join the slim id
-    // set back; ranking the full frame would drag the text/vector
-    // payload through a single-partition sort
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    // the first n ids under the (md5, id) total order — ids are unique,
+    // so `orderBy.limit(n)` ≡ `row_number ≤ n` over the same order, and
+    // it plans as TakeOrderedAndProject (each partition keeps n, no
+    // single-partition WindowExec — the old global rank window moved
+    // every id through one task and logged the "No Partition Defined"
+    // warning wall); the slim id set then semi-joins back, so the
+    // text/vector payload never rides the ordering
     val ids = df.select(col(idCol))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= n)
-      .select(col(idCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(n)
     df.join(broadcast(ids), Seq(idCol), "left_semi")
   }
 
@@ -427,10 +427,12 @@ object CorpusQueries {
     val base = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
       graft.ops.ScanSpread.WindowHashFloor).localCheckpoint()
     val isDup = array_contains(split(col("text"), " "), "dup")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    // first n dup-marked ids: doc_id is unique, so orderBy.limit(n) ≡
+    // the old row_number ≤ n global window, planned as
+    // TakeOrderedAndProject instead of a single-partition WindowExec
+    // (the md5Subset treatment — VERDICT r15 #6)
     val dupIds = base.filter(isDup).select(col("doc_id"))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= n).select(col("doc_id"))
+      .orderBy(col("doc_id")).limit(n)
     val dups = base.join(broadcast(dupIds), Seq("doc_id"), "left_semi")
     val stripped = dups.select(
         array_join(filter(split(col("text"), " "),
@@ -2595,9 +2597,14 @@ object CorpusQueries {
       // IvfSpec pins that on planted-cluster data. Reporting the honest
       // declining curve beats quadratic probe scaling.
       val step = math.max(1L, nVec / 512)
+      // checkpoint the ground-truth edge sample: all three probe-depth
+      // branches join against it and the denominator aggregates it — 4
+      // consumers that each re-ran the |Q|·n brute-force scoring from
+      // lineage (≤ 512·5 rows materialized)
       val exact = Similarity.bruteForceTopK(emb,
           emb.filter(pmod(col("vec_id"), lit(step)) === 0), k = 5)
         .select(col("q_id"), col("n_id"))
+        .localCheckpoint()
       val denom = exact.agg(count(lit(1)).as("n_exact"))
       // Deliberately a per-depth knnGraph sweep, NOT searchMulti: the
       // shared-candidate trick is right when |Q| bounds the materialized

@@ -23,14 +23,23 @@ object Tables {
   // Keyed on size+mtime so a regenerated fixture re-infers; bounded
   // like the ScanSpread cache (at capacity new keys are computed but
   // not inserted); non-local paths fall through to plain inference.
+  // Staleness window (ADVICE r15): a fixture regenerated IN PLACE with
+  // identical byte size within one mtime tick would serve a stale
+  // schema — acceptable for the driver's immutable local fixtures.
+  // The key also carries the nanosAsLong legacy conf, because inference
+  // is conf-DEPENDENT (INT64 TIMESTAMP(NANOS) surfaces as LongType only
+  // under it): a cache hit must never replay a schema inferred under a
+  // different conf than the session's current one.
   private val MaxSchemaEntries = 1024
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), org.apache.spark.sql.types.StructType]()
+    (String, Long, Long, String), org.apache.spark.sql.types.StructType]()
 
   private def readCached(spark: SparkSession, path: String): DataFrame = {
     val f = new java.io.File(path)
     if (!f.isFile) return spark.read.parquet(path)
-    val key = (path, f.length, f.lastModified)
+    val nanosConf = spark.conf.getOption(
+      "spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
+    val key = (path, f.length, f.lastModified, nanosConf)
     val hit = schemaCache.get(key)
     val schema =
       if (hit != null) hit

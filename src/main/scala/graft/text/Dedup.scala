@@ -330,16 +330,28 @@ object Dedup {
     // shingle+MinHash kernels are CPU-per-row: kernel-floor scan spread
     val docsIn = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
       graft.ops.ScanSpread.KernelFloor)
-    val cand = minhashCandidates(docsIn, numHashes, bands, shingleW,
-      textCol, idCol, hotBucketCap)
+    // ONE kernel pass and checkpoint (round-16 — the md5-twin shape
+    // applied to the production config): the hot census, both bucket
+    // join sides and both verify join-backs each re-ran the
+    // shingle+MinHash kernel from lineage (8 parquet scans in the
+    // before-plan)
+    val sigs = docsIn
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleW).as("sh"))
+      .select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .localCheckpoint()
+    val rows = numHashes / bands
+    val buckets = sigs.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows)))))
+        .as("bh"))
+    val cand = bucketSelfJoin(buckets, hotBucketCap)
       .dropDuplicates("a_id", "b_id")
     // Corpus-sized shingle payload: shuffle-join it back by id — its
     // parquet-bytes estimate is tiny, so the planner would otherwise
     // build a corpus-proportional broadcast (see prefixJaccardPairs).
-    def side(role: String): DataFrame = docsIn
-      .select(col(idCol).as(s"${role}_id"),
-        shingles(col(textCol), shingleW).as(s"${role}_sh"))
-      .withColumn(s"${role}_n", size(col(s"${role}_sh")))
+    def side(role: String): DataFrame = sigs
+      .select(col("id").as(s"${role}_id"), col("sh").as(s"${role}_sh"),
+        size(col("sh")).as(s"${role}_n"))
       .hint("SHUFFLE_HASH")
     cand
       .join(side("a"), "a_id").join(side("b"), "b_id")
@@ -519,9 +531,21 @@ object Dedup {
             slice(toks, i, lit(shingleW)))), 1, 15), 16, 10).cast("long")))
       .otherwise(array().cast("array<long>")))
     docsIn
+      // Filter on the CHEAP equivalent predicate, BEFORE the kernel
+      // projection: `size(sh) > 0 ⟺ size(toks) ≥ shingleW` (the when()
+      // yields ≥ 1 element exactly then, and array_distinct of a
+      // non-empty array is non-empty). The old `filter(size(sh) > 0)`
+      // above the projection was pushed below the spread's exchange by
+      // PushDownPredicates with the FULL md5-per-shingle expression
+      // substituted in — the whole kernel ran serially on the one
+      // pre-spread task (measured 2.5 s at sf0.1, the single largest
+      // job of every md5-minhash query) and then again, spread, in the
+      // post-exchange projection. The cheap form still pushes below the
+      // exchange — which is now a win (short docs drop before the
+      // shuffle, one split() per row).
+      .filter(size(toks) >= shingleW)
       .select(col(idCol).as("id") +: carryCols.map(col) :+
         shingleHashes.as("sh"): _*)
-      .filter(size(col("sh")) > 0)
       .select(col("id") +: carryCols.map(col) :+ col("sh") :+
         VectorExpressions.minhashSig(col("sh"), as, bs, p).as("sig"): _*)
   }
@@ -630,10 +654,14 @@ object Dedup {
                    textCol: String = "text", idCol: String = "doc_id",
                    hotBucketCap: Int = 100000): DataFrame = {
     // signature kernel is CPU-per-row: spread a row-group-starved scan
-    // before it (13.2 s → 2.1 s at sf1 on the one-row-group fixture)
+    // before it (13.2 s → 2.1 s at sf1 on the one-row-group fixture);
+    // checkpoint the signature table — the hot census and both chunk
+    // join sides each re-ran the kernel from lineage (the md5-twin
+    // shape, round-16)
     val din = graft.ops.ScanSpread.spread(docs.sparkSession, docs,
       graft.ops.ScanSpread.KernelFloor)
     val sh = din.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .localCheckpoint()
     simhashPairsOnSigs(sh, maxHamming, chunks = 4, chunkBits = 16, hotBucketCap)
   }
 
@@ -1058,17 +1086,22 @@ object Dedup {
   /** SPILL-AWARE partition count for the hinted shuffled-hash joins of
     * the AllPairs pipelines — [[graft.ops.ExchangeSizing]] with this
     * call site's row shape: a token-index row is (8 B id + short token
-    * string + shuffle-row overhead) ≈ 150 B, and `tokenInstances` (ALL
-    * token instances) over-counts the prefix-index build rows ≥ 2× —
-    * hence the gate slack. The sf10 ladder forced the forced exchange:
-    * 500 k docs' token indexes over the default 32 partitions OOM'd
-    * the non-spilling build ("not enough memory to build hash map")
-    * while every smaller gate scale keeps its plan byte-identical.
+    * string + shuffle-row overhead) ≈ 150 B. Every caller now passes
+    * `sum(nw)` over the checkpointed tokenized frame — the EXACT
+    * exploded inverted-index volume (one row per distinct token per
+    * doc), which is also what the largest build side of the candidate
+    * join holds — so the estimate is no longer deflated by a gate
+    * slack (ADVICE r15: the old 2.0 slack was justified by the retired
+    * tokenVolume input counting ALL token instances, a ≥ 2× over-count;
+    * with the tight input it let the non-spilling build reach 2× task
+    * capacity before forcing the exchange — the exact sf10 OOM regime
+    * this gate exists for). All sf ≤ 1 volumes sit far under the gate
+    * either way, so bench-scale plans are byte-identical.
     */
   private[text] def candJoinParts(spark: org.apache.spark.sql.SparkSession,
                                   tokenInstances: Long): Int =
     graft.ops.ExchangeSizing.shjBuildParts(spark, tokenInstances,
-      bytesPerRow = 150, gateSlack = 2.0)
+      bytesPerRow = 150)
 
   /** Hot-GRID exchange sizing: the grid-salted hot path REPLICATES its
     * inputs `grid`× by construction, so its build volume is exactly
@@ -1925,7 +1958,13 @@ object Dedup {
   def spanDedup(docs: DataFrame, k: Int = 8, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
     require(k >= 1)
-    val (base, blocks) = spanBlocks(docs, k, textCol, idCol)
+    // checkpoint the block-hash frame (round-16, the AllPairs idiom):
+    // the winners aggregation and the drops join each held the full
+    // md5-per-block kernel subtree — one kernel pass now feeds both.
+    // The frame is (doc_id, block_idx, bh) — ids and hashes only, the
+    // narrowest thing in the pipeline (text never enters an exchange)
+    val (base, blocks0) = spanBlocks(docs, k, textCol, idCol)
+    val blocks = blocks0.localCheckpoint()
     val winners = blocks.groupBy("bh")
       .agg(min(struct(col("doc_id"), col("block_idx"))).as("first"))
     val drops = blocks.join(winners, "bh")
@@ -1952,7 +1991,10 @@ object Dedup {
                            k: Int = 8, textCol: String = "text",
                            idCol: String = "doc_id"): DataFrame = {
     require(k >= 1)
-    val (base, blocks) = spanBlocks(batch, k, textCol, idCol)
+    // one md5-block kernel pass feeds the winners aggregation and the
+    // drops join — see spanDedup
+    val (base, blocks0) = spanBlocks(batch, k, textCol, idCol)
+    val blocks = blocks0.localCheckpoint()
     val freshWinners = blocks.groupBy("bh")
       .agg(min(struct(col("doc_id"), col("block_idx"))).as("first"))
       .join(existingIndex.select(col("bh")), Seq("bh"), "left_anti")
@@ -2030,6 +2072,11 @@ object Dedup {
       posexplode(transform(sequence(lit(0), col("n") - k),
         i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " "))))
         .as(Seq("pos", "gh")))
+      // checkpoint (round-16, the AllPairs idiom): the duplicated-hash
+      // aggregation and the island join each held the full
+      // md5-per-position kernel subtree — one kernel pass feeds both;
+      // (doc_id, pos, gh) rows only, text never materializes
+      .localCheckpoint()
     // corpus-wide duplicated window hashes: map-side combine collapses a
     // boilerplate window repeated across an input split before the shuffle
     val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))

@@ -56,9 +56,17 @@ object Entity {
                         strategy: String = "auto"): DataFrame = {
     require(blockCols.nonEmpty, "blocking columns are the scale contract")
     require(Set("auto", "neighborhood", "block")(strategy), strategy)
+    // CHECKPOINT the slim projection (round-16, guide §1.2): the cost
+    // probe, the hot-block census, both join sides and (on the
+    // neighborhood path) the variant-count sizing each held the full
+    // upstream subtree — for the md5-rank subset twin that subtree is a
+    // global id rank + semi-join re-executed per consumer (4+ scans in
+    // the before-plan). The slim frame is (id, key string, block cols) —
+    // the narrowest materialization in the pipeline.
     val slim = records.select(
       (col(idCol).as("id") +: col(strCol).as("s") +:
         blockCols.map(c => col(c))): _*)
+      .localCheckpoint()
     // "auto" is COST-BASED, not a flat rule: the block join's work is
     // Σ_b n_b² DP verifies while the neighborhood path pays ~C(len,≤d)
     // variant rows per record plus candidate joins — a crossover, not a
@@ -85,10 +93,14 @@ object Entity {
     // When `records` is dimension-sized, the other side broadcasts and
     // the probe side's SCAN parallelism caps the whole pair generation —
     // a table under files.maxPartitionBytes is ONE task doing every DP.
-    // probePartitions > 0 spreads it round-robin first (a shuffle of the
-    // slim columns only; pointless — leave 0 — when the probe side is
-    // large enough to arrive in many splits).
-    val probe = if (probePartitions > 0) slim.repartition(probePartitions) else slim
+    // probePartitions > 0 spreads it first (a shuffle of the slim
+    // columns only; pointless — leave 0 — when the probe side is large
+    // enough to arrive in many splits). Content-hash partitioning on the
+    // unique id, not keyless round-robin: a keyless repartition(n) pays
+    // SPARK-23207's local sort on the one task the spread exists to
+    // relieve (the r15 ScanSpread rationale).
+    val probe = if (probePartitions > 0)
+      slim.repartition(probePartitions, col("id")) else slim
     val a = probe.toDF(("a_id" +: "a_s" +: blockCols): _*)
     val b = slim.toDF(("b_id" +: "b_s" +: blockCols): _*)
     // single-column fingerprint of the block key, used ONLY to route
@@ -151,10 +163,22 @@ object Entity {
     def slim(df: DataFrame): DataFrame = df.select(
       (col(idCol).as("id") +: col(strCol).as("s") +:
         blockCols.map(c => col(c))): _*)
-    val sNew = slim(batch)
-    val sAll = sNew.unionByName(slim(existing))
+    // ONE tagged-union pass and checkpoint instead of re-deriving each
+    // side per consumer (the r15 incremental idiom): the batch variants,
+    // the union variants, the sizing aggregate and both verify
+    // join-backs each re-ran the upstream scan + filters (5 scans of the
+    // same table in the before-plan); the sides are disjoint so the
+    // batch flag recovers each exactly from the shared blocks.
+    val tagged = slim(batch).withColumn("__batch", lit(true))
+      .unionByName(slim(existing).withColumn("__batch", lit(false)))
+      .localCheckpoint()
+    val sNew = tagged.filter(col("__batch")).drop("__batch")
+    val sAll = tagged.drop("__batch")
     def variants(df: DataFrame, role: String): DataFrame = {
-      val src = if (probePartitions > 0) df.repartition(probePartitions) else df
+      // hash on the unique id, not keyless (SPARK-23207 — see
+      // editDistancePairs' probe)
+      val src = if (probePartitions > 0)
+        df.repartition(probePartitions, col("id")) else df
       src.select(
         (col("id").as(s"${role}_id") +: blockCols.map(col) :+
           explode(graft.functions.TextExpressions
@@ -221,7 +245,9 @@ object Entity {
                                 probePartitions: Int): DataFrame = {
     // the variant explode inflates ~C(len, ≤d)× — spread the source
     // first or a single-split table generates every variant in one task
-    val src = if (probePartitions > 0) slim.repartition(probePartitions) else slim
+    // (hash on the unique id, not keyless: SPARK-23207)
+    val src = if (probePartitions > 0)
+      slim.repartition(probePartitions, col("id")) else slim
     val variants = src.select(
       (col("id") +: blockCols.map(col) :+
         explode(graft.functions.TextExpressions

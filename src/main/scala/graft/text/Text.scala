@@ -356,11 +356,20 @@ object Text {
     * counts-only on the gram key; text never shuffles.
     */
   def bigramLmScore(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // CHECKPOINT the per-doc partials: the doc comment's "the corpus
+    // model is a RE-aggregation of those partials" was true logically
+    // but not physically — corpus, heads and the final join each held
+    // the full scan→tokenize→explode→agg subtree, and the plan ran THREE
+    // parquet scans with the two model branches re-running the kernel
+    // single-task inside broadcast-exchange builds (measured 0.8 s + 0.7
+    // s of the 1.9 s wall at sf0.1; no ReusedExchange fires across the
+    // broadcast branches). One pass feeds all three consumers.
     val perDoc = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(wordBigrams(col("toks"))).as("gram"))
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("k"))
+      .localCheckpoint()
     val corpus = perDoc.groupBy(col("gram")).agg(sum(col("k")).as("cb"))
       .withColumn("head", split(col("gram"), " ").getItem(0))
     val heads = corpus.groupBy(col("head")).agg(sum(col("cb")).as("ca"))
@@ -384,9 +393,13 @@ object Text {
     * AQE broadcasts the frequency side when the vocabulary is small.
     */
   def tokenRarity(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // checkpoint the per-doc partials — the bigramLmScore rationale: the
+    // frequency re-aggregation and the final join otherwise each hold
+    // the full scan→explode→agg subtree (4 parquet scans in the plan)
     val perDoc = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val freq = perDoc.groupBy(col("tok")).agg(sum(col("c")).as("freq"))
     perDoc.join(freq, "tok")
       .groupBy(col("doc_id"))
@@ -455,9 +468,13 @@ object Text {
     * counts only, per-doc window top-k.
     */
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    // checkpoint the per-doc partials — the bigramLmScore rationale (the
+    // df re-aggregation and the final join each re-ran the tokenize
+    // subtree: 6 parquet scans in the before-plan)
     val perDoc = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val df = perDoc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -789,7 +806,7 @@ object Text {
                 nMerges: Int): org.apache.spark.sql.DataFrame = {
     require(nMerges >= 1, "nMerges must be >= 1")
     val spark = docs.sparkSession
-    var words = docs.select(explode(tokens(col("text"))).as("w"))
+    val words0 = docs.select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       // split(limit = -1) keeps the trailing empty match of the
@@ -797,7 +814,116 @@ object Text {
       // the characters
       .select(filter(split(col("w"), "(?!^)"), s => length(s) > 0).as("syms"),
         col("cnt"))
-      .localCheckpoint()
+    // BOUNDED-VOCAB fast path (round-16, guide §1.2/§5): the ENTIRE
+    // iteration state is the distinct-word frequency table — the corpus
+    // is never touched again after the one aggregation above. When that
+    // table fits the driver comfortably (≤ 2¹⁸ distinct words ≈ tens of
+    // MB — the tokenRanks/IVF-centroid bounded-collect class; one
+    // LIMIT cap+1 job proves the bound BEFORE collecting), the merge
+    // recurrence runs locally: ONE Spark job total instead of two jobs
+    // plus two driver barriers per merge round (measured 36 jobs /
+    // 3.6 s → 3 jobs for the registered 20-merge queries, whose wall
+    // was >2/3 job-launch latency). Vocabularies beyond the cap keep
+    // the distributed loop — the 100 TB contract is unchanged.
+    val cap = 1 << 18
+    val head = words0.limit(cap + 1).collect()
+    val merges: Seq[(Int, String, String, Long)] =
+      if (head.length <= cap)
+        bpeMergesLocal(
+          head.map(r => (r.getSeq[String](0).toArray, r.getLong(1))), nMerges)
+      else bpeMergesDistributed(words0, nMerges)
+    import spark.implicits._
+    spark.createDataset(merges)
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Unsigned UTF-8 byte-order comparison — Spark's StringType sort
+    * order (UTF8String.compareTo), which the local loop must replicate
+    * exactly for the (count desc, a asc, b asc) tie-break. Java's
+    * String.compareTo differs on supplementary characters (UTF-16 code
+    * units vs UTF-8 bytes).
+    */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The merge recurrence on a driver-resident word table: the PURE
+    * one-merge-per-round sequence (which the distributed batch
+    * acceptance is proven equal to — see [[bpeMerges]]'s scaladoc):
+    * argmax pair by (count desc, a asc, b asc) under UTF-8 byte order,
+    * applied leftmost-non-overlapping, until `nMerges` or no pair
+    * remains. Bit-identical to the distributed loop by construction
+    * (TextSpec pins both against the oracle recurrence).
+    */
+  private def bpeMergesLocal(table: Array[(Array[String], Long)],
+                             nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words = table
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          counts.merge((syms(i), syms(i + 1)), cnt, Long.box(_) + _)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bestA: String = null; var bestB: String = null; var bestN = 0L
+        counts.forEach { (k, n) =>
+          if (bestA == null || n > bestN ||
+              (n == bestN && (utf8Lt(k._1, bestA) ||
+                (k._1 == bestA && utf8Lt(k._2, bestB))))) {
+            bestA = k._1; bestB = k._2; bestN = n
+          }
+        }
+        merges += ((merges.size + 1, bestA, bestB, bestN))
+        if (merges.size < nMerges) words = words.map { case (syms, cnt) =>
+          if (syms.length < 2) (syms, cnt)
+          else {
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == bestA && syms(i + 1) == bestB) {
+                out += bestA + bestB; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, cnt)
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The distributed merge loop, for vocabularies past the driver
+    * bound. LAZY checkpoints throughout (round-16, guide §1.2): each
+    * round needs exactly one action — the candidate-pair TakeOrdered
+    * collect — and an EAGER checkpoint added a second job (plus its
+    * driver barrier) per round just to materialize the fold the next
+    * collect was about to read anyway. localCheckpoint(eager = false)
+    * still truncates lineage (constant plan depth) and still persists
+    * the blocks, but the materialization rides the NEXT round's collect
+    * job — and the LAST round's fold, whose checkpoint no job ever
+    * read, is never computed at all.
+    */
+  private def bpeMergesDistributed(words0: org.apache.spark.sql.DataFrame,
+                                   nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words = words0.localCheckpoint(false)
+    // the superseded round's blocks are freed once the round AFTER it
+    // has materialized (the grandparent can no longer be re-read by any
+    // plan — the Graph/IterState discipline, adapted to lazy ckpts)
+    var prevWords: org.apache.spark.sql.DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
@@ -817,6 +943,10 @@ object Text {
       val top = pairs.orderBy(col("n").desc, col("a"), col("b"))
         .limit(candN).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // this collect materialized `words`; its predecessor's blocks are
+      // dead now (only `words`'s own recompute path could read them)
+      if (prevWords != null) graft.ops.IterState.freeCkpt(prevWords)
+      prevWords = words
       if (top.isEmpty) exhausted = true
       else {
         val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
@@ -836,7 +966,10 @@ object Text {
         val safe = accepted.takeWhile(_._3 > cStar)
         val batch = if (safe.nonEmpty) safe.toSeq else Seq(accepted.head)
         batch.foreach { case (a, b, n) => merges += ((merges.size + 1, a, b, n)) }
-        words = words.withColumn("syms",
+        // quota reached: no further round reads the fold — skip building
+        // it (under the old eager checkpoint this dead fold was a full
+        // extra pass over the word table on every invocation)
+        if (merges.size < nMerges) words = words.withColumn("syms",
             aggregate(col("syms"), array().cast("array<string>"),
               (out, cur) => {
                 val hit = batch.tail.foldLeft(
@@ -853,12 +986,16 @@ object Text {
                   concat(slice(out, lit(1), size(out) - 1), array(hit)))
                 .otherwise(concat(out, array(cur)))
               }))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
     }
-    import spark.implicits._
-    spark.createDataset(merges.toSeq)
-      .toDF("rank", "left", "right", "pair_count")
+    // free the surviving loop state deterministically: `prevWords` is
+    // materialized, the final `words` only if a fold followed the last
+    // accepted batch without reaching quota (freeCkpt no-ops on
+    // never-materialized checkpoints)
+    if (prevWords != null) graft.ops.IterState.freeCkpt(prevWords)
+    graft.ops.IterState.freeCkpt(words)
+    merges.toSeq
   }
 
   /** Distributed BPE ENCODE — the inference half of the tokenizer story
@@ -886,8 +1023,16 @@ object Text {
   def bpeEncoded(docs: org.apache.spark.sql.DataFrame,
                  merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     val toks = graft.functions.TextExpressions.bpeEncode(col("text"), merges)
-    docs.select(col("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) > 0)
+    // Drop empty docs on the CHEAP equivalent predicate BEFORE the
+    // kernel projection: the encode emits ≥ 1 token iff the text holds
+    // ≥ 1 non-whitespace char (words = split("\\s+") minus empties;
+    // merges only concatenate, never drop), so rlike("\\S") decides the
+    // old `filter(size(toks) > 0)` exactly — which PushDownPredicates
+    // was substituting through the projection, running the whole encode
+    // kernel TWICE per row (once in the pushed filter, once in the
+    // projection). Null text drops under both forms.
+    docs.filter(col("text").rlike("\\S"))
+      .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         md5(array_join(col("toks"), " ")).as("tokens_md5"))

@@ -35,12 +35,17 @@ object JobProfile {
     case class JobRec(id: Int, start: Long, var end: Long = -1L,
                       var nTasks: Int = 0, var desc: String = "")
     val jobs = ArrayBuffer.empty[JobRec]
+    // stage -> job via JobStart.stageIds: overlapping jobs (broadcast
+    // exchanges run concurrently with the main job) would otherwise have
+    // their stages' task counts charged to whichever job started last.
+    val stageToJob = scala.collection.mutable.Map.empty[Int, Int]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         val d = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .orElse(e.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
           .getOrElse("")
+        e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
         jobs += JobRec(e.jobId, e.time, desc = d.take(90))
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
@@ -48,7 +53,10 @@ object JobProfile {
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         jobs.synchronized {
-          jobs.lastOption.foreach(_.nTasks += e.stageInfo.numTasks)
+          val owner = stageToJob.get(e.stageInfo.stageId)
+            .flatMap(jid => jobs.find(_.id == jid))
+            .orElse(jobs.lastOption)
+          owner.foreach(_.nTasks += e.stageInfo.numTasks)
         }
     }
 
@@ -62,6 +70,7 @@ object JobProfile {
     names.foreach { n =>
       run(n) // warmup: JIT + codegen + file listing
       jobs.clear()
+      stageToJob.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.currentTimeMillis()
       val wall = run(n)
