@@ -207,10 +207,21 @@ object Graph {
   def triangleStats(edges: DataFrame,
                     aCol: String = "a_id", bCol: String = "b_id",
                     broadcastBudget: Long = -1L): DataFrame = {
-    val e = edges.select(col(aCol).as("x"), col(bCol).as("y"))
+    // checkpoint the edge list and the degree table (round-16): the
+    // wedge pipeline references deg twice and sym everywhere, so the
+    // un-materialized tree held ~40 copies of the upstream scan — most
+    // of the query's wall was Catalyst planning that tree (measured
+    // 0.9 s driver gap at sf0.1), not execution. e doubles as the edge
+    // census the broadcast gate needs (count over the checkpoint).
+    // Serialized disk-only state, the kCore footprint discipline; the
+    // returned frame still references both, so they are reclaimed by
+    // the ContextCleaner when the caller's action completes — bounded
+    // at |E| + |V| rows.
+    val e = IterState.ckptSer(edges.select(col(aCol).as("x"), col(bCol).as("y")))
     val sym = e.unionAll(e.select(col("y").as("x"), col("x").as("y")))
-    val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("deg"))
-      .select(col("x").as("v_id"), col("deg"))
+    val deg = IterState.ckptSer(
+      sym.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+        .select(col("x").as("v_id"), col("deg")))
     val perVertex = cornerCounts(sym, deg, e.count(), broadcastBudget)
     deg.join(perVertex, Seq("v_id"), "left")
       .select(col("v_id"), col("deg"),
@@ -637,6 +648,14 @@ object Graph {
     var lastKeep = -1L
     var converged = false
     val budget = ExchangeSizing.broadcastBudgetBytes(edges.sparkSession)
+    // LAZY round state (round-16): the survivor census count is the
+    // round's one action — it materializes this round's `keep` AND the
+    // previous round's pending `next` in one job, where the eager form
+    // paid three jobs (+ driver barriers) per round. Superseded frames
+    // are queued and freed only after the action that materialized
+    // their successor (a truncated checkpoint cannot be recomputed once
+    // unpersisted); peak footprint stays the documented ~2 rounds.
+    var pendingFrees: List[DataFrame] = Nil
     while (r < rounds && !converged) {
       // One scan for the degree census: exploding both endpoints of each
       // edge into the aggregation beats a unionAll of two projections,
@@ -645,11 +664,15 @@ object Graph {
       // disk read. The survivor set is checkpointed because it feeds
       // both endpoint semi joins (Spark does not common-subexpression
       // shared subplans) and its census doubles as the convergence test.
-      val keep = ckptSer(
+      val keep = IterState.ckptSerLazy(
         e.select(explode(array(col("x"), col("y"))).as("v"))
           .groupBy(col("v")).agg(count(lit(1)).as("d"))
           .filter(col("d") >= k).select(col("v")))
       val keepCount = keep.count()
+      // keep (and, through its lineage, this round's `e`) is now
+      // materialized and truncated — the frames it superseded are dead
+      pendingFrees.foreach(freeCkpt)
+      pendingFrees = Nil
       if (keepCount == lastKeep) {
         // Early exit at the fixpoint: peeling only REMOVES edges, so
         // degrees only fall and survivor sets shrink MONOTONICALLY —
@@ -673,15 +696,24 @@ object Graph {
           if (ExchangeSizing.hashedRelationBytes(keepCount, 8) <= budget)
             (d: DataFrame) => broadcast(d)
           else (d: DataFrame) => d
-        val next = ckptSer(e
+        val next = IterState.ckptSerLazy(e
           .join(keepSide(keep.select(col("v").as("x"))), Seq("x"), "leftsemi")
           .join(keepSide(keep.select(col("v").as("y"))), Seq("y"), "leftsemi"))
-        freeCkpt(keep)
-        freeCkpt(e)
+        // e and keep stay alive until `next` materializes (next round's
+        // census, or the explicit sync below on rounds exhaustion)
+        pendingFrees = List(e, keep)
         e = next
         lastKeep = keepCount
         r += 1
       }
+    }
+    if (pendingFrees.nonEmpty) {
+      // rounds exhausted with the last fold never materialized: sync it
+      // so the superseded frames can still be freed deterministically
+      // before returning (the disk-footprint discipline above)
+      e.count()
+      pendingFrees.foreach(freeCkpt)
+      pendingFrees = Nil
     }
     e.select(explode(array(col("x"), col("y"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("core_deg"))

@@ -35,6 +35,18 @@ object IterState {
   def ckptSer(df: DataFrame): DataFrame =
     df.localCheckpoint(true, StorageLevel.DISK_ONLY)
 
+  /** LAZY [[ckptSer]]: same storage level and lineage truncation, but
+    * materialization rides the caller's next action instead of its own
+    * job — for loops whose convergence probe can BE the materializing
+    * action (one job per round instead of two; any partitions the
+    * probe's early exit skipped are completed by doCheckpoint before
+    * the action returns). The caller must not free the PREVIOUS round's
+    * blocks until this round's action has run — a truncated checkpoint
+    * cannot be recomputed once unpersisted.
+    */
+  def ckptSerLazy(df: DataFrame): DataFrame =
+    df.localCheckpoint(false, StorageLevel.DISK_ONLY)
+
   /** Free a [[ckptSer]] checkpoint's blocks deterministically (the
     * checkpointed RDD sits behind the dataset's `LogicalRDD`;
     * unpersisting it directly is deterministic where GC is not).

@@ -521,8 +521,14 @@ object Analytics {
       // keys are re-collapsed — the shape that keeps a 100 TB dimension's
       // nightly merge proportional to the change batch, not the history.
       val Seq(v0, v1, v2) = scd2Snapshots(s, dir)
+      // checkpoint the rebuilt history — merge() reads it three times
+      // (untouched-key anti join, closed-row semi, open-row semi) and
+      // each read re-ran the full two-delivery window pipeline (20 scans
+      // in the before-plan); at warehouse scale history is a persisted
+      // table and this is its in-session stand-in
       val history = graft.ops.Scd2.fromSnapshots(v0.unionByName(v1),
         Seq("c_custkey"), "eff", Seq("segment", "bal"))
+        .localCheckpoint()
       graft.ops.Scd2
         .merge(history, v2, Seq("c_custkey"), "eff", Seq("segment", "bal"))
         .withColumn("bal", col("bal").cast("double"))
@@ -1325,6 +1331,10 @@ object Analytics {
                 (SELECT COUNT(*) FROM t2) AS stage_view_click,
                 (SELECT COUNT(*) FROM t3) AS stage_view_click_purchase""") { (s, dir) =>
       val ev = Tables.events(s, dir)
+      // each stage frame (one row per user) feeds BOTH the next stage's
+      // gate join and its own count — checkpointed, or t1's scan+agg
+      // subtree re-runs inside t2, t3 and all three counts (12 parquet
+      // scans in the before-plan; 3 scans is this funnel's honest floor)
       def stage(et: String, prev: Option[DataFrame]): DataFrame = {
         val base = ev.filter(col("event_type") === et)
         val gated = prev match {
@@ -1334,9 +1344,9 @@ object Analytics {
         gated.groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
           .select(col("user_id"), col("t2").as("t"))
       }
-      val t1 = stage("view", None)
-      val t2 = stage("click", Some(t1))
-      val t3 = stage("purchase", Some(t2))
+      val t1 = stage("view", None).localCheckpoint()
+      val t2 = stage("click", Some(t1)).localCheckpoint()
+      val t3 = stage("purchase", Some(t2)) // single consumer — no ckpt
       t1.agg(count(lit(1)).as("stage_view"))
         .crossJoin(t2.agg(count(lit(1)).as("stage_view_click")))
         .crossJoin(t3.agg(count(lit(1)).as("stage_view_click_purchase")))

@@ -2689,8 +2689,12 @@ object CorpusQueries {
     Q.unchecked("ann_lsh_multiprobe") { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
+      // checkpoint the ground-truth edges (the emb_knn_graph treatment):
+      // both method joins and the denominator each re-ran the
+      // brute-force scoring from lineage (≤ 200 rows materialized)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
         .select(col("q_id"), col("n_id"))
+        .localCheckpoint()
       val denom = exact.agg(count(lit(1)).as("n_exact"))
       val single = Similarity.lshTopK(emb, queries, k = 10, chunkBits = 4)
         .select(lit("probe_1").as("method"), col("q_id"), col("n_id"))
@@ -2734,8 +2738,11 @@ object CorpusQueries {
       val emb = Tables(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
       val model = ivfModel(s, dir, nCentroids = 16, dim = 64, iters = 2)
+      // ground-truth checkpoint — the emb_knn_graph treatment (recall
+      // join + denominator shared one brute-force pass)
       val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
         .select(col("q_id"), col("n_id"))
+        .localCheckpoint()
       val denom = exact.agg(count(lit(1)).as("n_exact"))
       // one shared assignment scan + candidate rerank serves all 4 depths
       graft.sim.Ivf.searchMulti(emb, queries, model, k = 10,

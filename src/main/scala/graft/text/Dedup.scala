@@ -1432,16 +1432,22 @@ object Dedup {
           lit(null).cast(labelType).as("prev"))
       val self = labels.select(col("id"), col("label"),
         col("label").as("prev"))
-      val next = graft.ops.IterState.ckptSer(
+      // LAZY checkpoint: the convergence probe below is the round's
+      // materializing action — one job per round instead of an eager
+      // checkpoint job followed by a block-scan probe job (round-16;
+      // the loop's wall was ~2/3 job-launch latency at the driver's
+      // bench scale). doCheckpoint completes any partitions the
+      // isEmpty early-exit skipped before the action returns.
+      val next = graft.ops.IterState.ckptSerLazy(
         self.union(viaNeighbors)
           .groupBy("id").agg(min("label").as("label"), min("prev").as("prev")))
-      // next is materialized (eager checkpoint): the superseded round's
-      // blocks are freed NOW — deterministic, where waiting for the
-      // ContextCleaner let rounds accumulate on disk at the third decade.
-      graft.ops.IterState.freeCkpt(labels)
-      // this filter scans the round's checkpointed blocks — no join, no
-      // shuffle, no recompute.
       converged = next.filter(col("label") < col("prev")).isEmpty
+      // next is now fully materialized and truncated: the superseded
+      // round's blocks are freed deterministically (waiting for the
+      // ContextCleaner let rounds accumulate on disk at the third
+      // decade) — and only NOW, a truncated checkpoint cannot be
+      // recomputed once unpersisted.
+      graft.ops.IterState.freeCkpt(labels)
       labels = next.select("id", "label")
       iter += 1
     }
@@ -2170,10 +2176,15 @@ object Dedup {
     // twins that differ only in the normalized-away part collapse);
     // default = raw-text md5, the exact-dedup semantics of [[exact]]
     val fp = Option(fingerprint).getOrElse(md5(col(textCol)))
+    // checkpoint the slim flag frame (round-16): the canonical-map
+    // aggregate and the final join each re-ran the scan+fingerprint
+    // subtree; (id, source, ntok, fp) rows only — text never leaves the
+    // one scan either way
     val flagged = docs.select(col(idCol), col(srcCol),
         size(split(col(textCol), "\\s+")).as("ntok"),
         fp.as("fp"))
       .withColumn("pass2", col("ntok") >= minTokens)
+      .localCheckpoint()
     val canon = flagged.filter(col("pass2"))
       .groupBy(col("fp")).agg(min(col(idCol)).as("__canon"))
     val clean = decontaminate(docs.select(col(idCol), col(textCol)),
