@@ -34,7 +34,18 @@ object GlobalRank {
 
   def withGlobalRowNumber(df: DataFrame, order: Seq[Column],
                           out: String = "row_num",
-                          numPartitions: Option[Int] = None): DataFrame = {
+                          numPartitions: Option[Int] = None): DataFrame =
+    withGlobalRowNumberCounted(df, order, out, numPartitions)._1
+
+  /** [[withGlobalRowNumber]] plus the TOTAL row count, which the offset
+    * pass already holds on the driver (the last cumulative offset) —
+    * callers that need N (decile arithmetic, sampling rates) otherwise
+    * pay a whole extra aggregation pass plus a 1-row broadcast join for
+    * a number this computation produced for free.
+    */
+  def withGlobalRowNumberCounted(df: DataFrame, order: Seq[Column],
+                                 out: String = "row_num",
+                                 numPartitions: Option[Int] = None): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts = numPartitions.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
@@ -60,7 +71,7 @@ object GlobalRank {
       // Even under eviction the ranks stay correct: the range sampler is
       // deterministically seeded, so a recompute reproduces the same
       // boundaries the offsets were computed from.
-      ranked
+      (ranked, offsets(parts))
     } catch { case t: Throwable => ranged.unpersist(); throw t }
   }
 

@@ -1067,12 +1067,14 @@ object Analytics {
            COUNT(*) AS n_rows, MIN(value) AS lo, MAX(value) AS hi,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
          FROM r GROUP BY 1 ORDER BY 1""") { (s, dir) =>
-      val ranked = graft.ops.GlobalRank.withGlobalRowNumber(
+      // N comes from the rank pass's own offset table (driver-side, free)
+      // instead of a second aggregation over the ranked frame plus a
+      // 1-row broadcast join
+      val (ranked, nTotal) = graft.ops.GlobalRank.withGlobalRowNumberCounted(
         Tables.events(s, dir).select(col("value"), col("event_id")),
         Seq(col("value"), col("event_id")), out = "rn")
-      val n = ranked.agg(count(lit(1)).as("n"))
-      ranked.crossJoin(broadcast(n))
-        .select(expr("(rn - 1) * 10 div n").as("decile"), col("value"))
+      ranked
+        .select(expr(s"(rn - 1) * 10 div ${nTotal}L").as("decile"), col("value"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_rows"), min(col("value")).as("lo"),
           max(col("value")).as("hi"), dsum(col("value")).as("total"))
@@ -1914,11 +1916,22 @@ object Analytics {
              n*sqq - sq*sq, n*spp - sp*sp FROM s)
          ORDER BY pair""") { (s, dir) =>
       val dec38 = (c: Column) => c.cast("decimal(38,0)")
-      val base = Tables(s, dir, "lineitem").select(
-        col("l_quantity").cast("long").as("q"),
-        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("p"),
-        (col("l_discount").cast("decimal(12,2)") * 100).cast("long").as("d"),
-        (col("l_tax").cast("decimal(12,2)") * 100).cast("long").as("t"))
+      // spread the PROJECTED 4-long frame before the moment sums: the
+      // single-row-group lineitem file pins the partial aggregation —
+      // 12 decimal(38,0) multiply-sums per row, far above the tokenize
+      // kernel's CPU/byte — on one task (measured 1.9 s at sf0.1; the
+      // lineitem_profile precedent, with the shuffle carrying 4 longs
+      // per row instead of the full table)
+      val base = graft.ops.ScanSpread.spread(s,
+        Tables(s, dir, "lineitem")
+          .select(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+        graft.ops.ScanSpread.KernelFloor)
+        .select(
+          col("l_quantity").cast("long").as("q"),
+          (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("p"),
+          (col("l_discount").cast("decimal(12,2)") * 100).cast("long").as("d"),
+          (col("l_tax").cast("decimal(12,2)") * 100).cast("long").as("t"))
       val sums = base.agg(
           count(lit(1)).cast("decimal(38,0)").as("n"),
           sum(dec38(col("q"))).cast("decimal(38,0)").as("sq"),
